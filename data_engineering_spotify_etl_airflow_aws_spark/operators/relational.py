@@ -1,0 +1,477 @@
+"""Reference relational surface (SURVEY.md §2a) on the testdata star schema.
+
+Each query mirrors one operator family from the reference repo
+(/root/reference, cites in docstrings) re-expressed as the equivalent shape
+on the TPC-H-ish fixtures, per the analog table in FIXTURES.md §6:
+songs fact -> lineitem/orders, album/artist dims -> part/customer/supplier.
+
+Scale notes (100 TB):
+ * recency filters compute the cutoff with a 2-phase scan - a single-column
+   max() agg (parquet stats-only at best) then a literal pushed into the
+   main scan, so partition/row-group pruning applies;
+ * dim joins are broadcast explicitly (dims are ~1e-4 of fact);
+ * top-k is always sort+limit => Catalyst TakeOrderedAndProject (no global
+   sort materialization);
+ * grouped top-k uses window row_number, which AQE shuffles by group key
+   only once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import davg, dsum, oracle_davg, oracle_dsum, to_date_cascade
+from ..registry import query
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# A1 - ungrouped COUNT(*) (reference S:84-88, A:1-3: load-validation counts)
+@query(
+    "count_star",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Q1 shape (S:93-97): recency filter + global sort + LIMIT (P7 + O1).
+# Cutoff is data-relative (max date - 7 days) so the query is stable on
+# frozen fixtures; the reference's CURRENT_DATE anchor is the degenerate
+# case of the same plan.
+@query(
+    "recent_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 7 DAY FROM lineitem)
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # phase 1: stats-only scan for the cutoff literal (pushdown-friendly)
+    cutoff = li.agg(F.max("l_shipdate") - F.expr("INTERVAL 7 DAYS")).collect()[0][0]
+    return (
+        li.where(F.col("l_shipdate") >= F.lit(cutoff))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape (S:100-108): fact JOIN dim + GROUP BY + AVG + multi-key sort
+# (J1 + A2 + O3). Dim side broadcast: reference dim is ~100 rows vs 50/day
+# fact; here customer is 1e-2 of lineitem-scale orders.
+@query(
+    "group_avg_join",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           {oracle_davg('o.o_totalprice')} AS avg_price,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def group_avg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name")
+        )
+        .agg(
+            davg("o_totalprice", alias="avg_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape (S:111-118): threshold filter + GROUP BY + COUNT + sort desc +
+# LIMIT (P8 + A3 + O2). Tiebreak on the group key keeps the limit total-
+# ordered => deterministic across engines.
+@query(
+    "filter_group_count_topk",
+    oracle="""
+    SELECT l_suppkey AS suppkey, count(*) AS n_cheap
+    FROM lineitem
+    WHERE l_quantity <= 10
+    GROUP BY l_suppkey
+    ORDER BY n_cheap DESC, suppkey
+    LIMIT 10
+    """,
+)
+def filter_group_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= 10)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("n_cheap"))
+        .orderBy(F.desc("n_cheap"), "suppkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape (S:121-126): point lookup + projection + time sort (P9 + O4).
+# At 100 TB the partition/row-group pruning on the pushed l_partkey literal
+# is what makes this a sub-second query.
+@query(
+    "point_lookup_series",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_partkey = 1
+    ORDER BY ship_date, l_orderkey, l_linenumber
+    """,
+)
+def point_lookup_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: star join across two dims (songs->album + songs->artist analog,
+# S:54-55). Both dims broadcast; the fact never shuffles for the join.
+@query(
+    "star_join_agg",
+    oracle=f"""
+    SELECT p.p_brand AS brand, n.n_name AS nation,
+           {oracle_dsum('l.l_extendedprice')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum("l_extendedprice", alias="revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("brand", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1/D2: dedup-by-key with deterministic survivor (reference
+# drop_duplicates P:108, P:130; survivor pinned to earliest event per
+# SURVEY.md §7.3 - raw dropDuplicates keeps an arbitrary row).
+@query(
+    "dedup_earliest_survivor",
+    oracle="""
+    SELECT custkey, first_orderkey, first_orderdate FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+               CAST(o_orderdate AS DATE) AS first_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+)
+def dedup_earliest_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.to_date("o_orderdate").alias("first_orderdate"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: mixed-precision string->date cascade (P:109; Spotify release_date is
+# yyyy | yyyy-MM | yyyy-MM-dd). The fixture has no string dates, so the
+# query round-trips: format o_orderdate at one of 3 precisions chosen by
+# key, then re-parse with the cascade.
+@query(
+    "date_cast_cascade",
+    oracle="""
+    SELECT o_orderkey, raw_date,
+        CAST(coalesce(
+            try_strptime(raw_date, '%Y-%m-%d'),
+            try_strptime(raw_date, '%Y-%m'),
+            try_strptime(raw_date, '%Y')
+        ) AS DATE) AS parsed_date
+    FROM (
+        SELECT o_orderkey,
+            CASE o_orderkey % 3
+                WHEN 0 THEN strftime(o_orderdate, '%Y')
+                WHEN 1 THEN strftime(o_orderdate, '%Y-%m')
+                ELSE strftime(o_orderdate, '%Y-%m-%d')
+            END AS raw_date
+        FROM orders
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def date_cast_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy")
+    ).when(
+        F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return (
+        orders.select("o_orderkey", raw.alias("raw_date"))
+        .withColumn("parsed_date", to_date_cascade("raw_date"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 pricing summary - the flagship agg (generalizes A2: multi-agg
+# GROUP BY). Map-side partial agg + tiny shuffle; the canonical shape for
+# "would this survive 100x" since only |groups| rows cross the wire.
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_extendedprice')} AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", alias="sum_qty"),
+            dsum("l_extendedprice", alias="sum_base_price"),
+            dsum(disc_price, scale=4, alias="sum_disc_price"),
+            dsum(charge, scale=6, alias="sum_charge"),
+            davg("l_quantity", alias="avg_qty"),
+            davg("l_extendedprice", alias="avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (generalizes O1 per group): window row_number. At scale this
+# is one shuffle by group key; a SortMergeJoin-free pattern.
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 3
+    ORDER BY l_returnflag, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_returnflag", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins - not in the reference (SURVEY.md: "no other join kinds")
+# but required for a complete relational surface; EXISTS / NOT EXISTS.
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join + null handling (completeness beyond reference's inner-only).
+@query(
+    "left_outer_join_agg",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0)
+               AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def left_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (subtotal hierarchy) - beyond the reference's flat GROUP BYs.
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", alias="sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation): events fan out by type per user.
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct count per group (baseline for the HLL approx variant in
+# windows.py).
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,233 @@
+"""Time-series / window operators on the events fixture (SURVEY.md §2b:
+event-time windows, per-entity movement, sessionization, sketches).
+
+The reference's only time-series op is per-entity ordering by scrape_date
+(Q4, S:121-126); these generalize it the way any chart-movement analysis
+would need: lag/lead deltas, tumbling/sliding windows, session windows.
+
+events.ts is stored as timestamp[ns]; tables.load_table converts to
+TimestampType at microsecond precision (same truncation DuckDB applies), and
+all outputs emit epoch micros (exact integers) so engines hash identically.
+
+Scale notes: every op here shuffles once on its natural key (user_id or
+window bucket); watermark-bounded streaming variants of the tumbling/session
+windows live in streaming/aggregations.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dsum, oracle_dsum
+from ..registry import query
+from ..tables import load_table
+
+# events.ts -> exact integer for cross-engine output (lazy: Column exprs
+# can't be built at import time without an active session)
+def _ts_us():
+    return F.unix_micros(F.col("ts"))
+
+
+_ORACLE_TS_US = "epoch_us(ts)"
+
+
+# ---------------------------------------------------------------------------
+# Per-entity movement: lag/lead over (user, time) - the generalized Q4.
+@query(
+    "user_value_movement",
+    oracle=f"""
+    SELECT event_id, user_id, {_ORACLE_TS_US} AS ts_us, value,
+           lag(value) OVER w AS prev_value,
+           value - lag(value) OVER w AS delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def user_value_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            _ts_us().alias("ts_us"),
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window aggregation (batch analog of the streaming
+# windowed agg). 1-hour windows are epoch-aligned, so F.window ==
+# date_trunc('hour'); emitted as epoch micros of the window start.
+@query(
+    "tumbling_window_agg",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (2h window, 1h slide): each event lands in 2 buckets.
+@query(
+    "sliding_window_agg",
+    oracle=f"""
+    SELECT window_start_us, count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value
+    FROM (
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, value
+        FROM events
+        UNION ALL
+        SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR), value
+        FROM events
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based): new session when >30 min since the previous
+# event of the same user. Implemented with lag + running sum so batch
+# semantics are explicit and engine-portable; the streaming path uses
+# F.session_window (streaming/aggregations.py) with the same gap.
+@query(
+    "session_windows",
+    oracle="""
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) > 1800000000 OR lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us().alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch: approx distinct. Estimates are engine-specific, so no value
+# oracle - the driver records the weaker rows-only check; the exact
+# counterpart (distinct_users_by_type, relational.py) is oracle-checked.
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (t-digest-style percentile sketch): same rows-only
+# treatment; exact median included as a second column oracle-side would
+# diverge, so the exact variant is its own query below.
+@query(
+    "value_quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round(6): engines interpolate with differently-associated expressions
+    # ((1-g)*a + g*b vs a + (b-a)*g), which can differ in the last ulp.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

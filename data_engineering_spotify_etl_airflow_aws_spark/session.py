@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Configs are chosen so the same code runs unchanged from local[32] tests to a
+1000-executor cluster: AQE owns runtime partition coalescing and skew-join
+splitting, shuffle partitions default to the core count locally (a cluster
+submit would override via --conf), and Arrow is on for the few Pandas-UDF
+paths. Nothing in the operators hardcodes partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-settable confs that operators rely on. Applied both here and
+# defensively in tables.load_table(), because the correctness driver creates
+# its own SparkSession and hands it to us.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores timestamp[ns]; Spark refuses NANOS
+    # columns unless they are surfaced as long (we convert explicitly).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply session-level confs to a SparkSession we did not build."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build; builder path sets it instead
+    return spark
+
+
+def get_spark(
+    app_name: str = "spotify-analytics-engine",
+    shuffle_partitions: int | str | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", sp)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,50 @@
+"""Loaders for the driver-generated testdata tables (TESTDATA.md).
+
+Handles the one physical quirk of the fixtures: events.parquet stores
+timestamp[ns], which Spark only reads via the nanosAsLong escape hatch; we
+convert the resulting long back to a proper TimestampType column (microsecond
+truncation — matching DuckDB's ns->us conversion, so oracles agree).
+
+load_table() applies the needed session confs defensively because the
+correctness driver hands us a session we didn't build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as timestamp[ns] -> read as long (nanos since epoch)
+_NANOS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANOS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer div, not float: ns since 2024 overflows double's 2^53
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (catalog-scan analog of
+    the reference's Glue Crawler + Athena tier; SURVEY.md S4)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
