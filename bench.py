@@ -1,0 +1,69 @@
+"""Per-round benchmark: times every registered query at the bench scale
+factor and emits ONE machine-readable JSON line on stdout.
+
+Contract (driver): {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": N}. Spark chatter goes to stderr; the
+JSON line is the only stdout output.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+from data_engineering_spotify_etl_airflow_aws_spark import registry
+from data_engineering_spotify_etl_airflow_aws_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    engine.load_all_operators()
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup.
+    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    try:
+        registry.QUERIES["count_star"](spark, warm_dir).collect()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failing query must not sink the bench
+            failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    out = {
+        "metric": "suite_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

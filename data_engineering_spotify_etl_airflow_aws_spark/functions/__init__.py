@@ -90,10 +90,8 @@ def cosine(a: Column, b: Column) -> Column:
 # DuckDB fragments matching the above fold order exactly (list_transform +
 # sequential list_sum): used by similarity/dedup oracles.
 def oracle_dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"s -> s.list_1 * s.list_2))"
-    )
+    # list_zip yields an unnamed struct in current DuckDB: index numerically
+    return f"list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
 
 
 def oracle_norm(a: str) -> str:
