@@ -1,1 +1,375 @@
-"""Placeholder - filled in this round."""
+"""Deduplication operators on the documents fixture (SURVEY.md §2b).
+
+Generalizes the reference's key-dedup (drop_duplicates, P:108/P:130) to the
+content-level dedup a pretraining-corpus pipeline needs:
+
+  * exact dedup           - content-hash groupBy (md5), deterministic survivor
+  * n-gram Jaccard        - EXACT near-dup pairs, prefix-filtered inverted
+                            shingle index (NOT all-pairs; see scale notes)
+  * MinHash + LSH banding - approximate near-dup pairs, fully deterministic
+                            (md5-derived hashes), then exact-Jaccard verified
+  * SimHash               - 32-bit weighted-token fingerprint
+
+Determinism: every hash is derived from md5 hex (identical across engines);
+affine MinHash constants are fixed literals, so even the LSH query is
+bit-reproducible and oracle-checkable in DuckDB.
+
+Oracle strategy: the Jaccard oracle is brute-force all-pairs - hash equality
+against the prefix-filtered Spark plan PROVES the candidate pruning is
+lossless. The MinHash oracle mirrors the banding pipeline step for step.
+
+Scale notes (100 TB):
+  * exact dedup: one shuffle on a uniform high-entropy key (md5). Safe.
+  * Jaccard: candidate generation joins doc PREFIXES (|d| - ceil(tau*|d|) + 1
+    lexicographically-least shingles - any pair with J >= tau must collide
+    there, pigeonhole over the required overlap) against the full inverted
+    index, so the quadratic blowup of frequent shingles is bounded by prefix
+    size, not document size. At production scale, order prefixes by global
+    shingle frequency (one extra agg + broadcast of the rare-shingle rank
+    map) to shrink candidates further; lexicographic order keeps this query
+    self-contained.
+  * MinHash/LSH: signatures are a narrow per-doc map; candidates come from
+    equi-joins on 4 band keys - the classic sub-quadratic path; band joins
+    shuffle only (band_idx, band_key, doc_id).
+  * SimHash: pure per-row projection; near-dup lookup would bucket on
+    rotated fingerprint bytes (not needed for the fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ORACLE_TOKENS
+from ..registry import query
+from ..tables import load_table
+
+JACCARD_TAU = 0.5  # planted near-dups sit at ~0.98; background noise < 0.03
+
+# Fixed affine MinHash constants (seed 7): h_i(x) = (a_i*x + b_i) mod p.
+# a < 2^30 and x < 2^32 keep a*x < 2^62, inside int64 for both engines.
+_MH_P = 2147483647
+_MH_AB = [
+    (347712783, 323946139), (423938500, 103694312), (77777869, 202142728),
+    (392655487, 124551738), (976787302, 461060838), (40260663, 184570285),
+    (465623511, 898017869), (75006692, 516819858), (97402359, 911648019),
+    (63469422, 265862673), (1017316376, 479402028), (677129423, 132847736),
+    (619659572, 851864842), (53246120, 474769608), (50017773, 285990742),
+    (310965606, 900094241),
+]
+_N_BANDS, _BAND_ROWS = 4, 4  # 16 = 4 bands x 4 rows
+
+_OT = ORACLE_TOKENS.format(col="text")
+
+# --- shared shingle / hash expressions, Spark (SQL-expr) and DuckDB forms.
+# Shingles are distinct token 3-grams; element_at / l[i] are both 1-based.
+_SPARK_SHINGLES = """
+    array_distinct(CASE WHEN size({t}) >= 3 THEN
+        transform(sequence(1, size({t}) - 2),
+                  i -> concat_ws(' ', element_at({t}, i),
+                                 element_at({t}, i + 1),
+                                 element_at({t}, i + 2)))
+    ELSE array() END)
+"""
+_DUCK_SHINGLES = """
+    list_distinct(CASE WHEN len({t}) >= 3 THEN
+        list_transform(generate_series(1, len({t}) - 2),
+                       i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2]))
+    ELSE [] END)
+"""
+# 32-bit hash of a string from its md5 hex prefix - identical cross-engine
+_SPARK_H32 = "cast(conv(substring(md5(cast({s} as binary)), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "CAST(('0x' || substring(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _spark_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string> distinct shingles, n_sh) - shingle base."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    return docs.select(
+        "doc_id",
+        F.expr(_SPARK_SHINGLES.format(t=toks)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+_DUCK_SHINGLE_BASE = f"""
+    SELECT doc_id, {_DUCK_SHINGLES.format(t=_OT)} AS sh,
+           len({_DUCK_SHINGLES.format(t=_OT)}) AS n_sh
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content hash: md5 groupBy, survivor = min doc_id. One
+# shuffle on a uniform key; the whole-row generalization of D1/D2.
+@query(
+    "dedup_exact_content",
+    oracle="""
+    SELECT md5(text) AS content_fp,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY survivor_doc_id
+    """,
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_fp"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXACT n-gram Jaccard near-dup pairs. Spark plan: prefix-filtered inverted
+# index (candidates from the lexicographic prefix x full index join), then
+# exact verify via array_intersect. Oracle: brute-force all-pairs - equal
+# hashes prove the pruning lost nothing.
+@query(
+    "ngram_jaccard_near_dup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLE_BASE})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE a.n_sh > 0 AND b.n_sh > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
+    # prefix = the |d| - ceil(tau*|d|) + 1 lexicographically-least shingles:
+    # a pair with overlap o >= ceil(tau*|d|) cannot hide all o shared
+    # shingles in the (|d| - prefix_len) = o - 1 element suffix.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(JACCARD_TAU) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = sh.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("sh"), F.lit(1), prefix_len)).alias(
+            "shingle"
+        ),
+    )
+    full = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        prefix.alias("p")
+        .join(full.alias("f"), "shingle")
+        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            common.alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding, deterministic end to end: shingle -> 32-bit md5
+# hash -> 16 affine permutation minima -> 4 band keys -> band equi-join for
+# candidates -> exact-Jaccard verification. The oracle replicates every
+# step, so even this "approximate" operator is hash-checked.
+def _spark_minhash_sig() -> list[Column]:
+    hs = F.expr(
+        "transform(sh, s -> " + _SPARK_H32.format(s="s") + ")"
+    )
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_AB)
+    ]
+
+
+def _duck_minhash_cols() -> str:
+    hs = f"list_transform(sh, s -> {_DUCK_H32.format(s='s')})"
+    return ", ".join(
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+
+
+def _band_key_exprs(col: str = "mh") -> list[str]:
+    keys = []
+    for band in range(_N_BANDS):
+        cols = [f"{col}{band * _BAND_ROWS + r}" for r in range(_BAND_ROWS)]
+        keys.append("concat_ws('-', " + ", ".join(cols) + ")")
+    return keys
+
+
+@query(
+    "minhash_lsh_near_dup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLE_BASE}),
+    sig AS (
+        SELECT doc_id, sh, n_sh, {_duck_minhash_cols()}
+        FROM sh WHERE n_sh > 0
+    ),
+    bands AS (
+        SELECT doc_id,
+               unnest(generate_series(0, {_N_BANDS - 1})) AS band_idx,
+               unnest([{", ".join(_band_key_exprs())}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh)) AS n_common,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh)))
+          >= {JACCARD_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
+    sig = sh.select("doc_id", "sh", "n_sh", *_spark_minhash_sig())
+    band_keys = [F.expr(e) for e in _band_key_exprs()]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", common.alias("n_common"), jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit weighted fingerprint. Each distinct token contributes its
+# count with sign +-1 per bit of its 32-bit hash; fingerprint bit b is set
+# iff the signed sum is positive. One narrow agg per doc - near-dup lookup
+# at scale buckets fingerprints on rotated byte slices (Hamming-ball probe).
+_SIMHASH_BITS = 32
+
+_DUCK_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_DUCK_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_OT}) AS t FROM documents) GROUP BY 1, 2
+    ),
+    hashed AS (
+        SELECT doc_id, cnt, {_DUCK_H32.format(s='token')} AS h FROM tok
+    ),
+    bitsums AS (
+        SELECT doc_id, {_DUCK_BIT_SUMS} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_DUCK_ASSEMBLE} AS BIGINT) AS simhash32
+    FROM bitsums ORDER BY doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.expr(_SPARK_H32.format(s="token")).alias("h"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    assembled = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(_SIMHASH_BITS)
+        ],
+        F.lit(0),
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", assembled.cast("bigint").alias("simhash32"))
+        .orderBy("doc_id")
+    )

@@ -1,1 +1,216 @@
-"""Placeholder - filled in this round."""
+"""Text-analysis operators on the documents fixture (SURVEY.md §2b).
+
+LLM-data-pipeline text surface: token counting (whitespace + BPE-ish
+regex), quality statistics (length / uniqueness / stopword ratios),
+stopword-profile language ID, and content fingerprinting (md5 full and
+whitespace-normalized). The reference repo has no text ops (its payloads
+are ids/names, P:96-155); these generalize its string handling the way a
+pretraining-corpus pipeline needs.
+
+Every expression is built-in (codegen'd JVM) - no Python UDFs. All ratio
+math is a fixed-association chain of IEEE doubles mirrored exactly in the
+DuckDB oracles, so results hash-match bit-for-bit.
+
+Scale notes (100 TB): every query is embarrassingly parallel per-document
+map work followed by (at most) one hash aggregation on a low-cardinality
+key - no joins, no windows, no driver collection. Token arrays are
+produced and consumed inside one projection, so nothing wide shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens, ORACLE_TOKENS
+from ..registry import query
+from ..tables import load_table
+
+# English-ish stopword set; the synthetic corpus is English-like tech text
+# for every lang label, so the ID signal is degenerate by construction -
+# the query exercises the mechanics (set-membership counting + argmax).
+_STOP_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_STOP_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "den")
+_STOP_ES = ("el", "la", "de", "que", "y", "en", "un", "es")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stop_hits(toks: Column, stop: tuple[str, ...]) -> Column:
+    sset = F.array(*[F.lit(s) for s in stop])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sset, t)))
+
+
+def _oracle_stop_hits(toks: str, stop: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{s}'" for s in stop) + "]"
+    return f"len(list_filter({toks}, x -> list_contains({lst}, x)))"
+
+
+_OT = ORACLE_TOKENS.format(col="text")
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality statistics. quality_score is a fixed-association
+# double chain ((0.4*len_norm + 0.3*(1-stop_ratio)) + 0.3*uniq_ratio),
+# mirrored exactly in the oracle.
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           length(text) AS n_chars_m,
+           n_tokens, n_uniq,
+           CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           ((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens))
+             + 0.3 * (CAST(n_uniq AS DOUBLE) / n_tokens)) AS quality_score
+    FROM (
+        SELECT doc_id, lang, text,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_uniq,
+               list_sum(list_transform(toks, t -> length(t))) AS sum_tok_len,
+               {_oracle_stop_hits('toks', _STOP_EN)} AS n_stop
+        FROM (SELECT doc_id, lang, text, {_OT} AS toks FROM documents)
+    )
+    WHERE n_tokens > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
+        ).alias("sum_tok_len"),
+        _stop_hits(toks, _STOP_EN).alias("n_stop"),
+    ).where(F.col("n_tokens") > 0)
+    nt = F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars_m",
+        "n_tokens",
+        "n_uniq",
+        (F.col("sum_tok_len").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (
+                F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+                + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+            )
+            + F.lit(0.3) * (F.col("n_uniq").cast("double") / F.col("n_tokens"))
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting, two tokenizers, aggregated per language: whitespace-run
+# word tokens vs BPE-ish pre-tokens (letter runs / digit runs / symbols).
+@query(
+    "token_counts_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len({_OT})) AS sum_ws_tokens,
+           sum(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS sum_bpe_tokens,
+           sum(length(text)) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens("text"))).alias("sum_ws_tokens"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0))
+            ).alias("sum_bpe_tokens"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopword-profile language ID: count per-language stopword hits, argmax
+# with a fixed tiebreak (en > de > es). On this synthetic corpus the text
+# is English-like for every label, so prediction accuracy is meaningless -
+# the mechanics (membership counts + deterministic argmax) are the surface.
+@query(
+    "lang_id_stopword",
+    oracle=f"""
+    SELECT doc_id, lang, hits_en, hits_de, hits_es,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+                WHEN hits_de >= hits_es THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               {_oracle_stop_hits('toks', _STOP_EN)} AS hits_en,
+               {_oracle_stop_hits('toks', _STOP_DE)} AS hits_de,
+               {_oracle_stop_hits('toks', _STOP_ES)} AS hits_es
+        FROM (SELECT doc_id, lang, {_OT} AS toks FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        _stop_hits(toks, _STOP_EN).alias("hits_en"),
+        _stop_hits(toks, _STOP_DE).alias("hits_de"),
+        _stop_hits(toks, _STOP_ES).alias("hits_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_es")),
+            "en",
+        )
+        .when(F.col("hits_de") >= F.col("hits_es"), "de")
+        .otherwise("es")
+    )
+    return d.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprinting: md5 of the raw text, md5 of the whitespace-
+# normalized token stream (robust to formatting-only edits), and a 60-bit
+# integer fingerprint (md5 prefix) for compact join keys.
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fp_raw,
+           md5(array_to_string({_OT}, ' ')) AS fp_norm,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fp64
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_raw"),
+        F.md5(F.array_join(tokens("text"), " ").cast("binary")).alias("fp_norm"),
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fp64"),
+    ).orderBy("doc_id")
