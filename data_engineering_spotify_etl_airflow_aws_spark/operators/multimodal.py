@@ -1,1 +1,175 @@
-"""Placeholder - filled in this round."""
+"""Multimodal-column operators (SURVEY.md §2b): opaque binary payloads with
+typed metadata, content-addressed dedup, and an Arrow-batched feature
+extractor.
+
+The container ships no image/audio codecs, so the documents fixture's text
+bytes stand in as the opaque payload (the point is the Spark-side plumbing:
+BinaryType columns, metadata structs, sha2 content addressing, and a real
+mapInPandas decode/feature path with correct batch shapes). decode_image()
+is the genuine-codec seam: it raises NotImplementedError unless pillow is
+importable, and the pipeline falls back to the deterministic digest-based
+feature extractor either way at test time.
+
+Scale notes (100 TB of images/audio):
+  * payloads stay in executor-side Arrow batches end to end - nothing binary
+    ever reaches the driver;
+  * content dedup is one shuffle on the 256-bit digest (uniform key, no
+    skew);
+  * metadata predicates (content_type, n_bytes) are plain columns, so scans
+    prune them without touching payload bytes - store payloads in a
+    separate parquet column chunk and Spark's vectorized reader never
+    materializes them for metadata-only queries;
+  * feature extraction is mapInPandas: Arrow batch in, Arrow batch out,
+    ~batch-size Python crossings instead of per-row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load_table
+
+_N_FEATURES = 8
+
+
+def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-typed as a multimodal table: opaque BinaryType payload +
+    typed metadata struct (the schema a real image/audio table would have)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.concat(F.lit("application/x-"), F.col("source")).alias(
+                "content_type"
+            ),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """The real-codec seam. Raises unless an actual image library exists."""
+    try:
+        from PIL import Image  # noqa: F401  (not shipped in this container)
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires pillow, which this environment does not "
+            "ship; use digest_features() for the deterministic fallback"
+        ) from exc
+
+
+def digest_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature vector: first N sha256 digest bytes,
+    scaled to [0,1]. Mirrors the DuckDB oracle expression exactly."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:_N_FEATURES]]
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed dedup: sha2-256 over raw payload bytes.
+@query(
+    "multimodal_content_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_addr,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies,
+           min(length(text)) AS n_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY survivor_doc_id
+    """,
+)
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = payload_table(spark, sf_dir)
+    return (
+        t.groupBy(F.sha2("payload", 256).alias("content_addr"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.col("meta.n_bytes")).alias("n_bytes"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregation: the query shape that must NEVER touch payload
+# bytes at scale (column pruning drops the binary column from the scan).
+@query(
+    "multimodal_metadata_stats",
+    oracle="""
+    SELECT 'application/x-' || source AS content_type,
+           count(*) AS n_assets,
+           sum(length(text)) AS total_bytes,
+           max(length(text)) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY content_type
+    """,
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = payload_table(spark, sf_dir)
+    return (
+        t.groupBy(F.col("meta.content_type").alias("content_type"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+        )
+        .orderBy("content_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction through a real Arrow-batched Python boundary:
+# mapInPandas over (doc_id, payload), emitting a fixed-width feature row per
+# asset. The digest features are deterministic, so even this Python-UDF path
+# is oracle-checked value-for-value against DuckDB.
+_FEATURE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(_N_FEATURES)]
+)
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [digest_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            feats, columns=[f"f{i}" for i in range(_N_FEATURES)]
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@query(
+    "multimodal_digest_features",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(CAST(('0x' || substring(sha256(text), {2 * i + 1}, 2)) AS BIGINT)"
+               f" AS DOUBLE) / 255.0 AS f{i}"
+               for i in range(_N_FEATURES)
+           )}
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = payload_table(spark, sf_dir).select("doc_id", "payload")
+    return t.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA).orderBy(
+        "doc_id"
+    )

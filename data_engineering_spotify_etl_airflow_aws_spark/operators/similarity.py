@@ -1,1 +1,288 @@
-"""Placeholder - filled in this round."""
+"""Similarity-search operators on the embeddings fixture (SURVEY.md §2b).
+
+Three tiers, per the 100 TB brief:
+
+  * brute-force cosine top-k  - the exactness baseline: broadcast the small
+    query set, stream the candidate corpus once, per-query top-k window.
+  * IVF top-k                 - the scale path: assign every vector to its
+    nearest of C sampled centroids (one broadcast join), probe only the
+    nprobe closest clusters per query. Candidate set shrinks ~C/nprobe-fold.
+  * LSH near-dup pairs        - random-hyperplane signatures; candidate
+    pairs share a 16-bit bucket (equi-join, NOT all-pairs), then exact
+    cosine verification.
+
+Everything is deterministic and oracle-mirrored: cosine is the zip_with +
+left-fold composition from functions.py (bit-identical to DuckDB's
+list_transform + list_sum, verified), centroids are a fixed data-independent
+sample (vec_id % 50 == 7), and hyperplanes are integer-arithmetic
+pseudo-random constants both engines generate identically.
+
+The fixture's vectors are near-uniform on the unit sphere (max pairwise
+cosine ~0.51), so near_dup at tau=0.9 is correctly EMPTY on it; the planted-
+duplicate path is exercised in tests/test_llm_ops.py via the reusable
+near_dup_pairs() core.
+
+Scale notes:
+  * top-k: queries broadcast, corpus never shuffles until the per-query
+    window; with Q queries the window key has Q-way parallelism.
+  * IVF: centroid table broadcast twice (assignment + probe); the only wide
+    shuffle is the final per-query window over candidates.
+  * LSH: bucket join shuffles (bucket, vec_id) pairs only; vectors travel
+    once to the verify join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import cosine, oracle_cosine, vec_double
+from ..registry import query
+from ..tables import load_table
+
+TOP_K = 5
+QUERY_MOD = 50  # query set = vec_id % 50 == 0 (data-independent sample)
+CENTROID_MOD_REM = 7  # centroids = vec_id % 50 == 7
+N_PROBE = 3
+NEAR_DUP_TAU = 0.9
+_SIG_BITS = 16
+_DIM = 64
+
+_OCOS = oracle_cosine("a.emb", "b.emb")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k per query vector: the exactness baseline every
+# ANN variant is measured against.
+@query(
+    "topk_similar_per_query",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               {_OCOS} AS score,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_OCOS} DESC, b.vec_id
+               ) AS rank
+        FROM v a JOIN v b ON a.vec_id % {QUERY_MOD} = 0
+                         AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, cand_id, score, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    queries = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    cands = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: inverted-file ANN with deterministic sampled centroids.
+# Assignment and probing are both broadcast joins against the C-row
+# centroid table; only vectors in the nprobe probed clusters are scored.
+@query(
+    "ivf_topk_similar",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb FROM v
+             WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REM}),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT a.vec_id, b.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {oracle_cosine('a.emb', 'b.emb')} DESC,
+                                b.centroid_id
+                   ) AS rn
+            FROM v a CROSS JOIN cent b
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT a.vec_id AS query_id, b.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {oracle_cosine('a.emb', 'b.emb')} DESC,
+                                b.centroid_id
+                   ) AS rn
+            FROM v a CROSS JOIN cent b
+            WHERE a.vec_id % {QUERY_MOD} = 0
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, s.vec_id AS cand_id,
+               {oracle_cosine('q.emb', 'c.emb')} AS score,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {oracle_cosine('q.emb', 'c.emb')} DESC, s.vec_id
+               ) AS rank
+        FROM probe p
+        JOIN assign s ON s.centroid_id = p.centroid_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = s.vec_id
+        WHERE s.vec_id != p.query_id
+    )
+    SELECT query_id, cand_id, score, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _emb(spark, sf_dir)
+    cent = v.where(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REM).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_emb")
+    )
+
+    def argmax_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "centroid_id",
+            cosine(F.col("emb"), F.col("cent_emb")).alias("c_score"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("c_score"), "centroid_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= keep)
+            .select(id_col, "centroid_id")
+        )
+
+    assign = argmax_centroids(v, "vec_id", keep=1)
+    probe = argmax_centroids(
+        v.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), "emb"
+        ),
+        "query_id",
+        keep=N_PROBE,
+    )
+    q_emb = v.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    c_emb = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    scored = (
+        probe.join(assign, "centroid_id")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .join(c_emb, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup pairs. Hyperplane i component j is the
+# integer-arithmetic pseudo-random constant
+#   ((i*DIM + j + 1) * 2654435761 mod 2^32) / 2^31 - 1   in [-1, 1)
+# computed identically by both engines (exact int ops, one division).
+def _spark_hyperplane(i: int) -> Column:
+    return F.expr(
+        f"transform(sequence(0, {_DIM - 1}), j -> "
+        f"cast((({i} * {_DIM} + j + 1) * 2654435761) % 4294967296 as double)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _duck_hyperplane(i: int) -> str:
+    return (
+        f"list_transform(generate_series(0, {_DIM - 1}), j -> "
+        f"CAST((({i} * {_DIM} + j + 1) * 2654435761) % 4294967296 AS DOUBLE)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _spark_bucket(emb: Column) -> Column:
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(emb, _spark_hyperplane(i), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(_SIG_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def _duck_bucket(emb: str) -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(list_zip({emb}, {_duck_hyperplane(i)}),"
+        f" s -> s[1] * s[2])) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIG_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
+    """Core LSH near-dup: v must have (vec_id, emb: array<double>).
+    Reused by tests with planted duplicates; the fixture's own answer at
+    tau=0.9 is empty (near-uniform sphere)."""
+    sig = v.select("vec_id", "emb", _spark_bucket(F.col("emb")).alias("bucket"))
+    cand = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cosine(F.col("x.emb"), F.col("y.emb")).alias("score"),
+        )
+    )
+    return cand.where(F.col("score") >= tau).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sig AS (SELECT vec_id, emb, {_duck_bucket('emb')} AS bucket FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_OCOS} AS score
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_OCOS} >= {NEAR_DUP_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(_emb(spark, sf_dir))

@@ -53,9 +53,69 @@ def test_hll_estimate_within_rsd_of_exact(spark):
         assert abs(approx[k] - n) <= max(5, 0.10 * n), (k, approx[k], n)
 
 
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """The fixture has no cosine>=0.9 pairs (near-uniform sphere), so the
+    registered query is legitimately empty. Plant exact duplicates and
+    assert the LSH bucket join surfaces every planted pair: identical
+    vectors always share all hyperplane signs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spotify_etl_airflow_aws_spark.functions import vec_double
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    v = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb")
+    )
+    planted = v.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "emb"
+    )
+    pairs = near_dup_pairs(v.unionByName(planted), tau=0.9).collect()
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    expected = {(i, i + 100000) for i in range(10)}
+    assert expected <= found, expected - found
+    assert all(r.score >= 0.9 for r in pairs)
+
+
+def test_ivf_results_subset_of_bruteforce_candidates(spark):
+    """Every IVF hit must also be a real corpus vector scored identically
+    to the brute-force baseline (scores for the same (query,cand) pair
+    must agree exactly - same cosine composition)."""
+    bf = {
+        (r.query_id, r.cand_id): r.score
+        for r in registry.QUERIES["topk_similar_per_query"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    ivf = registry.QUERIES["ivf_topk_similar"](spark, SF_CORRECT).collect()
+    assert ivf, "IVF should return results"
+    overlap = [r for r in ivf if (r.query_id, r.cand_id) in bf]
+    assert overlap, "IVF and brute force should overlap on some pairs"
+    for r in overlap:
+        assert r.score == bf[(r.query_id, r.cand_id)]
+
+
 def test_simhash_stable_and_full_coverage(spark):
     df = registry.QUERIES["simhash_fingerprints"](spark, SF_CORRECT)
     rows = df.collect()
-    n_docs = registry.QUERIES["count_star"](spark, SF_CORRECT)  # noqa: F841
     assert len(rows) == len({r.doc_id for r in rows})
     assert all(0 <= r.simhash32 < (1 << 32) for r in rows)
+
+
+def test_multimodal_decode_seam_and_fallback():
+    """decode_image must fail loudly without a codec; digest_features is the
+    deterministic fallback with a fixed width."""
+    import pytest as _pytest
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_image,
+        digest_features,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nfake")
+    f = digest_features(b"payload")
+    assert len(f) == 8 and all(0.0 <= x <= 1.0 for x in f)
+    assert f == digest_features(b"payload")
