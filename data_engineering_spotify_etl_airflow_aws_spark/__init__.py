@@ -29,3 +29,4 @@ def load_all_operators() -> None:
         text,
         multimodal,
     )
+    from .pipeline import transforms  # noqa: F401

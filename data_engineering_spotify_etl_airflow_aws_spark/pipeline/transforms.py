@@ -1,0 +1,330 @@
+"""Raw playlist JSON -> star schema -> the reference's four analytics
+queries, all as registered oracle-checked queries.
+
+Reference parity (cites into /root/reference):
+  * nested projection (album)  P:96-105   -> item.track.album.* select
+  * array explode (artist)     P:121-127  -> posexplode(item.track.artists)
+  * array index (songs)        P:142-155  -> track.album.artists[0].id
+  * positional rank X1         S:50       -> posexplode(tracks.items)+1,
+                                            derived BEFORE any shuffle
+  * scrape_date X2             S:51,P:68  -> parsed from the raw filename
+  * date cascade D3            P:109      -> functions.to_date_cascade
+  * ISO-8601 timestamp D4      P:158      -> to_timestamp(added_at)
+  * dedup D1/D2                P:108,130  -> earliest-(scrape_date, rank)
+                                            survivor via row_number
+  * Q1-Q4                      S:93-126   -> q1_top_trending .. q4_song_movement
+
+Scale notes (100 TB): one multiLine JSON read -> posexplode fan-out; the
+raw scan is the only wide input and every downstream op is either a
+narrow projection or a hash agg / broadcast join on star keys. Dims dedup
+with a window over album_id/artist_id (high-cardinality keys). At real
+scale the inbox read becomes the streaming file source (streaming/) and
+songs lands date-partitioned (sinks) so Q1/Q4 prune by scrape_date.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import to_date_cascade
+from ..registry import query
+from .schemas import DUCK_RAW_COLUMNS, RAW_PLAYLIST_SCHEMA
+
+INBOX_DIR = Path(__file__).resolve().parents[2] / "data" / "raw_inbox"
+
+_DATE_RE = r"(\d{4}-\d{2}-\d{2})"
+
+
+def read_raw(spark: SparkSession, inbox_dir: str | Path = INBOX_DIR) -> DataFrame:
+    """S2: declared-schema multi-file JSON inbox scan (+P6 glob filter),
+    scrape_date (X2) derived from the raw object key."""
+    raw = (
+        spark.read.schema(RAW_PLAYLIST_SCHEMA)
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(str(inbox_dir))
+    )
+    return raw.select(
+        "tracks",
+        F.to_date(
+            F.regexp_extract(F.col("_metadata.file_path"), _DATE_RE, 1)
+        ).alias("scrape_date"),
+    )
+
+
+def exploded_items(spark: SparkSession) -> DataFrame:
+    """(scrape_date, rank, item): playlist position becomes chart rank (X1)
+    via posexplode BEFORE any shuffle can reorder items (SURVEY §7.6)."""
+    raw = read_raw(spark)
+    return raw.select(
+        "scrape_date", F.posexplode("tracks.items").alias("pos", "item")
+    ).select("scrape_date", (F.col("pos") + 1).alias("rank"), "item")
+
+
+def songs_transform(spark: SparkSession) -> DataFrame:
+    """P3 + D4 + X1 + X2: the 10-column songs fact (Snowflake DDL S:41-56)."""
+    ex = exploded_items(spark)
+    return ex.select(
+        F.col("item.track.id").alias("song_id"),
+        F.col("item.track.name").alias("song_name"),
+        F.col("item.track.duration_ms").alias("duration_ms"),
+        F.col("item.track.external_urls.spotify").alias("url"),
+        F.col("item.track.popularity").alias("popularity"),
+        F.unix_micros(F.to_timestamp("item.added_at")).alias("song_added_us"),
+        F.col("item.track.album.id").alias("album_id"),
+        F.col("item.track.album.artists")[0]["id"].alias("artist_id"),
+        "rank",
+        "scrape_date",
+    )
+
+
+def album_transform(spark: SparkSession) -> DataFrame:
+    """P1 + D1 + D3: nested album projection, mixed-precision date parse,
+    deterministic earliest-(scrape_date, rank) survivor per album_id."""
+    ex = exploded_items(spark)
+    w = W.partitionBy("album_id").orderBy("scrape_date", "rank")
+    return (
+        ex.select(
+            F.col("item.track.album.id").alias("album_id"),
+            F.col("item.track.album.name").alias("album_name"),
+            to_date_cascade(F.col("item.track.album.release_date")).alias(
+                "release_date"
+            ),
+            F.col("item.track.album.total_tracks").alias("total_tracks"),
+            F.col("item.track.album.external_urls.spotify").alias("url"),
+            "scrape_date",
+            "rank",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "album_id",
+            "album_name",
+            "release_date",
+            "total_tracks",
+            "url",
+            F.col("scrape_date").alias("first_seen"),
+        )
+    )
+
+
+def artist_transform(spark: SparkSession) -> DataFrame:
+    """P2 + D2: artists[] explode (position-aware for a total dedup order)."""
+    ex = exploded_items(spark)
+    w = W.partitionBy("artist_id").orderBy("scrape_date", "rank", "artist_pos")
+    return (
+        ex.select(
+            "scrape_date",
+            "rank",
+            F.posexplode("item.track.artists").alias("artist_pos", "artist"),
+        )
+        .select(
+            F.col("artist.id").alias("artist_id"),
+            F.col("artist.name").alias("artist_name"),
+            F.col("artist.href").alias("url"),
+            "scrape_date",
+            "rank",
+            "artist_pos",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "artist_id",
+            "artist_name",
+            "url",
+            F.col("scrape_date").alias("first_seen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE prefix: the same three files parsed with the same
+# declared schema, rank/scrape_date derived the same way.
+_ORACLE_BASE = f"""
+    WITH raw AS (
+        SELECT tracks,
+               regexp_extract(filename, '{_DATE_RE}', 1)::DATE AS scrape_date
+        FROM read_json('{INBOX_DIR}/*.json',
+                       columns={DUCK_RAW_COLUMNS}, filename=true)
+    ),
+    ex AS (
+        SELECT scrape_date,
+               unnest(generate_series(1, len(tracks.items))) AS rank,
+               unnest(tracks.items) AS item
+        FROM raw
+    ),
+    songs AS (
+        SELECT item.track.id AS song_id,
+               item.track."name" AS song_name,
+               item.track.duration_ms AS duration_ms,
+               item.track.external_urls.spotify AS url,
+               item.track.popularity AS popularity,
+               epoch_us(strptime(item.added_at, '%Y-%m-%dT%H:%M:%SZ'))
+                   AS song_added_us,
+               item.track.album.id AS album_id,
+               item.track.album.artists[1].id AS artist_id,
+               rank, scrape_date
+        FROM ex
+    ),
+    album AS (
+        SELECT album_id, album_name, release_date, total_tracks, url,
+               scrape_date AS first_seen
+        FROM (
+            SELECT item.track.album.id AS album_id,
+                   item.track.album."name" AS album_name,
+                   CAST(coalesce(
+                       try_strptime(item.track.album.release_date, '%Y-%m-%d'),
+                       try_strptime(item.track.album.release_date, '%Y-%m'),
+                       try_strptime(item.track.album.release_date, '%Y')
+                   ) AS DATE) AS release_date,
+                   item.track.album.total_tracks AS total_tracks,
+                   item.track.album.external_urls.spotify AS url,
+                   scrape_date, rank,
+                   row_number() OVER (
+                       PARTITION BY item.track.album.id
+                       ORDER BY scrape_date, rank
+                   ) AS rn
+            FROM ex
+        ) WHERE rn = 1
+    ),
+    artist AS (
+        SELECT artist_id, artist_name, url, scrape_date AS first_seen
+        FROM (
+            SELECT a.artist.id AS artist_id,
+                   a.artist."name" AS artist_name,
+                   a.artist.href AS url,
+                   a.scrape_date, a.rank, a.artist_pos,
+                   row_number() OVER (
+                       PARTITION BY a.artist.id
+                       ORDER BY a.scrape_date, a.rank, a.artist_pos
+                   ) AS rn
+            FROM (
+                SELECT scrape_date, rank,
+                       unnest(item.track.artists) AS artist,
+                       unnest(generate_series(1, len(item.track.artists)))
+                           AS artist_pos
+                FROM ex
+            ) a
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "star_songs_fact",
+    oracle=_ORACLE_BASE
+    + "SELECT * FROM songs ORDER BY scrape_date, rank",
+)
+def star_songs_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full songs fact. sf_dir unused: the raw inbox is its own fixture."""
+    return songs_transform(spark).orderBy("scrape_date", "rank")
+
+
+@query(
+    "star_album_dim",
+    oracle=_ORACLE_BASE + "SELECT * FROM album ORDER BY album_id",
+)
+def star_album_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return album_transform(spark).orderBy("album_id")
+
+
+@query(
+    "star_artist_dim",
+    oracle=_ORACLE_BASE + "SELECT * FROM artist ORDER BY artist_id",
+)
+def star_artist_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return artist_transform(spark).orderBy("artist_id")
+
+
+# ---------------------------------------------------------------------------
+# The reference's entire analytics workload (S:93-126 / A:7-40), run over
+# the transformed star. Recency anchors are data-relative (max scrape_date)
+# so the frozen fixture stays stable; CURRENT_DATE is the degenerate case.
+@query(
+    "q1_top_trending",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT song_name, artist_id, rank, scrape_date
+    FROM songs
+    WHERE scrape_date >= (SELECT max(scrape_date) - INTERVAL 7 DAY FROM songs)
+    ORDER BY rank, scrape_date, song_id
+    LIMIT 10
+    """,
+)
+def q1_top_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    songs = songs_transform(spark)
+    cutoff = songs.agg(
+        F.max("scrape_date") - F.expr("INTERVAL 7 DAYS")
+    ).collect()[0][0]
+    return (
+        songs.where(F.col("scrape_date") >= F.lit(cutoff))
+        .orderBy("rank", "scrape_date", "song_id")
+        .select("song_name", "artist_id", "rank", "scrape_date")
+        .limit(10)
+    )
+
+
+@query(
+    "q2_album_popularity",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT s.album_id, a.album_name, s.scrape_date,
+           avg(s.rank) AS avg_rank, count(*) AS n_entries
+    FROM songs s JOIN album a ON s.album_id = a.album_id
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def q2_album_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    songs = songs_transform(spark)
+    album = album_transform(spark)
+    return (
+        songs.join(F.broadcast(album), "album_id")
+        .groupBy("album_id", "album_name", "scrape_date")
+        .agg(F.avg("rank").alias("avg_rank"), F.count("*").alias("n_entries"))
+        .orderBy("album_id", "scrape_date")
+    )
+
+
+@query(
+    "q3_top_artist_presence",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT artist_id, count(*) AS top_10_appearances
+    FROM songs WHERE rank <= 10
+    GROUP BY artist_id
+    ORDER BY top_10_appearances DESC, artist_id
+    LIMIT 10
+    """,
+)
+def q3_top_artist_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        songs_transform(spark)
+        .where(F.col("rank") <= 10)
+        .groupBy("artist_id")
+        .agg(F.count("*").alias("top_10_appearances"))
+        .orderBy(F.desc("top_10_appearances"), "artist_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q4_song_movement",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT song_name, rank, scrape_date
+    FROM songs WHERE song_id = 'song_0000'
+    ORDER BY scrape_date
+    """,
+)
+def q4_song_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        songs_transform(spark)
+        .where(F.col("song_id") == "song_0000")
+        .select("song_name", "rank", "scrape_date")
+        .orderBy("scrape_date")
+    )
