@@ -56,18 +56,22 @@ def read_raw(spark: SparkSession, inbox_dir: str | Path = INBOX_DIR) -> DataFram
     )
 
 
-def exploded_items(spark: SparkSession) -> DataFrame:
+def explode_raw(raw: DataFrame) -> DataFrame:
     """(scrape_date, rank, item): playlist position becomes chart rank (X1)
-    via posexplode BEFORE any shuffle can reorder items (SURVEY §7.6)."""
-    raw = read_raw(spark)
+    via posexplode BEFORE any shuffle can reorder items (SURVEY §7.6).
+    Works on batch and streaming DataFrames alike (pure projection)."""
     return raw.select(
         "scrape_date", F.posexplode("tracks.items").alias("pos", "item")
     ).select("scrape_date", (F.col("pos") + 1).alias("rank"), "item")
 
 
-def songs_transform(spark: SparkSession) -> DataFrame:
-    """P3 + D4 + X1 + X2: the 10-column songs fact (Snowflake DDL S:41-56)."""
-    ex = exploded_items(spark)
+def exploded_items(spark: SparkSession) -> DataFrame:
+    return explode_raw(read_raw(spark))
+
+
+def songs_projection(ex: DataFrame) -> DataFrame:
+    """P3 + D4 + X1 + X2 as a pure projection over exploded items - shared
+    by the batch transform and the streaming ingest (streaming/ingest.py)."""
     return ex.select(
         F.col("item.track.id").alias("song_id"),
         F.col("item.track.name").alias("song_name"),
@@ -80,6 +84,11 @@ def songs_transform(spark: SparkSession) -> DataFrame:
         "rank",
         "scrape_date",
     )
+
+
+def songs_transform(spark: SparkSession) -> DataFrame:
+    """The 10-column songs fact (Snowflake DDL S:41-56)."""
+    return songs_projection(exploded_items(spark))
 
 
 def album_transform(spark: SparkSession) -> DataFrame:
@@ -309,6 +318,36 @@ def q3_top_artist_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("top_10_appearances"))
         .orderBy(F.desc("top_10_appearances"), "artist_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2-as-canonical + partition pruning, end to end: write the songs fact as
+# date-partitioned Parquet, read it back, and answer a latest-day question
+# that must touch exactly one partition (tests assert PartitionFilters).
+@query(
+    "partitioned_roundtrip_prune",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT album_id, count(*) AS n_tracks, avg(rank) AS avg_rank
+    FROM songs
+    WHERE scrape_date = (SELECT max(scrape_date) FROM songs)
+    GROUP BY album_id
+    ORDER BY album_id
+    """,
+)
+def partitioned_roundtrip_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks import write_partitioned
+
+    path = "/tmp/spark_graft_star/songs"
+    write_partitioned(songs_transform(spark), path)
+    back = spark.read.parquet(path)
+    latest = back.agg(F.max("scrape_date")).collect()[0][0]
+    return (
+        back.where(F.col("scrape_date") == F.lit(latest))
+        .groupBy("album_id")
+        .agg(F.count("*").alias("n_tracks"), F.avg("rank").alias("avg_rank"))
+        .orderBy("album_id")
     )
 
 

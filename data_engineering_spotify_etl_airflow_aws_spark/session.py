@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # keep catalog state (derby metastore + warehouse) out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark_graft_derby",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

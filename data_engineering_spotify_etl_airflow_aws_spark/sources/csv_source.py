@@ -1,0 +1,95 @@
+"""CSV source with the warehouse file-format contract (reference S:14-20:
+SKIP_HEADER, NULL_IF ('NULL','null'), EMPTY_FIELD_AS_NULL, optional '"'
+enclosures) - SURVEY.md S3 + D5.
+
+Spark's csv reader natively covers header, one nullValue token, and
+quote/escape; the remaining NULL_IF tokens and empty-field-as-null are
+applied as explicit nullif expressions so the full Snowflake semantics are
+engine-visible (and mirrored verbatim in the DuckDB oracle).
+
+Scale notes: CSV is the reference's interchange format, not ours - data
+lands here once and becomes Parquet immediately (sinks.py). The reader
+itself is splittable and streams; the nullif projection is codegen'd.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import to_date_cascade
+from ..registry import query
+
+CSV_DIR = Path(__file__).resolve().parents[2] / "data" / "csv_inbox"
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("album_id", T.StringType()),
+        T.StructField("album_name", T.StringType()),
+        T.StructField("release_date", T.StringType()),
+        T.StructField("total_tracks", T.StringType()),  # NULL_IF before cast
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+_NULL_TOKENS = ("null", "")  # 'NULL' handled by the reader option
+
+
+def _null_if(col: F.Column) -> F.Column:
+    out = col
+    for tok in _NULL_TOKENS:
+        out = F.nullif(out, F.lit(tok))
+    return out
+
+
+def read_warehouse_csv(
+    spark: SparkSession, path: str | Path | None = None
+) -> DataFrame:
+    raw = (
+        spark.read.schema(FEED_SCHEMA)
+        .option("header", "true")  # SKIP_HEADER = 1
+        .option("nullValue", "NULL")  # first NULL_IF token
+        .option("quote", '"')  # FIELD_OPTIONALLY_ENCLOSED_BY
+        .option("escape", '"')  # CSV doubles quotes, not backslashes
+        .csv(str(path or CSV_DIR / "warehouse_feed.csv"))
+    )
+    return raw.select(
+        *[_null_if(F.col(f.name)).alias(f.name) for f in FEED_SCHEMA.fields]
+    )
+
+
+@query(
+    "csv_null_semantics",
+    oracle=f"""
+    SELECT album_id,
+           nullif(nullif(album_name, 'null'), '') AS album_name,
+           CAST(coalesce(
+               try_strptime(nullif(nullif(release_date, 'null'), ''), '%Y-%m-%d'),
+               try_strptime(nullif(nullif(release_date, 'null'), ''), '%Y-%m'),
+               try_strptime(nullif(nullif(release_date, 'null'), ''), '%Y')
+           ) AS DATE) AS release_parsed,
+           CAST(nullif(nullif(total_tracks, 'null'), '') AS BIGINT)
+               AS total_tracks,
+           nullif(nullif(url, 'null'), '') AS url
+    FROM read_csv('{CSV_DIR}/warehouse_feed.csv', header=true,
+                  nullstr='NULL', quote='"', escape='"',
+                  columns={{'album_id': 'VARCHAR', 'album_name': 'VARCHAR',
+                           'release_date': 'VARCHAR',
+                           'total_tracks': 'VARCHAR', 'url': 'VARCHAR'}})
+    ORDER BY album_id
+    """,
+)
+def csv_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 end to end: NULL_IF tokens, empty-as-null, quoted commas, doubled
+    quotes, then the D3 date cascade over the surviving strings."""
+    feed = read_warehouse_csv(spark)
+    return feed.select(
+        "album_id",
+        "album_name",
+        to_date_cascade("release_date").alias("release_parsed"),
+        F.col("total_tracks").cast("bigint").alias("total_tracks"),
+        "url",
+    ).orderBy("album_id")

@@ -1,0 +1,123 @@
+"""Exactly-once streaming ingest of the raw JSON inbox - the Snowpipe
+AUTO_INGEST analog (reference S:58-74: S3 event -> COPY INTO, exactly once
+per file; sensor analog G:35-43; archival P:166-183).
+
+Semantics mapping:
+    T1 file-arrival exactly-once  -> file source + checkpoint (the source
+                                     tracks consumed files; a replayed run
+                                     ingests nothing)
+    T3 daily micro-batch          -> trigger(availableNow=True): drain all
+                                     pending files, then stop
+    K4 continuous auto-ingest     -> same query without availableNow
+    K5/T2 consumed-file archival  -> cleanSource='archive' +
+                                     sourceArchiveDir (archive-after-commit:
+                                     the checkpoint, not the inbox, is the
+                                     source of truth - SURVEY §7.5)
+
+Scale notes: the file source lists the inbox prefix per trigger (use
+maxFilesPerTrigger to bound batch size); state is only the file log, no
+aggregation state. The sink is date-partitioned Parquet, so the streamed
+table is physically identical to the batch transform's output.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.schemas import RAW_PLAYLIST_SCHEMA
+from ..pipeline.transforms import INBOX_DIR, _DATE_RE, explode_raw, songs_projection
+from ..registry import query
+
+
+def read_raw_stream(
+    spark: SparkSession,
+    inbox_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S5/T1: streaming twin of pipeline.transforms.read_raw."""
+    reader = (
+        spark.readStream.schema(RAW_PLAYLIST_SCHEMA)
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.json")
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(inbox_dir)
+    return raw.select(
+        "tracks",
+        F.to_date(
+            F.regexp_extract(F.col("_metadata.file_path"), _DATE_RE, 1)
+        ).alias("scrape_date"),
+    )
+
+
+def ingest_songs_available_now(
+    spark: SparkSession,
+    inbox_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One daily micro-batch run: drain the inbox into date-partitioned
+    Parquet exactly once, then stop. Re-running with the same checkpoint
+    is a no-op unless new files arrived."""
+    raw = read_raw_stream(
+        spark, inbox_dir, archive_dir, max_files_per_trigger
+    )
+    songs = songs_projection(explode_raw(raw))
+    q = (
+        songs.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("scrape_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# The streaming pipeline as a registered, oracle-checked query: stream the
+# committed inbox through a fresh checkpoint into Parquet, read the result
+# back, and hash it against the same batch oracle as star_songs_fact. A
+# genuinely-streaming plan whose output is provably identical to batch.
+from ..pipeline.transforms import _ORACLE_BASE  # noqa: E402
+
+
+@query(
+    "streaming_ingest_songs",
+    oracle=_ORACLE_BASE + "SELECT * FROM songs ORDER BY scrape_date, rank",
+)
+def streaming_ingest_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = Path("/tmp/spark_graft_stream/songs_ingest")
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => replayable
+    ingest_songs_available_now(
+        spark,
+        str(INBOX_DIR),
+        str(base / "data"),
+        str(base / "checkpoint"),
+    )
+    back = spark.read.parquet(str(base / "data"))
+    cols = [
+        "song_id",
+        "song_name",
+        "duration_ms",
+        "url",
+        "popularity",
+        "song_added_us",
+        "album_id",
+        "artist_id",
+        "rank",
+        "scrape_date",
+    ]
+    return back.select(*cols).orderBy("scrape_date", "rank")

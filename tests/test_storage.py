@@ -1,0 +1,84 @@
+"""Sinks, catalog, and plan-shape assertions: partition pruning and filter
+pushdown must be visible in the executed plan, catalog tables must round-
+trip through spark.sql, and inbox archival must be exactly-once-ish."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+from data_engineering_spotify_etl_airflow_aws_spark import plans
+from data_engineering_spotify_etl_airflow_aws_spark.pipeline.fixture_gen import (
+    INBOX_DIR,
+)
+from data_engineering_spotify_etl_airflow_aws_spark.pipeline.transforms import (
+    songs_transform,
+)
+from data_engineering_spotify_etl_airflow_aws_spark.sinks import (
+    archive_consumed,
+    save_as_table,
+    write_partitioned,
+)
+
+engine.load_all_operators()
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "songs_parts")
+    write_partitioned(songs_transform(spark), path)
+    back = spark.read.parquet(path)
+    pruned = back.where(F.col("scrape_date") == "2025-07-20")
+    pf = plans.partition_filters(pruned)
+    assert pf, "scrape_date predicate must become a PartitionFilter"
+    assert any("scrape_date" in f for f in pf)
+    # and only one partition's rows flow
+    assert pruned.count() == 50
+
+
+def test_predicate_pushdown_reaches_parquet(spark, tmp_path):
+    path = str(tmp_path / "songs_flat")
+    songs_transform(spark).write.mode("overwrite").parquet(path)
+    narrow = spark.read.parquet(path).where(F.col("rank") <= 10)
+    assert plans.pushed_filters(narrow), "rank filter must push to parquet"
+
+
+def test_save_as_table_sql_roundtrip(spark):
+    """K3/S4: persistent table + spark.sql over it (Crawler/Athena analog)."""
+    save_as_table(songs_transform(spark), "songs_tbl", partition_by="scrape_date")
+    try:
+        n = spark.sql(
+            "SELECT count(*) AS n FROM songs_tbl WHERE rank <= 10"
+        ).collect()[0].n
+        assert n == 30  # 10 per day x 3 days
+        assert "songs_tbl" in [t.name for t in spark.catalog.listTables()]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS songs_tbl")
+
+
+def test_archive_consumed_moves_then_noop(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    archive = tmp_path / "archive"
+    shutil.copytree(INBOX_DIR, inbox)
+    n_files = len(list(Path(inbox).glob("*.json")))
+    assert archive_consumed(spark, str(inbox), str(archive)) == n_files
+    assert len(list(archive.glob("*.json"))) == n_files
+    assert not list(Path(inbox).glob("*.json"))
+    # replay: nothing left to move, and nothing breaks
+    assert archive_consumed(spark, str(inbox), str(archive)) == 0
+
+
+def test_star_join_agg_is_all_broadcast_single_shuffle(spark):
+    """Scale guard: the 3-dim star join must not shuffle the fact for
+    joins - one Exchange total (the aggregation)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["star_join_agg"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    # shuffles: agg exchange + final range sort only, no join shuffles
+    assert plans.num_shuffles(df) <= 2
