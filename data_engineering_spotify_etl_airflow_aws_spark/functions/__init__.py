@@ -19,14 +19,26 @@ from pyspark.sql import functions as F
 
 def dsum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
     """Order-independent sum of a double column: exact DECIMAL accumulation,
-    one final decimal->double conversion."""
+    one final decimal->double conversion.
+
+    Contract (part of each query's semantics, shared with its oracle): inputs
+    are quantized to DECIMAL(30, scale) BEFORE summing, so the result is the
+    exact sum of the rounded inputs, not the IEEE sum of the raw doubles.
+    `scale` must cover the measure's generated precision (fixtures: money
+    values carry 2 fractional digits -> scale=2 is lossless; events.value
+    carries 6 -> callers pass scale=6). Precision 30 leaves >=24 integral
+    digits, unreachable by any realistic sum of the fixtures' magnitudes; on
+    overflow Spark (non-ANSI) yields NULL while DuckDB errors, surfacing as a
+    loud parity break rather than silent corruption."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
-    """Order-independent mean: exact decimal sum / count, single IEEE divide."""
+    """Order-independent mean: exact decimal sum / count, single IEEE divide.
+    Same quantization contract as dsum(): the mean of inputs rounded to
+    `scale` fractional digits."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c)
     return out.alias(alias) if alias else out

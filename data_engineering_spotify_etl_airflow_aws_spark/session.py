@@ -28,13 +28,37 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Confs the engine cannot run correctly without: nanosAsLong gates the events
+# table read; the UTC timezone gates every timestamp oracle comparison.
+_CRITICAL_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply session-level confs to a SparkSession we did not build."""
+    """Apply session-level confs to a SparkSession we did not build.
+
+    Only the "Cannot modify" static-conf rejection is tolerated (those confs
+    were set on the builder path instead); any other failure propagates. After
+    the loop, the confs correctness depends on are verified to actually hold
+    so a silently-rejected conf surfaces here, not as an opaque Parquet error
+    three queries later.
+    """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on this build; builder path sets it instead
+        except Exception as exc:
+            if "Cannot modify" not in str(exc):
+                raise
+    for k in _CRITICAL_CONFS:
+        actual = spark.conf.get(k, None)
+        if actual != RUNTIME_CONFS[k]:
+            raise RuntimeError(
+                f"required Spark conf {k}={RUNTIME_CONFS[k]!r} did not take "
+                f"(session reports {actual!r}); events reads / timestamp "
+                f"oracle parity would fail downstream"
+            )
     return spark
 
 

@@ -38,8 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            # integer div, not float: ns since 2024 overflows double's 2^53
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            # Floor division in exact long arithmetic (`div` truncates toward
+            # zero, which would be off by 1µs for pre-1970 negative nanos;
+            # float division would lose precision past 2^53). pmod keeps the
+            # remainder non-negative, matching DuckDB's floor-based epoch_us.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000L)) div 1000L")
+                ),
+            )
     return df
 
 

@@ -25,6 +25,13 @@ engine.load_all_operators()
 MAY_BE_EMPTY = {"anti_join_not_exists", "embedding_near_dup_pairs"}
 
 
+def test_may_be_empty_names_are_registered():
+    """A dead allowlist entry could silently mask an accidentally-empty
+    result if a future query reuses the name (round-1 ADVICE)."""
+    unknown = MAY_BE_EMPTY - set(registry.QUERIES)
+    assert not unknown, f"MAY_BE_EMPTY lists unregistered queries: {unknown}"
+
+
 def normalize(v):
     if v is None:
         return None
