@@ -30,5 +30,5 @@ def load_all_operators() -> None:
         multimodal,
     )
     from .pipeline import transforms  # noqa: F401
-    from .sources import csv_source  # noqa: F401
+    from .sources import csv_source, rest_api  # noqa: F401
     from .streaming import aggregations, ingest  # noqa: F401

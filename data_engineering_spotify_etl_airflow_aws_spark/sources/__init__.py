@@ -5,10 +5,11 @@
                  optional double-quote enclosures with "" escapes
     json_inbox - the raw JSON inbox scan lives in pipeline.transforms
                  (read_raw: declared schema, multiLine, pathGlobFilter)
-    rest_api   - S1 (Spotify REST) is a driver-side extract in the
-                 reference (P:23-72); its engine-side analog is
-                 spark.createDataFrame over fetched pages and is exercised
-                 by tests via synthetic payloads rather than a live API
+    rest_api   - S1 (Spotify REST) as a Spark 4 Python DataSource: one
+                 input partition per playlist page, page fetches on the
+                 executors (reference P:23-72 is a driver-side extract);
+                 deterministic synthetic transport in-container, urllib
+                 http transport for real deployments
     catalog    - persistent-table registration (Glue Crawler/Athena analog,
                  S4) lives in sinks.save_as_table + spark.sql
 """

@@ -1,0 +1,192 @@
+"""S1: REST API playlist source as a Spark 4 Python DataSource.
+
+The reference fetches a playlist over HTTP on the Airflow worker and ships
+the JSON through XCom (/root/reference Airflow-docker/dags/
+spotify-airflow-pipeline.py:23-72): token (P:28-32), playlist search
+(P:35-53), page fetch (P:56-63), first-50 slice (P:66). Here the same
+capability is a first-class Spark source: `spark.read.format(
+"playlist_rest")` plans one input partition PER PAGE, so a 10k-page
+crawl fans out across the cluster instead of serializing through one
+driver/worker process - the reference's main scalability cliff (SURVEY
+§3.1 R2).
+
+Two transports:
+  * synthetic (default, deterministic): serves the SAME frozen corpus as
+    data/raw_inbox/ (pipeline.fixture_gen), one page per scrape day, so the
+    DuckDB oracle can verify the source end-to-end by parsing those files.
+  * http: real OAuth client-credentials + page fetch via urllib (stdlib).
+    Network egress and credentials don't exist in this container, so the
+    transport is import-safe but raises a descriptive error at read time
+    unless base_url/token options are supplied; the partition planning,
+    schema, and row conversion - the Spark-side plumbing - are identical
+    to (and tested through) the synthetic path.
+
+Rows are emitted as (scrape_date, rank, item<added_at, track>) - already
+positionally ranked (X1) because pagination order IS chart order and must
+be captured before any shuffle can reorder it.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..pipeline.fixture_gen import _gen
+from ..pipeline.schemas import RAW_PLAYLIST_SCHEMA
+
+_ITEM = RAW_PLAYLIST_SCHEMA["tracks"].dataType["items"].dataType.elementType
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("scrape_date", T.StringType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("item", _ITEM),
+    ]
+)
+
+
+def _to_tuple(value, dtype):
+    """Recursively convert a parsed-JSON value into the tuple shape the
+    Python DataSource row protocol expects for `dtype`."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.StructType):
+        return tuple(_to_tuple(value.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return [_to_tuple(v, dtype.elementType) for v in value]
+    return value
+
+
+# ---------------------------------------------------------------------------
+# transports
+
+
+def synthetic_pages() -> list[tuple[str, list[dict]]]:
+    """(scrape_date, items) per page - the frozen raw_inbox corpus, i.e.
+    what the reference's API returned on each of its three scrape days."""
+    pages = []
+    for fname, body in sorted(_gen().items()):
+        date = fname[len("spotify_raw_") : -len(".json")]
+        pages.append((date, json.loads(body)["tracks"]["items"]))
+    return pages
+
+
+def http_fetch_page(
+    base_url: str, token: str, playlist_id: str, offset: int, limit: int
+) -> list[dict]:
+    """One playlist-items page over HTTP (reference P:56-63). stdlib-only;
+    callers must supply a reachable base_url and a bearer token."""
+    from urllib.request import Request, urlopen
+
+    url = f"{base_url}/playlists/{playlist_id}/tracks?offset={offset}&limit={limit}"
+    req = Request(url, headers={"Authorization": f"Bearer {token}"})
+    with urlopen(req, timeout=30) as resp:  # noqa: S310 - caller-supplied URL
+        return json.loads(resp.read())["items"]
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, index: int, scrape_date: str):
+        self.index = index
+        self.scrape_date = scrape_date
+
+
+class PlaylistRestReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.transport = options.get("transport", "synthetic")
+        self.page_size = int(options.get("page_size", "50"))
+        self.base_url = options.get("base_url", "")
+        self.token = options.get("token", "")
+        self.playlist_id = options.get("playlist_id", "")
+        self.n_pages = int(options.get("pages", "0"))  # http only
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """One partition per page: page fetches run ON EXECUTORS, in
+        parallel - the planning call itself touches no transport."""
+        if self.transport == "synthetic":
+            return [
+                _PagePartition(i, date)
+                for i, (date, _) in enumerate(synthetic_pages())
+            ]
+        if self.transport == "http":
+            if not (self.base_url and self.token and self.n_pages):
+                raise RuntimeError(
+                    "playlist_rest http transport needs base_url, token and "
+                    "pages options; no network/credentials exist in this "
+                    "environment - use transport=synthetic"
+                )
+            return [_PagePartition(i, "") for i in range(self.n_pages)]
+        raise ValueError(f"unknown transport {self.transport!r}")
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        if self.transport == "synthetic":
+            items = synthetic_pages()[partition.index][1]
+        else:
+            items = http_fetch_page(
+                self.base_url,
+                self.token,
+                self.playlist_id,
+                partition.index * self.page_size,
+                self.page_size,
+            )
+        # P4: the reference keeps only the first page_size items (P:66);
+        # position+1 is the chart rank (X1), assigned pre-shuffle.
+        for pos, item in enumerate(items[: self.page_size]):
+            yield (
+                partition.scrape_date,
+                pos + 1,
+                _to_tuple(item, _ITEM),
+            )
+
+
+class PlaylistRestDataSource(DataSource):
+    """spark.read.format("playlist_rest") - register once per session via
+    register_rest_source()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "playlist_rest"
+
+    def schema(self) -> T.StructType:
+        return ROW_SCHEMA
+
+    def reader(self, schema: T.StructType) -> PlaylistRestReader:
+        return PlaylistRestReader(self.options)
+
+
+def register_rest_source(spark) -> None:
+    spark.dataSource.register(PlaylistRestDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Registered query: the full songs projection through the REST source. Same
+# semantics as star_songs_fact (which goes through the S2 JSON inbox), so the
+# oracle parses the frozen inbox files - a hash match proves the REST source
+# and the file source are interchangeable ingest paths (S1 = S2).
+
+
+def _register_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ..pipeline.transforms import _ORACLE_BASE, songs_projection
+    from ..registry import query
+
+    @query(
+        "rest_api_songs",
+        oracle=_ORACLE_BASE + "SELECT * FROM songs ORDER BY scrape_date, rank",
+    )
+    def rest_api_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """sf_dir unused: the synthetic API is its own fixture."""
+        register_rest_source(spark)
+        ex = (
+            spark.read.format("playlist_rest")
+            .load()
+            .select(F.to_date("scrape_date").alias("scrape_date"), "rank", "item")
+        )
+        return songs_projection(ex).orderBy("scrape_date", "rank")
+
+
+_register_query()

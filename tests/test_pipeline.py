@@ -56,3 +56,39 @@ def test_raw_read_schema_stable(spark):
     raw = read_raw(spark)
     assert raw.columns == ["tracks", "scrape_date"]
     assert raw.count() == 3  # one row per daily file
+
+
+def test_rest_source_partition_planning(spark):
+    """S1: the Python DataSource plans one input partition per page and the
+    http transport refuses to plan without credentials (no network here)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.sources.rest_api import (
+        PlaylistRestReader,
+        register_rest_source,
+    )
+
+    parts = PlaylistRestReader({}).partitions()
+    assert [p.scrape_date for p in parts] == [
+        "2025-07-18",
+        "2025-07-19",
+        "2025-07-20",
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="base_url"):
+        PlaylistRestReader({"transport": "http"}).partitions()
+
+    register_rest_source(spark)
+    df = spark.read.format("playlist_rest").load()
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 150
+
+
+def test_rest_source_matches_inbox_scan(spark):
+    """S1 = S2: the REST source and the JSON inbox scan produce identical
+    songs facts (same corpus through two ingest paths)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    rest = {tuple(r) for r in QUERIES["rest_api_songs"](spark, "").collect()}
+    file_ = {tuple(r) for r in QUERIES["star_songs_fact"](spark, "").collect()}
+    assert rest == file_
