@@ -29,6 +29,6 @@ def load_all_operators() -> None:
         text,
         multimodal,
     )
-    from .pipeline import transforms  # noqa: F401
+    from .pipeline import transforms, sql_api  # noqa: F401
     from .sources import csv_source, rest_api  # noqa: F401
     from .streaming import aggregations, ingest  # noqa: F401

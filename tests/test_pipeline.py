@@ -92,3 +92,19 @@ def test_rest_source_matches_inbox_scan(spark):
     rest = {tuple(r) for r in QUERIES["rest_api_songs"](spark, "").collect()}
     file_ = {tuple(r) for r in QUERIES["star_songs_fact"](spark, "").collect()}
     assert rest == file_
+
+
+def test_sql_and_dataframe_forms_agree(spark):
+    """SURVEY §3.3: the SQL and DataFrame forms of Q1-Q4 must return the
+    same rows (both are also independently oracle-checked)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    for base in (
+        "q1_top_trending",
+        "q2_album_popularity",
+        "q3_top_artist_presence",
+        "q4_song_movement",
+    ):
+        df_rows = [tuple(r) for r in QUERIES[base](spark, "").collect()]
+        sql_rows = [tuple(r) for r in QUERIES[base + "_sql"](spark, "").collect()]
+        assert df_rows == sql_rows, base
