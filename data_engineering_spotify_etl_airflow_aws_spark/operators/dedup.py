@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import ORACLE_TOKENS
 from ..registry import query
@@ -63,12 +64,16 @@ _OT = ORACLE_TOKENS.format(col="text")
 
 # --- shared shingle / hash expressions, Spark (SQL-expr) and DuckDB forms.
 # Shingles are distinct token 3-grams; element_at / l[i] are both 1-based.
+# zip_with over shifted slices, NOT transform(sequence, i -> element_at):
+# positional element_at inside a lambda costs ~40us/element (per-element
+# array re-wrapping), ~11x slower than the zip_with formulation at sf0.1.
 _SPARK_SHINGLES = """
     array_distinct(CASE WHEN size({t}) >= 3 THEN
-        transform(sequence(1, size({t}) - 2),
-                  i -> concat_ws(' ', element_at({t}, i),
-                                 element_at({t}, i + 1),
-                                 element_at({t}, i + 2)))
+        zip_with(zip_with(slice({t}, 1, size({t}) - 2),
+                          slice({t}, 2, size({t}) - 2),
+                          (x, y) -> concat(x, ' ', y)),
+                 slice({t}, 3, size({t}) - 2),
+                 (xy, z) -> concat(xy, ' ', z))
     ELSE array() END)
 """
 _DUCK_SHINGLES = """
@@ -83,13 +88,23 @@ _DUCK_H32 = "CAST(('0x' || substring(md5({s}), 1, 8)) AS BIGINT)"
 
 
 def _spark_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string> distinct shingles, n_sh) - shingle base."""
+    """(doc_id, sh: array<string> distinct shingles, n_sh) - shingle base.
+
+    The token array is projected as its OWN column before the shingle
+    expression references it. Inlining the split() into the shingle string
+    (the round-1 shape) re-evaluated the full regex tokenization for every
+    element_at() inside the transform() lambda - O(tokens^2) regex work per
+    document, ~15s/branch at sf0.1 vs <1s two-step. Catalyst does not
+    collapse non-cheap projections into lambda bodies, so the bound
+    attribute is computed once per row.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-    return docs.select(
-        "doc_id",
-        F.expr(_SPARK_SHINGLES.format(t=toks)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    return (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES.format(t="t")).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
 
 
 _DUCK_SHINGLE_BASE = f"""
@@ -148,26 +163,37 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
-    # prefix = the |d| - ceil(tau*|d|) + 1 lexicographically-least shingles:
-    # a pair with overlap o >= ceil(tau*|d|) cannot hide all o shared
-    # shingles in the (|d| - prefix_len) = o - 1 element suffix.
+    # Prefix filtering (AllPairs/PPJoin): order every doc's shingles by ONE
+    # global total order and keep the first |d| - ceil(tau*|d|) + 1. For any
+    # pair with J >= tau, the globally-smallest SHARED shingle c must sit in
+    # BOTH prefixes: all of a's shingles ordered before c are non-shared, of
+    # which a has at most |a| - o <= |a| - ceil(tau*|a|), so c's position in
+    # a is within the prefix (symmetrically for b). Hence prefix x prefix
+    # self-join finds every qualifying pair; the all-pairs oracle hash-match
+    # proves the pruning lossless. The global order is (doc-frequency,
+    # shingle): rarest first, so prefix join buckets are the SMALLEST ones -
+    # the frequency agg is one extra shuffle that removes the quadratic
+    # blowup of hot shingles (at sf0.1: 653k candidates lexicographic ->
+    # ~20k frequency-ordered).
+    full = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    freq = full.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(JACCARD_TAU) * F.col("n_sh")) + 1
     ).cast("int")
-    prefix = sh.select(
-        "doc_id",
-        F.explode(F.slice(F.array_sort("sh"), F.lit(1), prefix_len)).alias(
-            "shingle"
-        ),
+    prefix = (
+        full.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
     )
-    full = sh.select("doc_id", F.explode("sh").alias("shingle"))
     cand = (
         prefix.alias("p")
-        .join(full.alias("f"), "shingle")
-        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .join(prefix.alias("f"), "shingle")
+        .where(F.col("p.doc_id") < F.col("f.doc_id"))
         .select(
-            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("f.doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -202,16 +228,20 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash -> 16 affine permutation minima -> 4 band keys -> band equi-join for
 # candidates -> exact-Jaccard verification. The oracle replicates every
 # step, so even this "approximate" operator is hash-checked.
-def _spark_minhash_sig() -> list[Column]:
-    hs = F.expr(
-        "transform(sh, s -> " + _SPARK_H32.format(s="s") + ")"
-    )
-    return [
+def _minhash_signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh, n_sh, mh0..mh15). The 32-bit shingle-hash array is
+    projected ONCE as its own column; the 16 permutation minima then fold
+    over that bound attribute. Inlining the hash expression into each mh_i
+    (the round-1 shape) made every permutation re-md5 every shingle - 16x
+    the hash work."""
+    hs = F.expr("transform(sh, s -> " + _SPARK_H32.format(s="s") + ")")
+    minima = [
         F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P)
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_AB)
     ]
+    return sh.withColumn("hs", hs).select("doc_id", "sh", "n_sh", *minima)
 
 
 def _duck_minhash_cols() -> str:
@@ -267,7 +297,7 @@ def _band_key_exprs(col: str = "mh") -> list[str]:
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
-    sig = sh.select("doc_id", "sh", "n_sh", *_spark_minhash_sig())
+    sig = _minhash_signature(sh)
     band_keys = [F.expr(e) for e in _band_key_exprs()]
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")

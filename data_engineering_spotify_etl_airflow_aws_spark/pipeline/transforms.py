@@ -266,11 +266,13 @@ def star_artist_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_top_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     songs = songs_transform(spark)
+    # broadcast 1-row scalar join instead of a driver collect(): one job
     cutoff = songs.agg(
-        F.max("scrape_date") - F.expr("INTERVAL 7 DAYS")
-    ).collect()[0][0]
+        (F.max("scrape_date") - F.expr("INTERVAL 7 DAYS")).alias("_cutoff")
+    )
     return (
-        songs.where(F.col("scrape_date") >= F.lit(cutoff))
+        songs.join(F.broadcast(cutoff))
+        .where(F.col("scrape_date") >= F.col("_cutoff"))
         .orderBy("rank", "scrape_date", "song_id")
         .select("song_name", "artist_id", "rank", "scrape_date")
         .limit(10)
