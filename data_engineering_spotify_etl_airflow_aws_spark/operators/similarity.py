@@ -208,12 +208,20 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-arithmetic pseudo-random constant
 #   ((i*DIM + j + 1) * 2654435761 mod 2^32) / 2^31 - 1   in [-1, 1)
 # computed identically by both engines (exact int ops, one division).
+def _hyperplane_values(i: int) -> list[float]:
+    """Exact Python evaluation of the hyperplane formula: integer ops are
+    arbitrary-precision, the single division and subtraction are the same
+    IEEE ops Spark/DuckDB perform - bit-identical across all three."""
+    return [
+        ((i * _DIM + j + 1) * 2654435761) % 4294967296 / 2147483648.0 - 1.0
+        for j in range(_DIM)
+    ]
+
+
 def _spark_hyperplane(i: int) -> Column:
-    return F.expr(
-        f"transform(sequence(0, {_DIM - 1}), j -> "
-        f"cast((({i} * {_DIM} + j + 1) * 2654435761) % 4294967296 as double)"
-        f" / 2147483648.0 - 1.0)"
-    )
+    # literal array, not transform(sequence(...)): a per-row recomputation
+    # of 16 x 64 constants is pure waste inside the row loop
+    return F.array(*[F.lit(x) for x in _hyperplane_values(i)])
 
 
 def _duck_hyperplane(i: int) -> str:
