@@ -369,3 +369,77 @@ def q4_song_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("song_name", "rank", "scrape_date")
         .orderBy("scrape_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# P5: column-existence predicates over the raw nested shape - the engine
+# analog of the reference's defensive `if key == 'track'` scan (P:123-124).
+# Exercised against real variation: the fixture plants one null
+# release_date (album_0013).
+@query(
+    "raw_field_presence",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT scrape_date,
+           count(*) AS n_items,
+           count(item.track.id) AS n_with_track,
+           sum(CASE WHEN item.track.album.release_date IS NULL
+                    THEN 1 ELSE 0 END) AS n_null_release
+    FROM ex
+    GROUP BY scrape_date
+    ORDER BY scrape_date
+    """,
+)
+def raw_field_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = exploded_items(spark)
+    return (
+        ex.groupBy("scrape_date")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count("item.track.id").alias("n_with_track"),
+            F.sum(
+                F.when(
+                    F.col("item.track.album.release_date").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_null_release"),
+        )
+        .orderBy("scrape_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4: timestamp -> string key formatting (reference strftime P:68 and the
+# Airflow ts_nodash CSV keys P:225) - the object-key naming scheme every
+# sink in the reference derives from the ingest instant.
+@query(
+    "songs_export_keys",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT song_id, rank,
+           strftime(make_timestamp(song_added_us), '%Y%m%dT%H%M%S')
+               AS added_key,
+           strftime(scrape_date, 'spotify_transformed_%Y%m%d.csv')
+               AS object_key
+    FROM songs
+    ORDER BY scrape_date, rank
+    """,
+)
+def songs_export_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        songs_transform(spark)
+        .select(
+            "song_id",
+            "rank",
+            F.date_format(
+                F.timestamp_micros(F.col("song_added_us")), "yyyyMMdd'T'HHmmss"
+            ).alias("added_key"),
+            F.concat(
+                F.lit("spotify_transformed_"),
+                F.date_format("scrape_date", "yyyyMMdd"),
+                F.lit(".csv"),
+            ).alias("object_key"),
+            "scrape_date",
+        )
+        .orderBy("scrape_date", "rank")
+        .drop("scrape_date")
+    )
