@@ -167,3 +167,48 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
     assert len(got) >= 0.8 * len(batch)
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState: after draining the 3-chunk stream, the last
+    emitted snapshot per user must equal the batch groupBy aggregate -
+    cumulative state survives across micro-batches."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = _events_stream(spark, tmp_path).select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    final: dict[int, tuple] = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r.user_id] = (r.n_events, r.total_value, r.max_ts_us)
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "cp_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    batch = {
+        r.user_id: (r.n, r.total, r.mx)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total, mx) in batch.items():
+        fn, ftotal, fmx = final[uid]
+        assert fn == n and fmx == mx, uid
+        assert abs(ftotal - total) < 1e-6 * max(1.0, abs(total)), uid
