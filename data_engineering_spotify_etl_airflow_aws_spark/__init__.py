@@ -8,9 +8,11 @@ Layout:
     tables     - testdata parquet loaders (nanos-timestamp safe)
     registry   - query/oracle registry consumed by __spark_entry__
     operators/ - relational surface + extension operators
-    sources/   - JSON inbox, CSV-with-warehouse-options, catalog
-    pipeline/  - the Spotify star-schema ETL (schemas, transforms, Q1-Q4)
-    streaming/ - Structured Streaming ingest (Snowpipe analog)
+    sources/   - REST API Python DataSource, CSV-with-warehouse-options
+    pipeline/  - the Spotify star-schema ETL (schemas, transforms, Q1-Q4
+                 in DataFrame and spark.sql forms)
+    streaming/ - Structured Streaming ingest (Snowpipe analog), windowed
+                 aggregation twins, applyInPandasWithState custom state
     functions/ - shared column-expression helpers
     plans/     - plan inspection/explain helpers
 """

@@ -82,3 +82,32 @@ def test_star_join_agg_is_all_broadcast_single_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 3
     # shuffles: agg exchange + final range sort only, no join shuffles
     assert plans.num_shuffles(df) <= 2
+
+
+def test_raw_json_and_csv_sinks_roundtrip(spark, tmp_path):
+    """K1/K2: the raw landing write and the per-table CSV export must
+    round-trip losslessly (CSV via explicit schema on re-read)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.pipeline.transforms import (
+        read_raw,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.sinks import (
+        write_raw_json,
+        write_table_csv,
+    )
+
+    raw_path = str(tmp_path / "raw_json")
+    write_raw_json(read_raw(spark).select("tracks"), raw_path)
+    back = spark.read.json(raw_path)
+    assert back.count() == 3
+    assert back.selectExpr("size(tracks.items)").collect()[0][0] == 50
+
+    songs = songs_transform(spark)
+    csv_path = str(tmp_path / "songs_csv")
+    write_table_csv(songs, csv_path)
+    csv_back = spark.read.option("header", "true").schema(songs.schema).csv(
+        csv_path
+    )
+    assert csv_back.count() == songs.count()
+    a = {tuple(r) for r in csv_back.collect()}
+    b = {tuple(r) for r in songs.collect()}
+    assert a == b
