@@ -231,3 +231,22 @@ def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile sketch twin of value_quantiles_exact: single-pass
+# bounded-memory quantiles (the shape that matters at 100 TB, where exact
+# percentile() would materialize every group's values). Engine-specific
+# estimates -> rows-only driver check; tests/test_llm_ops.py bounds the
+# error against the exact twin.
+@query("value_quantiles_approx")
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95"),
+        )
+        .orderBy("event_type")
+    )

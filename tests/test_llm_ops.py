@@ -119,3 +119,25 @@ def test_multimodal_decode_seam_and_fallback():
     f = digest_features(b"payload")
     assert len(f) == 8 and all(0.0 <= x <= 1.0 for x in f)
     assert f == digest_features(b"payload")
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """approx_percentile(accuracy=10000) must track the exact quantiles
+    within a small relative error on every group."""
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in registry.QUERIES["value_quantiles_exact"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in registry.QUERIES["value_quantiles_approx"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - e50) <= 0.02 * max(1.0, abs(e50)), (k, a50, e50)
+        assert abs(a95 - e95) <= 0.02 * max(1.0, abs(e95)), (k, a95, e95)

@@ -111,3 +111,31 @@ def test_raw_json_and_csv_sinks_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in csv_back.collect()}
     b = {tuple(r) for r in songs.collect()}
     assert a == b
+
+
+def test_pricing_summary_plan_shape(spark):
+    """Flagship Q1-style agg: filter must push to the parquet scan and the
+    plan must contain exactly one aggregation exchange (partial/final hash
+    agg) plus the final sort - no extra wide stages."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["pricing_summary"](spark, SF_CORRECT)
+    assert plans.pushed_filters(df), "shipdate filter must reach parquet"
+    assert plans.num_shuffles(df) <= 2  # agg exchange + output sort
+
+
+def test_topk_per_group_two_phase_window(spark):
+    """Round-1 verdict fix: grouped top-k must window twice - a local pass
+    over the high-cardinality (group, slice) composite, then the exact pass
+    over the pruned candidates - so no single reducer ever sorts a whole
+    group's slice of the fact table."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["topk_per_group"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plan.count("Window") >= 2, "expected local + final window phases"
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_slice" in plan
