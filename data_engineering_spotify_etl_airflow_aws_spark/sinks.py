@@ -72,3 +72,20 @@ def archive_consumed(spark: SparkSession, src_dir: str, dest_dir: str) -> int:
         if fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst, p.getName())):
             moved += 1
     return moved
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed catalog table: pre-shuffles ONCE at write time so every
+    later equi-join/agg on the bucket key is exchange-free (the co-located
+    join strategy for repeated fact-to-fact joins at 100 TB - pay the
+    shuffle once, reuse it every query)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(name)

@@ -139,3 +139,51 @@ def test_topk_per_group_two_phase_window(spark):
     plan = plans.executed_plan(df)
     assert plan.count("Window") >= 2, "expected local + final window phases"
     assert "SPARK_PARTITION_ID" in plan.upper() or "_slice" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located join: orders and lineitem bucketed on the join key must
+    join with ZERO exchanges - the write-time bucketing replaces the
+    per-query shuffle (SURVEY scale notes; brief: 'bucketing for
+    co-located joins')."""
+    from data_engineering_spotify_etl_airflow_aws_spark.sinks import (
+        save_bucketed_table,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    # at sf0.01 AQE would broadcast the small side, hiding the property
+    # under test; disable auto-broadcast so the planner must choose the
+    # bucket-aware sort-merge join (the shape a fact-to-fact join takes
+    # at real scale, where neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed_table(
+            load_table(spark, SF_CORRECT, "orders"),
+            "orders_bkt", bucket_by="o_orderkey",
+        )
+        save_bucketed_table(
+            load_table(spark, SF_CORRECT, "lineitem"),
+            "lineitem_bkt", bucket_by="l_orderkey",
+        )
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("lineitem_bkt"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        )
+        n = joined.count()
+        assert n == load_table(spark, SF_CORRECT, "lineitem").count()
+        plan = plans.executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert plans.num_shuffles(joined) == 0, (
+            "bucketed equi-join must not re-shuffle either side"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
