@@ -187,3 +187,49 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """RUNTIME_CONFS turns on AQE skew-join splitting; prove it engages.
+    A fact with ~90% of rows on one key sort-merge-joined to a dim must
+    show skew=true in the adaptive plan (the hot partition split into
+    subpartitions) and still return exact results."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # AQE decisions exist only in the FINAL adaptive plan, and only on
+        # the query execution that actually ran - count() would wrap the
+        # plan in a fresh execution, so collect this DataFrame itself
+        assert len(joined.collect()) == 300_000
+        plan = plans.executed_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        rows = {
+            r.k: r.n
+            for r in joined.groupBy("k").agg(F.count("*").alias("n")).collect()
+        }
+        # 90% of rows land on k=7; the otherwise-branch (id%10==9) can never
+        # produce k=7 since 7 % 10 != 9
+        assert rows[7] == 270_000
+        assert sum(rows.values()) == 300_000
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
