@@ -108,3 +108,13 @@ def test_sql_and_dataframe_forms_agree(spark):
         df_rows = [tuple(r) for r in QUERIES[base](spark, "").collect()]
         sql_rows = [tuple(r) for r in QUERIES[base + "_sql"](spark, "").collect()]
         assert df_rows == sql_rows, base
+
+
+def test_q2_sql_broadcast_hint_takes_effect(spark):
+    """The /*+ BROADCAST(a) */ hint in the SQL form must produce the same
+    broadcast-hash plan the DataFrame form gets from F.broadcast()."""
+    from data_engineering_spotify_etl_airflow_aws_spark import plans
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    df = QUERIES["q2_album_popularity_sql"](spark, "")
+    assert "BroadcastHashJoin" in plans.executed_plan(df)
