@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import ORACLE_TOKENS
 from ..registry import query
@@ -162,6 +163,11 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted: measured at sf0.1, caching the wide array column made
+    # this query ~50% slower (InMemoryRelation scans feed the explode
+    # branches worse than recomputing the now-cheap zip_with shingles);
+    # minhash_lsh_near_dup, whose branches reuse the arrays directly, does
+    # benefit and persists.
     sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
     # Prefix filtering (AllPairs/PPJoin): order every doc's shingles by ONE
     # global total order and keep the first |d| - ceil(tau*|d|) + 1. For any
@@ -296,7 +302,11 @@ def _band_key_exprs(col: str = "mh") -> list[str]:
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingle_df(spark, sf_dir).where(F.col("n_sh") > 0)
+    sh = (
+        _spark_shingle_df(spark, sf_dir)
+        .where(F.col("n_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = _minhash_signature(sh)
     band_keys = [F.expr(e) for e in _band_key_exprs()]
     bands = sig.select(
