@@ -263,10 +263,10 @@ def date_cast_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).when(
         F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM")
     ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
-    return (
-        orders.select("o_orderkey", raw.alias("raw_date"))
-        .withColumn("parsed_date", to_date_cascade("raw_date"))
-        .orderBy("o_orderkey")
+    # no output sort: the driver's value hash is order-insensitive and a
+    # global sort on a full-table projection is pure wasted shuffle at scale
+    return orders.select("o_orderkey", raw.alias("raw_date")).withColumn(
+        "parsed_date", to_date_cascade("raw_date")
     )
 
 

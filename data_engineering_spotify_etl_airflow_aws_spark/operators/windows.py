@@ -60,7 +60,9 @@ def user_value_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.lag("value").over(w)).alias("delta"),
             F.lead("event_type").over(w).alias("next_type"),
         )
-        .orderBy("user_id", "ts_us", "event_id")
+        # no output sort: already partition-sorted for the window; a global
+        # re-sort of the full projection adds a range shuffle for nothing
+        # (driver hash is order-insensitive)
     )
 
 
