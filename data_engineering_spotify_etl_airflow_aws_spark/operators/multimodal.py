@@ -173,3 +173,66 @@ def multimodal_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the video/audio pattern of "decode N evenly-spaced frames
+# per asset" with real Spark plumbing - mapInPandas fan-out (K output rows
+# per input row), byte-range arithmetic, per-frame content digests. The
+# codec being stubbed (see decode_image) does not change the plumbing: a
+# real implementation swaps the byte-slice for a decoder call, keeping
+# schema, partitioning, and batch shapes identical. Oracle-checked: frames
+# are deterministic byte windows (the fixture corpus is pure ASCII, so
+# DuckDB's char offsets equal the payload's byte offsets; verified for all
+# SFs before this operator was written).
+_N_FRAMES = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def _frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for f in range(_N_FRAMES):
+                lo, hi = f * n // _N_FRAMES, (f + 1) * n // _N_FRAMES
+                frame = payload[lo:hi]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(f)
+                out["frame_bytes"].append(hi - lo)
+                out["frame_digest"].append(
+                    hashlib.sha256(frame).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, f AS frame_idx,
+           (((f+1)*n)//{_N_FRAMES} - (f*n)//{_N_FRAMES}) AS frame_bytes,
+           sha256(substring(text, (f*n)//{_N_FRAMES} + 1,
+                            ((f+1)*n)//{_N_FRAMES} - (f*n)//{_N_FRAMES}))
+               AS frame_digest
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+         (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = payload_table(spark, sf_dir).select("doc_id", "payload")
+    return t.mapInPandas(_frame_batches, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
