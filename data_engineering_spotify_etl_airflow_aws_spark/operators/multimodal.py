@@ -112,7 +112,7 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'application/x-' || source AS content_type,
            count(*) AS n_assets,
-           sum(length(text)) AS total_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
            max(length(text)) AS max_bytes
     FROM documents
     GROUP BY 1

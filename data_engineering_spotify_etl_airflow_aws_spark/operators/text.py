@@ -121,9 +121,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len({_OT})) AS sum_ws_tokens,
-           sum(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS sum_bpe_tokens,
-           sum(length(text)) AS sum_chars
+           CAST(sum(len({_OT})) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+               AS sum_bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang

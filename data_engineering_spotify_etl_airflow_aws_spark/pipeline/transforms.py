@@ -383,8 +383,8 @@ def q4_song_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT scrape_date,
            count(*) AS n_items,
            count(item.track.id) AS n_with_track,
-           sum(CASE WHEN item.track.album.release_date IS NULL
-                    THEN 1 ELSE 0 END) AS n_null_release
+           CAST(sum(CASE WHEN item.track.album.release_date IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_release
     FROM ex
     GROUP BY scrape_date
     ORDER BY scrape_date

@@ -52,6 +52,46 @@ def normalize(v):
     return v
 
 
+def _spark_type_family(dt: str) -> str:
+    """Collapse a Spark dtype string into the type family the driver's
+    value-hash discriminates on (int widths <=64 collapse; int128 does not)."""
+    dt = dt.lower()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"array<{_spark_type_family(dt[6:-1])}>"
+    if dt.startswith("decimal"):
+        return "decimal"
+    return {
+        "tinyint": "i64", "smallint": "i64", "int": "i64", "bigint": "i64",
+        "float": "f64", "double": "f64",
+        "string": "str", "varchar": "str",
+        "date": "date",
+        "timestamp": "ts", "timestamp_ntz": "ts",
+        "boolean": "bool", "binary": "bytes",
+    }.get(dt, dt)
+
+
+def _duck_type_family(dt) -> str:
+    """Same collapse for DuckDB types. HUGEINT (int128) maps to its own
+    family on purpose: DuckDB types bare sum(<int>) as HUGEINT, which the
+    driver's hash distinguishes from Spark's BIGINT even when values are
+    equal (the round-2 hash-fail root cause). Oracles must CAST to BIGINT."""
+    dt = str(dt).upper()
+    if dt.endswith("[]"):
+        return f"array<{_duck_type_family(dt[:-2])}>"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    return {
+        "TINYINT": "i64", "SMALLINT": "i64", "INTEGER": "i64", "BIGINT": "i64",
+        "UTINYINT": "i64", "USMALLINT": "i64", "UINTEGER": "i64",
+        "UBIGINT": "u64", "HUGEINT": "i128",
+        "FLOAT": "f64", "REAL": "f64", "DOUBLE": "f64",
+        "VARCHAR": "str", "DATE": "date",
+        "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+        "TIMESTAMP WITH TIME ZONE": "ts",
+        "BOOLEAN": "bool", "BLOB": "bytes",
+    }.get(dt, dt.lower())
+
+
 def rows_to_multiset(col_names, rows):
     """Sort columns by name (driver semantics), normalize values, return a
     sorted list of tuples for order-insensitive comparison."""
@@ -76,6 +116,25 @@ def test_oracle_parity(name, spark, duck_correct):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+
+    # Type fingerprint: the driver's value-hash discriminates on result
+    # representation (DuckDB HUGEINT reaches the hash differently from
+    # Spark's int64 even for equal values), so a dtype-family mismatch here
+    # means a driver hash-fail even if the normalized values below compare
+    # equal. Round-3 gate added after two such failures shipped in round 2.
+    duck_rel = duck_correct.sql(registry.ORACLES[name])
+    duck_fams = {
+        c: _duck_type_family(t) for c, t in zip(duck_rel.columns, duck_rel.types)
+    }
+    spark_fams = {c: _spark_type_family(t) for c, t in spark_df.dtypes}
+    type_mismatch = {
+        c: (spark_fams[c], duck_fams.get(c))
+        for c in spark_fams
+        if spark_fams[c] != duck_fams.get(c)
+    }
+    assert not type_mismatch, (
+        f"{name}: dtype-family mismatch (spark, duck): {type_mismatch}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
