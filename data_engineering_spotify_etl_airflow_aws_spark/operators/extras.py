@@ -1,0 +1,383 @@
+"""Beyond-survey relational widening: the ANSI surface a warehouse user
+expects past the reference's inner-join/flat-GROUP-BY workload (SURVEY.md
+§2a notes "no other join kinds / no grouping sets appear anywhere in the
+reference"). Split out of relational.py and registered LAST in
+load_all_operators() so the reference-parity queries keep the audited
+slots in the driver's correctness window.
+
+All shapes here are partial-agg or window-over-high-cardinality plans that
+scale like their relational.py cousins: dims broadcast, aggregates combine
+map-side, and nothing sorts a full table in one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dsum, oracle_dsum
+from ..registry import query
+from ..tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins - EXISTS / NOT EXISTS.
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join + null handling.
+@query(
+    "left_outer_join_agg",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0)
+               AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def left_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (subtotal hierarchy).
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {oracle_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", alias="sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation): events fan out by type per user.
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct count per group (baseline for the HLL approx variant in
+# windows.py).
+@query(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 2^2 grouping sets in one pass.
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (Expand + single agg
+    shuffle; rolled-up dimensions surface as NULL in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", alias="sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@query(
+    "full_outer_date_alignment",
+    oracle="""
+    SELECT coalesce(o.d, l.d) AS d,
+           coalesce(o.n, 0) AS n_orders,
+           coalesce(l.n, 0) AS n_shipments
+    FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+          FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n
+          FROM lineitem GROUP BY 1) l
+    ON o.d = l.d
+    ORDER BY d
+    """,
+)
+def full_outer_date_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated calendars: days with orders
+    but no shipments (and vice versa) survive with zero-filled counts.
+    Aggregate-before-join keeps the outer join small at any scale."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_shipments"))
+    )
+    return (
+        o.join(l, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "intersect_segment_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def intersect_segment_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) - compiles to a distinct +
+    left-semi shape; the set-operator tier of the surface."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    buyers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.intersect(buyers).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact ntile deciles WITHOUT a global single-partition sort (round-2
+# verdict: the naive `ntile(10) OVER (ORDER BY ...)` plan is the canonical
+# 100x-scale-killer). Distributed plan:
+#   1. approx_percentile boundaries split the order into _N_BANDS
+#      price-ordered bands (boundary quality only affects band balance,
+#      never correctness);
+#   2. rows get their band via a broadcast of the 1-row boundary array -
+#      the fact table never shuffles for the assignment;
+#   3. ONE wide shuffle: row_number per band (reducers = bands, each
+#      sorting ~1/_N_BANDS of the data);
+#   4. band counts -> cumulative offsets via a broadcast triangular
+#      self-join on the tiny per-band count table (no single-partition
+#      window anywhere in the plan);
+#   5. global rank = offset + local rank; ntile's exact bucket arithmetic
+#      (first n%10 deciles get one extra row) reproduces ntile(10) row for
+#      row, verified by the unchanged ntile oracle.
+_N_BANDS = 32
+
+
+@query(
+    "ntile_price_deciles",
+    oracle="""
+    SELECT decile, count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile ORDER BY decile
+    """,
+)
+def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    probs = [i / _N_BANDS for i in range(1, _N_BANDS)]
+    bounds = o.agg(
+        F.percentile_approx("o_totalprice", probs, 10_000).alias("_bounds")
+    )
+    # band = #boundaries strictly below the price: rows equal to a boundary
+    # all land in the same band, so bands strictly respect the price order
+    # and (band, price, orderkey) is a total order.
+    banded = (
+        o.join(F.broadcast(bounds))
+        .withColumn(
+            "_band", F.size(F.filter("_bounds", lambda x: x < F.col("o_totalprice")))
+        )
+        .drop("_bounds")
+    )
+    wb = W.partitionBy("_band").orderBy("o_totalprice", "o_orderkey")
+    ranked = banded.withColumn("_lrn", F.row_number().over(wb))
+
+    # counts come from the pre-window lineage: the heavy per-band sort never
+    # re-executes for the offset table (its agg is partial + tiny shuffle)
+    counts = banded.groupBy("_band").agg(F.count("*").alias("_bn"))
+    below = counts.select(F.col("_band").alias("_b2"), F.col("_bn").alias("_bn2"))
+    offsets = (
+        counts.join(F.broadcast(below), F.col("_b2") < F.col("_band"), "left")
+        .groupBy("_band")
+        .agg(F.coalesce(F.sum("_bn2"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_bn").alias("_n"))
+
+    r = F.col("_off") + F.col("_lrn")
+    q = F.floor(F.col("_n") / 10)
+    rem = F.col("_n") % 10
+    cut = rem * (q + 1)
+    decile = (
+        F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - cut - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_band")
+        .join(F.broadcast(total))
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "latest_order_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(o_orderkey,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT
+                       * 1000000000000 + o_orderkey) AS latest_orderkey,
+           max(CAST(o_orderdate AS DATE)) AS latest_date,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def latest_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max with a DETERMINISTIC composite key: epoch-days x 1e12
+    + orderkey (exact in int64 through year 9999: days < 3e6 so the date
+    term tops out ~3e18 < 2^63, and the date strictly dominates for any
+    orderkey < 1e12 - TPC-H orderkeys pass 1e7 around sf2, which broke the
+    previous 1e7 multiplier; round-2 ADVICE). DuckDB's arg_max takes
+    scalars only, and a bare date key would tie. One broadcast join + one
+    agg shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    key = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * 1_000_000_000_000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", key).alias("latest_orderkey"),
+            F.max(F.to_date("o_orderdate")).alias("latest_date"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -141,6 +141,32 @@ def test_topk_per_group_two_phase_window(spark):
     assert "SPARK_PARTITION_ID" in plan.upper() or "_slice" in plan
 
 
+def test_ntile_deciles_no_global_sort_window(spark):
+    """Round-2 verdict fix: exact ntile deciles must not route the fact
+    table through a single-partition global-order window. The distributed
+    plan windows per approx-percentile band, so every Window operator's
+    feeding exchange must be hash-partitioned on _band (SinglePartition
+    exchanges may exist only for 1-row scalar aggs like the boundary
+    array and the total count)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["ntile_price_deciles"](spark, SF_CORRECT)
+    df.collect()
+    plan = plans.executed_plan(df)
+    lines = plan.splitlines()
+    windows = [i for i, l in enumerate(lines) if "Window" in l]
+    assert windows, "expected a per-band row_number window"
+    for i in windows:
+        feeding = next(
+            (l for l in lines[i + 1 : i + 6] if "Exchange" in l), ""
+        )
+        assert "hashpartitioning(_band" in feeding, (
+            f"window fed by non-band exchange: {feeding.strip()[:120]}"
+        )
+
+
 def test_bucketed_join_is_exchange_free(spark):
     """Co-located join: orders and lineitem bucketed on the join key must
     join with ZERO exchanges - the write-time bucketing replaces the
