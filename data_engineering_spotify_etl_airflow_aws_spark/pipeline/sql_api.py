@@ -26,7 +26,7 @@ def register_star_views(spark: SparkSession) -> None:
 
 
 Q1_SQL = """
-    SELECT song_name, artist_id, rank, scrape_date
+    SELECT song_id, song_name, artist_id, album_id, rank, scrape_date
     FROM songs
     WHERE scrape_date >= (SELECT max(scrape_date) - INTERVAL 7 DAY FROM songs)
     ORDER BY rank, scrape_date, song_id
@@ -51,7 +51,7 @@ Q3_SQL = """
 """
 
 Q4_SQL = """
-    SELECT song_name, rank, scrape_date
+    SELECT scrape_date, rank
     FROM songs WHERE song_id = 'song_0000'
     ORDER BY scrape_date
 """

@@ -257,7 +257,7 @@ def star_artist_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_top_trending",
     oracle=_ORACLE_BASE
     + """
-    SELECT song_name, artist_id, rank, scrape_date
+    SELECT song_id, song_name, artist_id, album_id, rank, scrape_date
     FROM songs
     WHERE scrape_date >= (SELECT max(scrape_date) - INTERVAL 7 DAY FROM songs)
     ORDER BY rank, scrape_date, song_id
@@ -265,6 +265,9 @@ def star_artist_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_top_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column list matches the published workload exactly
+    (spotify-analysis.sql:93-97 / athena_spotify_analysis.sql:7-11):
+    song_id, song_name, artist_id, album_id, rank, scrape_date."""
     songs = songs_transform(spark)
     # broadcast 1-row scalar join instead of a driver collect(): one job
     cutoff = songs.agg(
@@ -274,7 +277,9 @@ def q1_top_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         songs.join(F.broadcast(cutoff))
         .where(F.col("scrape_date") >= F.col("_cutoff"))
         .orderBy("rank", "scrape_date", "song_id")
-        .select("song_name", "artist_id", "rank", "scrape_date")
+        .select(
+            "song_id", "song_name", "artist_id", "album_id", "rank", "scrape_date"
+        )
         .limit(10)
     )
 
@@ -344,9 +349,17 @@ def partitioned_roundtrip_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/tmp/spark_graft_star/songs"
     write_partitioned(songs_transform(spark), path)
     back = spark.read.parquet(path)
-    latest = back.agg(F.max("scrape_date")).collect()[0][0]
+    # latest-day cutoff as an uncorrelated scalar subquery on the partition
+    # column - no driver collect (round-2 verdict: the last collect() in any
+    # registered query body). Spark executes the subquery before planning
+    # the main scan, so its result lands in PartitionFilters and exactly one
+    # partition is read; the subquery side itself only scans the partition
+    # column (file listing, no row data).
+    back.createOrReplaceTempView("__songs_partitioned")
     return (
-        back.where(F.col("scrape_date") == F.lit(latest))
+        back.where(
+            F.expr("scrape_date = (SELECT max(scrape_date) FROM __songs_partitioned)")
+        )
         .groupBy("album_id")
         .agg(F.count("*").alias("n_tracks"), F.avg("rank").alias("avg_rank"))
         .orderBy("album_id")
@@ -357,16 +370,18 @@ def partitioned_roundtrip_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q4_song_movement",
     oracle=_ORACLE_BASE
     + """
-    SELECT song_name, rank, scrape_date
+    SELECT scrape_date, rank
     FROM songs WHERE song_id = 'song_0000'
     ORDER BY scrape_date
     """,
 )
 def q4_song_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection matches the published Q4 exactly (spotify-analysis.sql:
+    121-126 / athena_spotify_analysis.sql:35-40): scrape_date, rank only."""
     return (
         songs_transform(spark)
         .where(F.col("song_id") == "song_0000")
-        .select("song_name", "rank", "scrape_date")
+        .select("scrape_date", "rank")
         .orderBy("scrape_date")
     )
 
