@@ -49,6 +49,10 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # a failing query must not sink the bench
             failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # Intra-query persists (e.g. the minhash shingle base) must not
+        # leak executor memory into - or serve warm reads to - later
+        # measurements (round-2 ADVICE).
+        spark.catalog.clearCache()
 
     out = {
         "metric": "suite_wall_sec",

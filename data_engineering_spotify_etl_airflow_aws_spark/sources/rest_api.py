@@ -28,8 +28,10 @@ be captured before any shuffle can reorder it.
 
 from __future__ import annotations
 
+import functools
 import json
 from typing import Iterator, Sequence
+from urllib.parse import quote, urlencode
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -64,14 +66,28 @@ def _to_tuple(value, dtype):
 # transports
 
 
-def synthetic_pages() -> list[tuple[str, list[dict]]]:
+@functools.lru_cache(maxsize=1)
+def synthetic_pages() -> tuple[tuple[str, tuple], ...]:
     """(scrape_date, items) per page - the frozen raw_inbox corpus, i.e.
-    what the reference's API returned on each of its three scrape days."""
+    what the reference's API returned on each of its three scrape days.
+    Cached per process: read() runs once per partition in each Python
+    worker, and regenerating+reparsing the corpus per call dominated the
+    query's wall time (round-2 verdict #9)."""
     pages = []
     for fname, body in sorted(_gen().items()):
         date = fname[len("spotify_raw_") : -len(".json")]
-        pages.append((date, json.loads(body)["tracks"]["items"]))
-    return pages
+        pages.append((date, tuple(json.loads(body)["tracks"]["items"])))
+    return tuple(pages)
+
+
+def page_url(base_url: str, playlist_id: str, offset: int, limit: int) -> str:
+    """Percent-encoded page URL (F3, reference P:38 uses an URL-encoded
+    query). playlist_id is caller data and must never reach the wire raw -
+    spaces, emoji, or '/../' in an id would otherwise mangle the path."""
+    return (
+        f"{base_url}/playlists/{quote(str(playlist_id), safe='')}/tracks?"
+        + urlencode({"offset": offset, "limit": limit})
+    )
 
 
 def http_fetch_page(
@@ -81,7 +97,7 @@ def http_fetch_page(
     callers must supply a reachable base_url and a bearer token."""
     from urllib.request import Request, urlopen
 
-    url = f"{base_url}/playlists/{playlist_id}/tracks?offset={offset}&limit={limit}"
+    url = page_url(base_url, playlist_id, offset, limit)
     req = Request(url, headers={"Authorization": f"Bearer {token}"})
     with urlopen(req, timeout=30) as resp:  # noqa: S310 - caller-supplied URL
         return json.loads(resp.read())["items"]

@@ -86,6 +86,31 @@ def ingest_songs_available_now(
     q.awaitTermination()
 
 
+def ingest_songs_continuous(
+    spark: SparkSession,
+    inbox_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    processing_interval: str = "1 second",
+    archive_dir: str | None = None,
+):
+    """K4 continuous auto-ingest (Snowpipe AUTO_INGEST = True, reference
+    S:59/S:65/S:71): the same exactly-once query as the availableNow daily
+    form, but with a processingTime trigger so it keeps polling the inbox
+    and ingests files as they arrive. Returns the running StreamingQuery;
+    callers stop() it (tests drive it with processAllAvailable())."""
+    raw = read_raw_stream(spark, inbox_dir, archive_dir)
+    songs = songs_projection(explode_raw(raw))
+    return (
+        songs.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("scrape_date")
+        .trigger(processingTime=processing_interval)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # The streaming pipeline as a registered, oracle-checked query: stream the
 # committed inbox through a fresh checkpoint into Parquet, read the result

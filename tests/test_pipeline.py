@@ -86,12 +86,34 @@ def test_rest_source_partition_planning(spark):
 
 def test_rest_source_matches_inbox_scan(spark):
     """S1 = S2: the REST source and the JSON inbox scan produce identical
-    songs facts (same corpus through two ingest paths)."""
+    songs facts (same corpus through two ingest paths). Compared as row
+    MULTISETS, not sets - a page emitted twice or a dropped row with an
+    identical twin must fail (round-2 ADVICE)."""
+    from collections import Counter
+
     from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
 
-    rest = {tuple(r) for r in QUERIES["rest_api_songs"](spark, "").collect()}
-    file_ = {tuple(r) for r in QUERIES["star_songs_fact"](spark, "").collect()}
+    rest = Counter(tuple(r) for r in QUERIES["rest_api_songs"](spark, "").collect())
+    file_ = Counter(tuple(r) for r in QUERIES["star_songs_fact"](spark, "").collect())
     assert rest == file_
+
+
+def test_page_url_percent_encodes_params():
+    """F3: playlist ids and paging params must be URL-encoded before they
+    reach the wire (reference P:38 uses an URL-encoded search query)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.sources.rest_api import (
+        page_url,
+    )
+
+    url = page_url("https://api.example", "top 50 🎵/India", 50, 50)
+    assert url == (
+        "https://api.example/playlists/top%2050%20%F0%9F%8E%B5%2FIndia"
+        "/tracks?offset=50&limit=50"
+    )
+    # a plain id passes through unchanged
+    assert page_url("https://api.example", "abc123", 0, 50) == (
+        "https://api.example/playlists/abc123/tracks?offset=0&limit=50"
+    )
 
 
 def test_sql_and_dataframe_forms_agree(spark):

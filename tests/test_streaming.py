@@ -19,6 +19,7 @@ from data_engineering_spotify_etl_airflow_aws_spark.streaming.aggregations impor
 )
 from data_engineering_spotify_etl_airflow_aws_spark.streaming.ingest import (
     ingest_songs_available_now,
+    ingest_songs_continuous,
 )
 from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
 
@@ -83,6 +84,42 @@ def test_clean_source_archives_consumed_files(spark, tmp_path):
         f"spotify_raw_2025-07-{d}.json" for d in ("18", "19", "20")
     }
     assert moved, "at least the first batches' files must be archived"
+
+
+def test_continuous_trigger_matches_available_now(spark, tmp_path):
+    """K4 continuous auto-ingest (Snowpipe AUTO_INGEST): the processingTime
+    form must ingest the same rows exactly once as the availableNow daily
+    form, including a file that arrives while the query is live."""
+    inbox = tmp_path / "inbox"
+    shutil.copytree(INBOX_DIR, inbox)
+
+    cont_dest, cont_cp = str(tmp_path / "cont_data"), str(tmp_path / "cont_cp")
+    q = ingest_songs_continuous(
+        spark, str(inbox), cont_dest, cont_cp, processing_interval="1 second"
+    )
+    try:
+        q.processAllAvailable()
+        assert _count(spark, cont_dest) == 150
+        # a new daily file lands while the query is running
+        new_day = (inbox / "spotify_raw_2025-07-18.json").read_text().replace(
+            "2025-07-18", "2025-07-21"
+        )
+        (inbox / "spotify_raw_2025-07-21.json").write_text(new_day)
+        q.processAllAvailable()
+        assert _count(spark, cont_dest) == 200
+    finally:
+        q.stop()
+
+    # batch twin over the same final inbox: row-for-row identical
+    batch_dest, batch_cp = str(tmp_path / "b_data"), str(tmp_path / "b_cp")
+    ingest_songs_available_now(spark, str(inbox), batch_dest, batch_cp)
+    cont_rows = sorted(
+        tuple(r) for r in spark.read.parquet(cont_dest).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in spark.read.parquet(batch_dest).collect()
+    )
+    assert cont_rows == batch_rows
 
 
 def _events_stream(spark, tmp_path):
