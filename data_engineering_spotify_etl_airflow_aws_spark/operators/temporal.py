@@ -1,0 +1,224 @@
+"""Temporal join operators: as-of join and interval/range join.
+
+The reference's workload is date-predicate scans and equi-joins
+(spotify-analysis.sql:93-126); these add the two temporal join shapes a
+time-series / training-data pipeline needs that Spark has no native
+operator for (the brief's canonical "custom operator" examples):
+
+  * as-of join  - for each probe row, the single latest build-side row of
+                  the same key at-or-before the probe's timestamp.
+  * range join  - rows joined to every interval of a small dimension that
+                  contains them (intervals may overlap, so this is NOT
+                  expressible as a floor()/width_bucket equi-join).
+
+Scale notes (100 TB):
+  * as-of: the naive formulation (range join + argmax per probe) explodes
+    quadratically on hot keys. This implementation is the distributed
+    sort-merge form: tag both sides, UNION, one window over
+    (key ORDER BY ts, side, id) carrying last non-null build payload
+    forward - exactly ONE shuffle on the join key, state O(1) per row, no
+    candidate blowup. This is how kdb/QuestDB/Flink express as-of at scale.
+  * range join: the interval side is a tiny dimension -> broadcast
+    nested-loop with the range predicate; each probe row tests |dim|
+    intervals map-side, zero shuffle before the final partial agg. For
+    interval dimensions too large to broadcast, the standard unit-bucket
+    prefilter (join on overlapping coarse buckets, then exact predicate)
+    drops in without changing this operator's contract.
+
+Both are oracle-checked: DuckDB has native ASOF JOIN, so the oracle
+*proves* the union+window plan implements real as-of semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dsum, oracle_dsum
+from ..registry import query
+from ..tables import load_table
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts: str,
+    build_id: str,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Generic distributed as-of join: for each probe row, attach the
+    build row of the same `key` with the greatest `ts` <= the probe's
+    (inclusive; ties on (key, ts) resolved to the largest `build_id`).
+
+    Returns the probe columns plus `asof_<build_id>`, `asof_<ts>_us`, and
+    `asof_<c>` for each payload column; all-null when no build row
+    precedes the probe.
+
+    Plan: tag sides, UNION, ONE window over (key ORDER BY ts, side, id)
+    carrying the last non-null build payload forward - a single shuffle on
+    `key`, O(1) running state, no range-join candidate blowup.
+    """
+    payload = payload or []
+    p_cols = list(probe.columns)
+    b_types = dict(build.dtypes)
+    p_types = dict(probe.dtypes)
+    b = build.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.col(build_id).alias("__bid"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(p_types[c]).alias(f"__probe_{c}") for c in p_cols],
+    )
+    p = probe.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(None).cast(b_types[build_id]).alias("__bid"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(b_types[c]).alias(f"__p_{c}") for c in payload],
+        *[F.col(c).alias(f"__probe_{c}") for c in p_cols],
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side", "__bid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_build = F.col("__side") == 0
+    carried = [
+        F.last(F.when(is_build, F.col("__bid")), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{build_id}"),
+        F.last(F.when(is_build, F.unix_micros("__ts")), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{ts}_us"),
+        *[
+            F.last(F.when(is_build, F.col(f"__p_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in payload
+        ],
+    ]
+    return (
+        b.unionByName(p)
+        .select(
+            "__side",
+            *[F.col(f"__probe_{c}").alias(c) for c in p_cols],
+            *carried,
+        )
+        .where(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for every purchase event, the latest click by the same user
+# at-or-before the purchase timestamp (attribution's "last touch").
+#
+# Tie contract (shared with the oracle): among clicks with the identical
+# (user_id, ts) the largest event_id wins; a click exactly at the purchase
+# instant counts (inclusive <=).
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (  -- one row per (user, instant): largest event_id survives
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS last_click_id,
+           epoch_us(c.ts) AS last_click_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    build = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(probe, build, key="user_id", ts="ts", build_id="click_id")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("asof_click_id").alias("last_click_id"),
+        F.col("asof_ts_us").alias("last_click_us"),
+        (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: overlapping promo windows x orders. Every order
+# matches EVERY promo interval containing its order date; windows overlap
+# by construction (270-day spans starting every 180 days), so a bucketing
+# trick cannot replace the range predicate.
+_PROMO_START0 = _dt.date(1995, 1, 1)
+PROMOS: list[tuple[int, _dt.date, _dt.date]] = [
+    (
+        i,
+        _PROMO_START0 + _dt.timedelta(days=180 * i),
+        _PROMO_START0 + _dt.timedelta(days=180 * i + 269),
+    )
+    for i in range(14)  # covers 1995-01-01 .. 2001-06-26+269d > fixture max
+]
+
+
+def _promo_values_sql() -> str:
+    return ", ".join(
+        f"({pid}, DATE '{s.isoformat()}', DATE '{e.isoformat()}')"
+        for pid, s, e in PROMOS
+    )
+
+
+@query(
+    "promo_range_join",
+    oracle=f"""
+    WITH promos(promo_id, start_d, end_d) AS (
+        VALUES {_promo_values_sql()}
+    )
+    SELECT promo_id, start_d, end_d,
+           count(*) AS n_orders,
+           {oracle_dsum('o_totalprice')} AS revenue
+    FROM promos
+    JOIN orders
+      ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
+    GROUP BY promo_id, start_d, end_d
+    ORDER BY promo_id
+    """,
+)
+def promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("order_d"), "o_totalprice"
+    )
+    promos = spark.createDataFrame(
+        PROMOS, schema="promo_id int, start_d date, end_d date"
+    )
+    return (
+        orders.join(
+            F.broadcast(promos),
+            (F.col("order_d") >= F.col("start_d"))
+            & (F.col("order_d") <= F.col("end_d")),
+        )
+        .groupBy("promo_id", "start_d", "end_d")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", alias="revenue"),
+        )
+        .orderBy("promo_id")
+    )

@@ -122,6 +122,68 @@ def test_continuous_trigger_matches_available_now(spark, tmp_path):
     assert cont_rows == batch_rows
 
 
+def test_dedup_within_watermark_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics across micro-batches, driven
+    by explicit availableNow restarts over one checkpoint:
+      * a duplicate landing in a LATER batch while its key is still within
+        the watermark is dropped via checkpointed dedup state;
+      * a duplicate (or any row) arriving with event time older than the
+        watermark is dropped as late data - the output stays exactly-once
+        either way, which is the property the ingest pipeline relies on;
+      * genuinely new in-watermark rows pass through.
+    """
+    import datetime as dt
+
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.dedup import (
+        dedup_within_watermark_stream,
+    )
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def write_chunk(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staging)
+        )
+        next(staging.glob("*.parquet")).rename(chunks / f"{name}.parquet")
+
+    def run():
+        q = (
+            dedup_within_watermark_stream(spark, str(chunks), "30 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "data"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r.event_id
+            for r in spark.read.parquet(str(tmp_path / "data")).collect()
+        )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_chunk("a", [(1, 1, t(10), "x", 1.0), (2, 1, t(12), "x", 2.0)])
+    assert run() == [1, 2]
+    # watermark is now 11:30 (max ts 12:00 - 30m). Batch 2 delivers: a dup
+    # of the in-watermark row 2, a dup of row 1 that is older than the
+    # watermark (late), and a new row 3.
+    write_chunk(
+        "b",
+        [
+            (2, 1, t(12), "x", 2.0),
+            (1, 1, t(10), "x", 1.0),
+            (3, 1, t(12, 30), "x", 3.0),
+        ],
+    )
+    assert run() == [1, 2, 3], "both duplicate deliveries must be dropped"
+
+
 def _events_stream(spark, tmp_path):
     """Events fixture as a time-ordered 3-chunk parquet stream (sorted
     chunks so nothing is late beyond the watermark; parquet keeps the

@@ -1,0 +1,155 @@
+"""Temporal-join and curation operators: tie semantics on crafted inputs
+plus the plan-shape (scale) assertions for every round-3 operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+from data_engineering_spotify_etl_airflow_aws_spark import plans
+from data_engineering_spotify_etl_airflow_aws_spark.operators.temporal import (
+    asof_join,
+)
+from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+from .conftest import SF_CORRECT
+
+engine.load_all_operators()
+
+_T = lambda h, m=0, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+
+
+def test_asof_join_tie_semantics(spark):
+    """The contract corners the fixture can't hit: inclusive <= (build row
+    AT the probe instant matches), max-build_id tie-break among equal
+    (key, ts), strictly-later build rows invisible, and all-null when no
+    build row precedes the probe."""
+    probe = spark.createDataFrame(
+        [
+            (100, 1, _T(12)),   # build rows at 12:00 exactly -> inclusive
+            (101, 1, _T(10)),   # before every build row -> nulls
+            (102, 2, _T(15)),   # key 2: picks its own side, not key 1's
+        ],
+        "pid bigint, k bigint, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, _T(12), 7, "a"),   # tie on (k, ts): bid 9 must win
+            (1, _T(12), 9, "b"),
+            (1, _T(13), 50, "late"),  # after probe 100 -> invisible
+            (2, _T(14), 3, "c"),
+        ],
+        "k bigint, ts timestamp, bid bigint, tag string",
+    )
+    out = {
+        r.pid: r
+        for r in asof_join(
+            probe, build, key="k", ts="ts", build_id="bid", payload=["tag"]
+        ).collect()
+    }
+    assert out[100].asof_bid == 9 and out[100].asof_tag == "b"
+    assert out[100].asof_ts_us == int(_T(12).timestamp() * 1_000_000)
+    assert out[101].asof_bid is None and out[101].asof_tag is None
+    assert out[102].asof_bid == 3 and out[102].asof_tag == "c"
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """Scale contract: the as-of query shuffles exactly once on the join
+    key (plus the presentation sort) - no range-join candidate explosion,
+    no single-partition window."""
+    df = QUERIES["asof_join_purchase_click"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plans.num_shuffles(df) <= 2  # key window + output sort
+    assert "hashpartitioning(__k" in plan, "window must partition on the key"
+    assert "SinglePartition" not in plan
+
+
+def test_promo_range_join_broadcasts_intervals(spark):
+    """The interval dim rides a broadcast nested-loop join (range predicate
+    evaluated map-side); only the aggregation and final order shuffle."""
+    df = QUERIES["promo_range_join"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plans.num_shuffles(df) <= 2  # partial/final agg + output sort
+
+
+def test_stratified_sample_is_stateless(spark):
+    """Sampling is a pure per-row predicate: zero shuffles beyond the
+    presentation sort, and deterministic across reruns."""
+    df = QUERIES["stratified_sample_docs"](spark, SF_CORRECT)
+    assert plans.num_shuffles(df) <= 1  # output sort only
+    a = [r.doc_id for r in df.collect()]
+    b = [r.doc_id for r in QUERIES["stratified_sample_docs"](spark, SF_CORRECT).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_hits_target_rates(spark):
+    """Hash sampling must land near the configured per-language rates
+    (exact in expectation; tolerance ~4/sqrt(n) absolute)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.curation import (
+        SAMPLE_RATES,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in QUERIES["stratified_sample_docs"](spark, SF_CORRECT)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES.get(lang, SAMPLE_RATES["__default__"])
+        got = kept.get(lang, 0) / total
+        tol = 4.0 / (total**0.5)
+        assert abs(got - rate) < tol, f"{lang}: {got:.3f} vs {rate} (tol {tol:.3f})"
+
+
+def test_label_centroids_partial_agg_plan(spark):
+    """Centroid agg must run map-side partial aggregation on the exploded
+    (label, dim) rows - one hash shuffle plus the output sort - and return
+    exactly n_labels x n_dims rows."""
+    df = QUERIES["label_centroids"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert plans.num_shuffles(df) <= 2
+    assert plan.count("HashAggregate") >= 2, "partial + final agg expected"
+    rows = df.collect()
+    labels = {r.label for r in rows}
+    dims = {r.dim for r in rows}
+    assert len(rows) == len(labels) * len(dims)
+
+
+def test_corpus_curation_bounded_shuffles(spark):
+    """Curation = projections -> fingerprint dedup window -> lang agg:
+    at most three shuffles (fp window, lang agg, output sort)."""
+    df = QUERIES["corpus_curation_stats"](spark, SF_CORRECT)
+    assert plans.num_shuffles(df) <= 3
+    assert "SinglePartition" not in plans.executed_plan(df)
+
+
+def test_curation_drops_low_quality_and_duplicates(spark):
+    """The curated corpus must be smaller than the raw per-lang counts
+    (quality gate + dedup both engage on the fixture)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    raw = {
+        r.lang: r.n
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cur = {r.lang: r.n_docs for r in QUERIES["corpus_curation_stats"](spark, SF_CORRECT).collect()}
+    assert sum(cur.values()) < sum(raw.values())
+    for lang, n in cur.items():
+        assert 0 < n <= raw[lang]
