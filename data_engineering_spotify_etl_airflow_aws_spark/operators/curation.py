@@ -185,15 +185,22 @@ _MIN_TOKENS = 10
 )
 def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.md5(F.array_join(toks, " ").cast("binary")).alias("fp_norm"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-        _stop_hits(toks, _STOP_EN).alias("n_stop"),
-    ).where(F.col("n_tokens") >= _MIN_TOKENS)
+    # token array bound ONCE as its own column: inlining tokens("text")
+    # into each of the four consumers re-runs the regex split per
+    # expression (Catalyst does not CSE non-cheap projections)
+    t = F.col("t")
+    base = (
+        docs.select("doc_id", "lang", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(t).alias("n_tokens"),
+            F.md5(F.array_join(t, " ").cast("binary")).alias("fp_norm"),
+            F.size(F.array_distinct(t)).alias("n_uniq"),
+            _stop_hits(t, _STOP_EN).alias("n_stop"),
+        )
+        .where(F.col("n_tokens") >= _MIN_TOKENS)
+    )
     nt = F.col("n_tokens").cast("double")
     quality = (
         F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))

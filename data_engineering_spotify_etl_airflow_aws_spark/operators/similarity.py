@@ -260,11 +260,39 @@ def _duck_bucket(emb: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# previous invocation's persisted signature table, released on next call
+_SIG_CACHE: list[DataFrame] = []
+
+
 def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
     """Core LSH near-dup: v must have (vec_id, emb: array<double>).
     Reused by tests with planted duplicates; the fixture's own answer at
-    tau=0.9 is empty (near-uniform sphere)."""
-    sig = v.select("vec_id", "emb", _spark_bucket(F.col("emb")).alias("bucket"))
+    tau=0.9 is empty (near-uniform sphere).
+
+    The signature table carries each vector's l2 norm so the verify join
+    multiplies two scalars per pair instead of re-folding both arrays
+    (norms are per-VECTOR work, not per-PAIR - the distinction that
+    matters when a hot bucket holds b vectors and b^2/2 pairs); the same
+    IEEE ops still run per pair (dot, norm product, divide), so scores
+    are bit-identical to the inline-cosine form and the oracle. sig is
+    persisted across its self-join sides (16x64 multiply-adds per row
+    would otherwise run twice)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions import dot, l2_norm
+
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    sig = v.select(
+        "vec_id",
+        "emb",
+        _spark_bucket(F.col("emb")).alias("bucket"),
+        l2_norm(F.col("emb")).alias("nrm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIG_CACHE.append(sig)
+    score = dot(F.col("x.emb"), F.col("y.emb")) / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
     cand = (
         sig.alias("x")
         .join(
@@ -275,7 +303,7 @@ def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            cosine(F.col("x.emb"), F.col("y.emb")).alias("score"),
+            score.alias("score"),
         )
     )
     return cand.where(F.col("score") >= tau).orderBy("vec_a", "vec_b")

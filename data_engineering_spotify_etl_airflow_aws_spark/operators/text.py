@@ -79,18 +79,27 @@ _OT = ORACLE_TOKENS.format(col="text")
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars_m"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.aggregate(
-            F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
-        ).alias("sum_tok_len"),
-        _stop_hits(toks, _STOP_EN).alias("n_stop"),
-    ).where(F.col("n_tokens") > 0)
+    # token array projected once, then consumed as a bound attribute by
+    # the four stat expressions (avoids 4x regex re-tokenization per row)
+    t = F.col("t")
+    d = (
+        docs.select(
+            "doc_id", "lang", F.length("text").alias("n_chars_m"),
+            tokens("text").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars_m",
+            F.size(t).alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_uniq"),
+            F.aggregate(
+                F.transform(t, F.length), F.lit(0), lambda acc, v: acc + v
+            ).alias("sum_tok_len"),
+            _stop_hits(t, _STOP_EN).alias("n_stop"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
     nt = F.col("n_tokens").cast("double")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     return d.select(
@@ -170,13 +179,14 @@ def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    d = docs.select(
+    # tokenize once; the three profile counters consume the bound column
+    t = F.col("t")
+    d = docs.select("doc_id", "lang", tokens("text").alias("t")).select(
         "doc_id",
         "lang",
-        _stop_hits(toks, _STOP_EN).alias("hits_en"),
-        _stop_hits(toks, _STOP_DE).alias("hits_de"),
-        _stop_hits(toks, _STOP_ES).alias("hits_es"),
+        _stop_hits(t, _STOP_EN).alias("hits_en"),
+        _stop_hits(t, _STOP_DE).alias("hits_de"),
+        _stop_hits(t, _STOP_ES).alias("hits_es"),
     )
     pred = (
         F.when(

@@ -85,11 +85,11 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     chunks = base / "chunks"
 
-    # 8 time-bucketed chunk files; identical ts keys (original + its dup)
+    # 6 time-bucketed chunk files; identical ts keys (original + its dup)
     # land in the same range partition by construction.
     (
         events_with_planted_dups(spark, sf_dir)
-        .repartitionByRange(8, "ts")
+        .repartitionByRange(6, "ts")
         .sortWithinPartitions("ts", "event_id")
         .write.parquet(str(chunks))
     )
@@ -99,7 +99,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("parquet")
         .option("path", str(base / "data"))
         .option("checkpointLocation", str(base / "checkpoint"))
-        .option("maxFilesPerTrigger", "2")  # several real micro-batches
+        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch, bounded
         .trigger(availableNow=True)
         .start()
     )
