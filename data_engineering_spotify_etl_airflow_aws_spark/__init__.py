@@ -58,7 +58,6 @@ AUDIT_FIRST: list[str] = [
     "point_lookup_series",
     "star_join_agg",
     "dedup_earliest_survivor",
-    "date_cast_cascade",
     # -- §2b: event-time windows
     "tumbling_window_agg",
     # -- §2b: dedup family
@@ -66,6 +65,7 @@ AUDIT_FIRST: list[str] = [
     "ngram_jaccard_near_dup",
     "minhash_lsh_near_dup",
     "simhash_fingerprints",
+    "dedup_clusters",
     # -- §2b: similarity search family
     "topk_similar_per_query",
     "ivf_topk_similar",
@@ -110,6 +110,7 @@ def load_all_operators() -> None:
         multimodal,
         temporal,
         curation,
+        clusters,
         extras,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401

@@ -1,0 +1,165 @@
+"""Near-duplicate cluster resolution: connected components over the
+near-dup pair graph, producing one canonical doc per cluster.
+
+The reference dedups by single-column key only (drop_duplicates,
+P:108/P:130). A pretraining-corpus pipeline needs the transitive closure:
+near-dup PAIRS (dedup.py) say a~b and b~c, so {a,b,c} must collapse to one
+survivor even when a and c never matched directly. That closure is exactly
+connected components on the pair graph.
+
+Spark plan (iterative min-label propagation + pointer jumping):
+  labels start as each node's own id; each round every node takes the min
+  of its neighbors' labels (one hop), then replaces its label by its
+  label's label (pointer jump). Labels are monotone non-increasing and
+  lower-bounded by the component minimum, and pointer jumping halves the
+  remaining path length, so the loop converges in O(log(diameter)) rounds
+  to cluster_id = min(doc_id in component) - fully deterministic, no
+  tie-breaking needed.
+
+Driver involvement: ONE 8-byte scalar per round (a decimal checksum of the
+label column) to detect the fixpoint - the standard shape for iterative
+graph algorithms (GraphX/GraphFrames do the same); no row data ever
+reaches the driver. The oracle is a DuckDB recursive CTE over the same
+edges, so the iterative plan is value-checked end to end, not rows-only.
+
+Scale notes (100 TB):
+  * each round is equi-join + partial-agg shuffles on node id - a uniform
+    high-entropy key; no broadcast of anything O(nodes).
+  * rounds are O(log diameter); near-dup components are shallow (planted
+    fixture clusters converge in 2 rounds, the cap of 15 covers diameters
+    beyond 2^15 after jumping).
+  * label state is one (node, lbl) row per doc, persisted MEMORY_AND_DISK,
+    released on the next call (same lifecycle as dedup.py's shingle base).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
+
+from ..registry import query
+from ..tables import load_table
+from .dedup import _DUCK_SHINGLE_BASE, JACCARD_TAU, ngram_jaccard_near_dup
+
+_CC_CACHE: list[DataFrame] = []
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Distributed connected components. `nodes` supplies one row per
+    vertex (isolated vertices become their own singleton component);
+    `edges` is undirected with one row per pair in either orientation.
+
+    Returns (node, lbl) where lbl = min(vertex id in the component). The
+    result references a persisted relation that stays valid until the next
+    connected-components call (module cache, dedup.py pattern).
+    """
+    while _CC_CACHE:
+        _CC_CACHE.pop().unpersist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # label(v) <= v holds throughout (init =, least() only lowers), so the
+    # decimal checksum strictly decreases iff any label moved this round.
+    checksum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).first()[0]
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        # hop: take the min label over incoming neighbors
+        msgs = (
+            und.join(labels, und.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        hop = labels.join(msgs, labels.node == msgs.dst, "left").select(
+            "node", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl")
+        )
+        # jump: label's label (always defined: every label is a vertex id)
+        nxt = (
+            hop.alias("x")
+            .join(hop.alias("y"), F.col("x.lbl") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.least("x.lbl", "y.lbl").alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cur = checksum(nxt)
+        labels.unpersist()
+        labels = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    und.unpersist()
+    _CC_CACHE.append(labels)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution over the EXACT n-gram Jaccard pairs (dedup.py): every
+# document labeled with its cluster's canonical doc (min doc_id) and the
+# cluster size; singletons keep their own id. The recursive-CTE oracle
+# proves the iterative Spark plan computes the true transitive closure.
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DUCK_SHINGLE_BASE}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE a.n_sh > 0 AND b.n_sh > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)))
+              >= {JACCARD_TAU}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
+    )

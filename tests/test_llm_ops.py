@@ -141,3 +141,24 @@ def test_approx_quantiles_close_to_exact(spark):
         a50, a95 = approx[k]
         assert abs(a50 - e50) <= 0.02 * max(1.0, abs(e50)), (k, a50, e50)
         assert abs(a95 - e95) <= 0.02 * max(1.0, abs(e95)), (k, a95, e95)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A 4-node path (1-2, 2-3, 3-4) plus an isolated node must collapse to
+    one component labeled by its min plus a singleton -- multi-hop closure,
+    which exercises the pointer-jumping rounds, not just direct pairs."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.clusters import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "a long, b long"
+    )
+    out = {
+        r.node: r.lbl
+        for r in connected_components(
+            nodes, edges, id_col="id", src="a", dst="b"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
