@@ -58,8 +58,8 @@ AUDIT_FIRST: list[str] = [
     "point_lookup_series",
     "star_join_agg",
     "dedup_earliest_survivor",
-    # -- §2b: event-time windows
-    "tumbling_window_agg",
+    # -- §2b: event-time windows / time series
+    "ts_gap_fill",
     # -- §2b: dedup family
     "dedup_exact_content",
     "ngram_jaccard_near_dup",

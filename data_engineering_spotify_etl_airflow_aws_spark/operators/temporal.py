@@ -41,6 +41,80 @@ from ..functions import dsum, oracle_dsum
 from ..registry import query
 from ..tables import load_table
 
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill: regularize each user's event stream onto
+# a daily grid (the hypertable-rollup shape). Daily totals where events
+# exist, n_events=0 on gap days, and the last observed daily total carried
+# forward. Spine bounds are PER USER (min..max observed day), so the grid
+# is data-driven, not a global constant.
+#
+# Scale notes (100 TB): the spine is built by sequence()+explode on the
+# per-user bounds - generation is distributed and proportional to output
+# size, never a driver loop or a cross join against a calendar dim. One
+# shuffle for the daily rollup, one equi-join spine x daily co-partitioned
+# on (user_id, day), one window for the forward fill. Forward fill via
+# last(ignorenulls) is O(1) running state per user - same plan family as
+# the as-of join below.
+
+
+@query(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               {oracle_dsum('value', 6)} AS day_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           coalesce(d.n_events, 0) AS n_events,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        dsum("value", scale=6, alias="day_value"),
+        F.count("*").alias("n_events"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
 
 def asof_join(
     probe: DataFrame,
