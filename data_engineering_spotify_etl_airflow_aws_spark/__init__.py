@@ -64,7 +64,6 @@ AUDIT_FIRST: list[str] = [
     "dedup_exact_content",
     "ngram_jaccard_near_dup",
     "minhash_lsh_near_dup",
-    "simhash_fingerprints",
     "dedup_clusters",
     # -- §2b: similarity search family
     "topk_similar_per_query",
@@ -75,6 +74,7 @@ AUDIT_FIRST: list[str] = [
     "token_counts_by_lang",
     "lang_id_stopword",
     "doc_fingerprints",
+    "token_ngram_vocab",
     # -- §2b: multimodal family
     "multimodal_content_dedup",
     "multimodal_metadata_stats",

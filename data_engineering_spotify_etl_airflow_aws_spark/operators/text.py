@@ -225,3 +225,53 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fp64"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram vocabulary: top-100 token bigrams by occurrence count with
+# document frequency - the vocab-building / n-gram-LM shape. Total order
+# (n_occurrences DESC, bigram ASC) makes the cut deterministic.
+#
+# Scale notes (100 TB): per-doc bigram construction is one projection (the
+# token array is bound once, then zip_with over shifted slices - same
+# pattern as the shingle base in dedup.py); the count is a partial-agg
+# shuffle on the bigram itself (high-entropy key, map-side combine), and
+# the top-k rides TakeOrderedAndProject, never a global sort.
+@query(
+    "token_ngram_vocab",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len({_OT}) >= 2 THEN
+                   list_transform(generate_series(1, len({_OT}) - 1),
+                                  i -> concat_ws(' ', ({_OT})[i], ({_OT})[i+1]))
+               ELSE [] END) AS bigram
+        FROM documents
+    )
+    SELECT bigram,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM bg GROUP BY 1
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 100
+    """,
+)
+def token_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(100)
+    )
