@@ -79,7 +79,6 @@ AUDIT_FIRST: list[str] = [
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
     "multimodal_digest_features",
-    "multimodal_frame_sample",
     # -- round-3 additions (first driver audit this round)
     "asof_join_purchase_click",
     "promo_range_join",
@@ -87,6 +86,7 @@ AUDIT_FIRST: list[str] = [
     "label_centroids",
     "corpus_curation_stats",
     "stream_dedup_events",
+    "merge_upsert_customer",
     # -- rewritten since the r02 audit (distributed exact ntile;
     #    scale-safe argmax key)
     "ntile_price_deciles",
@@ -111,6 +111,7 @@ def load_all_operators() -> None:
         temporal,
         curation,
         clusters,
+        merge,
         extras,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401

@@ -1,0 +1,116 @@
+"""MERGE / upsert: apply a change set onto a dimension (warehouse SCD1).
+
+The reference's warehouse tier only ever appends (COPY INTO / Snowpipe,
+spotify-analysis.sql:58-74); a real dim needs MERGE: update matched keys,
+insert unmatched ones, keep the rest. Spark has no MERGE statement outside
+table formats (Delta/Iceberg), so the engine expresses it as the canonical
+full-outer-join rewrite - which is exactly what those formats execute
+underneath.
+
+The change set here is itself derived: each user's LATEST event value
+(deterministic argmax via row_number over (ts DESC, event_id DESC)),
+applied to the customer dim's account balance.
+
+Scale notes (100 TB):
+  * change-set derivation: one window shuffle on user_id.
+  * the merge: one sort-merge full-outer join on the dim key. No
+    broadcast of anything O(dim).
+  * on a real lakehouse table this plan feeds a partition-overwrite
+    (copy-on-write) of only the partitions containing touched keys -
+    the join output carries merge_action so the writer can skip
+    'kept' partitions; the relational result below is the part every
+    format shares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import query
+from ..tables import load_table
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    set_cols: dict[str, str],
+    insert_defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Generic SCD1 merge: rows of `changes` update matching `base` rows'
+    `set_cols` (base_col <- change_col) and insert new keys; untouched
+    base rows pass through. Adds merge_action in {kept, updated, inserted}.
+    """
+    insert_defaults = insert_defaults or {}
+    b = base.alias("b")
+    c = changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    matched = F.col(f"c.{key}").isNotNull()
+    in_base = F.col(f"b.{key}").isNotNull()
+    out = [F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)]
+    for col in base.columns:
+        if col == key:
+            continue
+        expr = F.col(f"b.{col}")
+        if col in set_cols:
+            expr = F.when(matched, F.col(f"c.{set_cols[col]}")).otherwise(expr)
+        elif col in insert_defaults:
+            expr = F.when(in_base, expr).otherwise(insert_defaults[col])
+        out.append(expr.alias(col))
+    action = (
+        F.when(~matched, F.lit("kept"))
+        .when(~in_base, F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return joined.select(*out, action.alias("merge_action"))
+
+
+@query(
+    "merge_upsert_customer",
+    oracle="""
+    WITH upd AS (
+        SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(c.c_custkey, u.user_id) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN '(new)' ELSE c.c_name END
+               AS c_name,
+           CASE WHEN u.user_id IS NULL THEN c.c_acctbal ELSE u.value END
+               AS c_acctbal,
+           CASE WHEN u.user_id IS NULL THEN 'kept'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.user_id
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event value per user MERGEd into customer.c_acctbal."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    upd = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("user_id").alias("c_custkey"), F.col("value"))
+    )
+    merged = merge_upsert(
+        cust,
+        upd,
+        key="c_custkey",
+        set_cols={"c_acctbal": "value"},
+        insert_defaults={"c_name": F.lit("(new)")},
+    )
+    return merged.orderBy("c_custkey")
