@@ -66,9 +66,9 @@ AUDIT_FIRST: list[str] = [
     "minhash_lsh_near_dup",
     "dedup_clusters",
     # -- §2b: similarity search family
-    "topk_similar_per_query",
     "ivf_topk_similar",
     "embedding_near_dup_pairs",
+    "embedding_quantize_int8",
     # -- §2b: text analysis family
     "text_quality_stats",
     "token_counts_by_lang",
@@ -78,7 +78,6 @@ AUDIT_FIRST: list[str] = [
     # -- §2b: multimodal family
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
-    "multimodal_digest_features",
     # -- round-3 additions (first driver audit this round)
     "asof_join_purchase_click",
     "promo_range_join",
@@ -87,6 +86,7 @@ AUDIT_FIRST: list[str] = [
     "corpus_curation_stats",
     "stream_dedup_events",
     "merge_upsert_customer",
+    "scd2_user_value_history",
     # -- rewritten since the r02 audit (distributed exact ntile;
     #    scale-safe argmax key)
     "ntile_price_deciles",

@@ -114,3 +114,68 @@ def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_defaults={"c_name": F.lit("(new)")},
     )
     return merged.orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2: change-point history. Each user's event stream becomes versioned
+# rows: only events whose value differs from the previous one open a new
+# version; valid_from/valid_to (exclusive, microseconds) come from lead(),
+# the open version has valid_to NULL. This is the full slowly-changing-
+# dimension shape the SCD1 merge above collapses to "latest only".
+#
+# Scale notes (100 TB): two windows over the SAME (user_id ORDER BY ts,
+# event_id) sort - Catalyst reuses one shuffle+sort for both (lag for
+# change detection, lead/row_number after the filter re-sorts only the
+# surviving change points). No joins, no driver state.
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+               lag(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_value
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, value, ts_us, event_id FROM ordered
+        WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS version_no,
+           value,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS valid_to_us,
+           (lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) IS NULL) AS is_current
+    FROM changes
+    ORDER BY user_id, version_no
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w_ev = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_value", F.lag("value").over(w_ev))
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select("user_id", "value", "ts_us", "event_id")
+    )
+    w_ch = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w_ch).alias("version_no"),
+            "value",
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w_ch).alias("valid_to_us"),
+            F.lead("ts_us").over(w_ch).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version_no")
+    )

@@ -322,3 +322,54 @@ def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Int8 vector quantization: per-vector absmax scaling (q = round(x*127/s),
+# s = max|x|), the storage-compression step an embedding store runs before
+# ANN indexing (4x smaller than float32, 8x than the double math above).
+# Emitted exploded as (vec_id, dim_idx, q_val) + the per-vector scale so
+# the driver's value-hash covers every component, not an opaque array.
+#
+# Scale notes (100 TB): pure per-row projection + posexplode fan-out -
+# embarrassingly parallel, no shuffle at all before the output sort (which
+# exists only for the deterministic driver hash; a production writer would
+# keep the quantized array packed, one row per vector, unsorted).
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM base
+    )
+    SELECT vec_id, scale, i - 1 AS dim_idx,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(round(v[i] * 127 / scale) AS BIGINT) END AS q_val
+    FROM scaled, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    ORDER BY vec_id, dim_idx
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, F.abs)).alias("scale"),
+    )
+    q = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.round(x * 127 / F.col("scale")).cast("bigint")
+        ),
+    )
+    return (
+        base.select("vec_id", "scale", F.posexplode(q).alias("dim_idx", "q_val"))
+        .orderBy("vec_id", "dim_idx")
+    )
