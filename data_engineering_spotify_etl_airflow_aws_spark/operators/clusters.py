@@ -151,12 +151,22 @@ def connected_components(
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    # Iterate ONLY over edge endpoints (docs that matched some pair) -
+    # singletons never change label, so they join back in one pass after
+    # the fixpoint. Near-dup endpoints are a tiny fraction of the corpus,
+    # which shrinks every iteration frame by orders of magnitude.
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     labels = connected_components(
-        docs, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+        endpoints, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
     return (
-        labels.select(
-            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id")
         )
         .withColumn(
             "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))

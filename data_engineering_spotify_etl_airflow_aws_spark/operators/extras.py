@@ -381,3 +381,125 @@ def latest_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "except_small_orders",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_quantity > 45
+    ORDER BY o_orderkey
+    """,
+)
+def except_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) - orders none of whose lineitems
+    exceed quantity 45; the set-difference twin of the INTERSECT above,
+    completing the set-operator tier."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.subtract(big).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS beyond rollup/cube: an explicit, non-hierarchical set list
+# ((segment, nation), (segment), (nation)) - note no grand total, so
+# neither ROLLUP nor CUBE can express it. grouping_id() keys which set a
+# row belongs to (same disambiguation contract as the rollup/cube queries).
+@query(
+    "grouping_sets_seg_nation",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT)
+               AS gid
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment),
+                            (c_nationkey))
+    ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+)
+def grouping_sets_seg_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupingSets(
+            [["c_mktsegment", "c_nationkey"], ["c_mktsegment"], ["c_nationkey"]],
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.grouping_id("c_mktsegment", "c_nationkey").alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative-rank windows: percent_rank + cume_dist per segment (the
+# distribution-position twins of the ntile bucketing above). Partitioned
+# by segment, so no single-partition window; ties share ranks, and the
+# (acctbal, custkey) tiebreaker keeps every rank deterministic anyway.
+@query(
+    "percent_rank_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS pct_rank,
+           cume_dist() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS cume
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (width_bucket shape): document length distribution
+# per language - the curation dashboard's first plot. Bucket arithmetic in
+# exact integers (n_chars div 500), capped at bucket 10, so both engines
+# bin identically; one low-cardinality partial agg, no shuffle of docs.
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(least(n_chars // 500, 10) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, len_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 500"), F.lit(10).cast("bigint"))
+    return (
+        docs.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
