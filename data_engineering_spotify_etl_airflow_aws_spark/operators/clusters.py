@@ -47,16 +47,20 @@ _CC_CACHE: list[DataFrame] = []
 
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     id_col: str,
     src: str,
     dst: str,
     max_rounds: int = 15,
 ) -> DataFrame:
-    """Distributed connected components. `nodes` supplies one row per
+    """Distributed connected components. `edges` is undirected with one
+    row per pair in either orientation. `nodes` supplies one row per
     vertex (isolated vertices become their own singleton component);
-    `edges` is undirected with one row per pair in either orientation.
+    pass None to derive the vertex set from the edges - CRUCIALLY, the
+    derived set reads the PERSISTED undirected-edge relation, so an
+    expensive upstream edge plan (e.g. the Jaccard pair join) is
+    materialized exactly once, not once per downstream consumer.
 
     Returns (node, lbl) where lbl = min(vertex id in the component). The
     result references a persisted relation that stays valid until the next
@@ -70,8 +74,12 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    if nodes is None:
+        vertices = und.select(F.col("src").alias("node")).distinct()
+    else:
+        vertices = nodes.select(F.col(id_col).alias("node"))
+    labels = vertices.select(
+        "node", F.col("node").alias("lbl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # label(v) <= v holds throughout (init =, least() only lowers), so the
     # decimal checksum strictly decreases iff any label moved this round.
@@ -151,17 +159,13 @@ def connected_components(
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    # Iterate ONLY over edge endpoints (docs that matched some pair) -
-    # singletons never change label, so they join back in one pass after
-    # the fixpoint. Near-dup endpoints are a tiny fraction of the corpus,
-    # which shrinks every iteration frame by orders of magnitude.
-    endpoints = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # Iterate ONLY over edge endpoints (nodes=None: docs that matched some
+    # pair, derived from the persisted edge relation) - singletons never
+    # change label, so they join back in one pass after the fixpoint.
+    # Near-dup endpoints are a tiny fraction of the corpus, which shrinks
+    # every iteration frame by orders of magnitude.
     labels = connected_components(
-        endpoints, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+        None, pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
     return (
         docs.join(labels, docs.doc_id == labels.node, "left")
