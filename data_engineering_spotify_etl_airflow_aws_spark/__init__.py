@@ -50,11 +50,10 @@ AUDIT_FIRST: list[str] = [
     "rest_api_songs",
     "session_window_agg",
     "streaming_ingest_songs",
-    # -- §2a operator evidence on the TPC-H-ish fixtures
-    "count_star",
-    "recent_topk",
-    "group_avg_join",
-    "filter_group_count_topk",
+    # -- §2a operator evidence on the TPC-H-ish fixtures (count_star /
+    #    recent_topk / group_avg_join / filter_group_count_topk yielded
+    #    their slots to the round-3 filtering family: all four were
+    #    hash-green in CORRECTNESS_r02.json and are unchanged since)
     "point_lookup_series",
     "star_join_agg",
     "dedup_earliest_survivor",
@@ -79,6 +78,10 @@ AUDIT_FIRST: list[str] = [
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
     # -- round-3 additions (first driver audit this round)
+    "pii_scrub_docs",
+    "doc_repetition_stats",
+    "benchmark_decontam_overlap",
+    "tfidf_top_terms",
     "asof_join_purchase_click",
     "promo_range_join",
     "stratified_sample_docs",
@@ -112,6 +115,7 @@ def load_all_operators() -> None:
         curation,
         clusters,
         merge,
+        filtering,
         extras,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401

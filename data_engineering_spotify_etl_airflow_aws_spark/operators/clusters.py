@@ -22,14 +22,25 @@ graph algorithms (GraphX/GraphFrames do the same); no row data ever
 reaches the driver. The oracle is a DuckDB recursive CTE over the same
 edges, so the iterative plan is value-checked end to end, not rows-only.
 
+Lineage MUST be truncated every round (localCheckpoint), not merely
+persisted: the pointer-jump self-join references the hop relation twice,
+so round r's ANALYZED plan holds 2^r copies of the full upstream tree
+(including the expensive edge-producing join). Caching short-circuits
+execution but Catalyst still walks the whole logical plan - measured
+2.8s/9.8s/~40s for rounds 0/1/2 at sf0.1 before truncation, <1s/round
+after. localCheckpoint (executor-local, no HDFS dir) is the right tool
+on a long-lived session; a fault-tolerant production run would point
+spark.sparkContext.setCheckpointDir at durable storage and use
+checkpoint() with the same plan shape.
+
 Scale notes (100 TB):
   * each round is equi-join + partial-agg shuffles on node id - a uniform
     high-entropy key; no broadcast of anything O(nodes).
   * rounds are O(log diameter); near-dup components are shallow (planted
     fixture clusters converge in 2 rounds, the cap of 15 covers diameters
     beyond 2^15 after jumping).
-  * label state is one (node, lbl) row per doc, persisted MEMORY_AND_DISK,
-    released on the next call (same lifecycle as dedup.py's shingle base).
+  * label state is one (node, lbl) row per doc, checkpointed per round;
+    superseded rounds' blocks are freed when their DataFrames are GC'd.
 """
 
 from __future__ import annotations
@@ -37,13 +48,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
-from pyspark.storagelevel import StorageLevel
 
 from ..registry import query
 from ..tables import load_table
 from .dedup import _DUCK_SHINGLE_BASE, JACCARD_TAU, ngram_jaccard_near_dup
-
-_CC_CACHE: list[DataFrame] = []
 
 
 def connected_components(
@@ -58,21 +66,22 @@ def connected_components(
     row per pair in either orientation. `nodes` supplies one row per
     vertex (isolated vertices become their own singleton component);
     pass None to derive the vertex set from the edges - CRUCIALLY, the
-    derived set reads the PERSISTED undirected-edge relation, so an
+    derived set reads the CHECKPOINTED undirected-edge relation, so an
     expensive upstream edge plan (e.g. the Jaccard pair join) is
     materialized exactly once, not once per downstream consumer.
 
     Returns (node, lbl) where lbl = min(vertex id in the component). The
-    result references a persisted relation that stays valid until the next
-    connected-components call (module cache, dedup.py pattern).
+    result is an eagerly-materialized localCheckpoint relation (its blocks
+    are freed when the DataFrame is garbage-collected).
     """
-    while _CC_CACHE:
-        _CC_CACHE.pop().unpersist()
+    # Truncate lineage at the edge relation: every round's plan re-walks
+    # whatever sits above `und` during analysis, so an expensive upstream
+    # join (the Jaccard pair plan) must be cut out of the loop entirely.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     und = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     if nodes is None:
         vertices = und.select(F.col("src").alias("node")).distinct()
@@ -80,7 +89,7 @@ def connected_components(
         vertices = nodes.select(F.col(id_col).alias("node"))
     labels = vertices.select(
         "node", F.col("node").alias("lbl")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     # label(v) <= v holds throughout (init =, least() only lowers), so the
     # decimal checksum strictly decreases iff any label moved this round.
     checksum = lambda df: df.agg(  # noqa: E731
@@ -97,7 +106,9 @@ def connected_components(
         hop = labels.join(msgs, labels.node == msgs.dst, "left").select(
             "node", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl")
         )
-        # jump: label's label (always defined: every label is a vertex id)
+        # jump: label's label (always defined: every label is a vertex id).
+        # localCheckpoint both truncates the 2x-per-round plan growth of
+        # this self-join AND materializes nxt for the checksum read.
         nxt = (
             hop.alias("x")
             .join(hop.alias("y"), F.col("x.lbl") == F.col("y.node"))
@@ -105,18 +116,15 @@ def connected_components(
                 F.col("x.node").alias("node"),
                 F.least("x.lbl", "y.lbl").alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         cur = checksum(nxt)
-        labels.unpersist()
         labels = nxt
         if cur == prev:
             break
         prev = cur
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
-    und.unpersist()
-    _CC_CACHE.append(labels)
     return labels
 
 
@@ -160,7 +168,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     # Iterate ONLY over edge endpoints (nodes=None: docs that matched some
-    # pair, derived from the persisted edge relation) - singletons never
+    # pair, derived from the checkpointed edge relation) - singletons never
     # change label, so they join back in one pass after the fixpoint.
     # Near-dup endpoints are a tiny fraction of the corpus, which shrinks
     # every iteration frame by orders of magnitude.

@@ -1,0 +1,336 @@
+"""Corpus filtering / safety operators on the documents fixture.
+
+The reference's only row filters are scalar predicates (P5-P9,
+`spotify-analysis.sql:95-125`); a pretraining-corpus pipeline filters on
+CONTENT: PII redaction, repetition-based quality gating (Gopher-style),
+benchmark decontamination, and per-document salient-term extraction.
+These four queries extend SURVEY.md §2b's text-analysis family with the
+filtering surface a 100 TB curation run needs.
+
+Determinism contract:
+  * regexes restricted to syntax with identical semantics in Java regex
+    (Spark) and RE2 (DuckDB): character classes, \\d, \\b, {m,}, no
+    backrefs or lookaround.
+  * all ratio math is single-divide IEEE doubles from exact integers;
+    term weighting uses an UNLOGGED BM25-style idf
+    (N - df + 0.5)/(df + 0.5) because ln() is not guaranteed
+    correctly-rounded across libm implementations, while +,-,*,/ are -
+    scores hash bit-identical cross-engine.
+  * the PII fixture is planted IN-QUERY (docs with doc_id % 7 == 0 get a
+    deterministic email+url+ip suffix on both engines), so redaction
+    counts are non-trivial and fully oracle-checked without touching the
+    read-only testdata.
+
+Scale notes (100 TB):
+  * pii_scrub_docs: pure per-row projection - no shuffle at all.
+  * doc_repetition_stats: explode -> two partial-agg shuffles on
+    (doc_id, trigram) then doc_id - high-entropy keys, map-side combine.
+  * benchmark_decontam_overlap: the benchmark side is tiny by
+    construction (decontamination always checks against a fixed eval
+    suite), so its exploded n-gram set is BROADCAST - the corpus side
+    never shuffles; flagged docs come from one partial agg on doc_id.
+  * tfidf_top_terms: tf is one (doc_id, term) shuffle; df reuses the tf
+    relation (one more agg on term); N is a 1-row broadcast cross join
+    (never .collect()); top-5 is a per-doc window - partitioned by
+    doc_id, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import ORACLE_TOKENS, tokens
+from ..registry import query
+from ..tables import load_table
+
+_OT = ORACLE_TOKENS.format(col="text")
+
+
+def _spark_ngrams(t: str, n: int) -> str:
+    """SQL expr: list of space-joined token n-grams (NOT distinct) via
+    chained zip_with over shifted slices - the dedup.py shingle shape,
+    which keeps per-element cost O(1) (element_at inside a lambda re-wraps
+    the array per element, ~11x slower; dedup.py:72)."""
+    m = f"(size({t}) - {n - 1})"
+    acc = f"slice({t}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = f"zip_with({acc}, slice({t}, {k}, {m}), (x, y) -> concat(x, ' ', y))"
+    return f"CASE WHEN size({t}) >= {n} THEN {acc} ELSE array() END"
+
+
+def _duck_ngrams(t: str, n: int) -> str:
+    parts = ", ".join(f"{t}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. Scrub order is part of the contract (URL first so its
+# userinfo/host never half-matches the email pattern, then email, then
+# IPv4); each count is taken on the text the pattern actually sees.
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_scrub_docs",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com via http://example.org/u/'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.5'
+               ELSE text END AS txt
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(txt, '{_URL_RE}')) AS n_urls,
+               regexp_replace(txt, '{_URL_RE}', '<URL>', 'g') AS txt
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_urls,
+               len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS n_emails,
+               regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g') AS txt
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_urls, n_emails,
+               len(regexp_extract_all(txt, '{_IP_RE}')) AS n_ips,
+               regexp_replace(txt, '{_IP_RE}', '<IP>', 'g') AS txt
+        FROM s2
+    )
+    SELECT doc_id, n_urls, n_emails, n_ips,
+           md5(txt) AS scrubbed_fp, length(txt) AS scrubbed_len
+    FROM s3 ORDER BY doc_id
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via http://example.org/u/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".5"),
+        ),
+    ).otherwise(F.col("text"))
+    s1 = docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_URL_RE)).alias("n_urls"),
+        F.regexp_replace(aug, _URL_RE, "<URL>").alias("txt"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_urls",
+        F.regexp_count("txt", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_replace("txt", _EMAIL_RE, "<EMAIL>").alias("txt"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        F.regexp_count("txt", F.lit(_IP_RE)).alias("n_ips"),
+        F.regexp_replace("txt", _IP_RE, "<IP>").alias("txt"),
+    )
+    return s3.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        "n_ips",
+        F.md5(F.col("txt").cast("binary")).alias("scrubbed_fp"),
+        F.length("txt").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition gate: per-doc duplicate-trigram fraction and
+# top-trigram mass. keep_flag applies the published-style threshold (most
+# repeated trigram <= 20% of all trigrams).
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_duck_ngrams('t', 3)} AS tg
+        FROM (SELECT doc_id, {_OT} AS t FROM documents)
+    ),
+    e AS (
+        SELECT doc_id, len(tg) AS n_trigrams, unnest(tg) AS tg
+        FROM t WHERE len(tg) > 0
+    ),
+    c AS (
+        SELECT doc_id, n_trigrams, tg, count(*) AS cnt
+        FROM e GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_trigrams,
+           count(*) AS n_uniq_trigrams,
+           max(cnt) AS top_trigram_count,
+           CAST(n_trigrams - count(*) AS DOUBLE) / n_trigrams AS dup_frac,
+           CAST(max(cnt) AS DOUBLE) / n_trigrams AS top_frac,
+           CASE WHEN CAST(max(cnt) AS DOUBLE) / n_trigrams <= 0.2
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM c GROUP BY doc_id, n_trigrams ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.expr(_spark_ngrams("t", 3)).alias("tg"))
+        .where(F.size("tg") > 0)
+        .select(
+            "doc_id",
+            F.size("tg").alias("n_trigrams"),
+            F.explode("tg").alias("tg"),
+        )
+    )
+    c = e.groupBy("doc_id", "n_trigrams", "tg").agg(F.count("*").alias("cnt"))
+    top_frac = F.max("cnt").cast("double") / F.col("n_trigrams")
+    return (
+        c.groupBy("doc_id", "n_trigrams")
+        .agg(
+            F.count("*").alias("n_uniq_trigrams"),
+            F.max("cnt").alias("top_trigram_count"),
+            (
+                (F.col("n_trigrams") - F.count("*")).cast("double")
+                / F.col("n_trigrams")
+            ).alias("dup_frac"),
+            (F.max("cnt").cast("double") / F.col("n_trigrams")).alias("top_frac"),
+            F.when(top_frac <= 0.2, 1).otherwise(0).alias("keep_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any token 5-gram
+# with the held-out benchmark split (doc_id % 50 == 0 - decontamination
+# always runs against a small fixed eval suite, hence the broadcast).
+@query(
+    "benchmark_decontam_overlap",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, list_distinct({_duck_ngrams('t', 5)}) AS g
+        FROM (SELECT doc_id, {_OT} AS t FROM documents)
+    ),
+    gg AS (
+        SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
+        FROM g WHERE len(g) > 0
+    ),
+    bench AS (SELECT doc_id AS bench_doc, gram FROM gg WHERE doc_id % 50 = 0),
+    corp AS (
+        SELECT doc_id, n_grams, gram FROM gg WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram) AS n_shared_ngrams,
+           count(DISTINCT b.bench_doc) AS n_bench_docs,
+           CAST(count(DISTINCT c.gram) AS DOUBLE) / c.n_grams AS contam_frac
+    FROM corp c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id, c.n_grams ORDER BY c.doc_id
+    """,
+)
+def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(_spark_ngrams("t", 5))).alias("g"),
+        )
+        .where(F.size("g") > 0)
+    )
+    bench = base.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc"), F.explode("g").alias("gram")
+    )
+    corp = base.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.size("g").alias("n_grams"), F.explode("g").alias("gram")
+    )
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_ngrams"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+        .select(
+            "doc_id",
+            "n_shared_ngrams",
+            "n_bench_docs",
+            (F.col("n_shared_ngrams").cast("double") / F.col("n_grams")).alias(
+                "contam_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc salient terms: top-5 by tf x unlogged-BM25 idf, with a total
+# order (score DESC, term ASC) so the cut is deterministic.
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_OT}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf AS DOUBLE)
+                   * (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk
+    FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .orderBy("doc_id", "rnk")
+    )
