@@ -503,3 +503,111 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE rolling aggregate: per-user 7-day trailing sum/count/avg.
+# RANGE frames are tie-insensitive (all peers within the bound are in the
+# frame regardless of their order), and the sum accumulates in exact
+# DECIMAL, so the result is deterministic cross-engine without any
+# tiebreaker gymnastics. One shuffle on user_id; the frame scan is a
+# per-partition sorted sliding window, never a second exchange.
+@query(
+    "rolling_value_7d",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+           count(*) OVER w AS n_7d,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_7d,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               / count(*) OVER w AS avg_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    # no output sort: full-table projection, driver hash is order-insensitive
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        n.alias("n_7d"),
+        dec_sum.alias("sum_7d"),
+        (dec_sum / n).alias("avg_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-scalar-subquery shape ("orders above this customer's average"):
+# expressed as ONE window over o_custkey instead of the naive
+# aggregate-then-self-join, which would shuffle the fact table twice.
+# The mean is an exact decimal sum / count (davg contract, scale 2).
+@query(
+    "orders_above_cust_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    # no output sort: ~half the fact table, driver hash is order-insensitive
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg")
+    ).where(F.col("o_totalprice") > F.col("cust_avg"))
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts over per-user event sequences: lag(event_type)
+# over (user, time) then count per (prev, curr) - the funnel/next-action
+# shape. NULL prev_type = sequence start. One window shuffle on user_id,
+# then a partial-agg shuffle on the tiny (prev, curr) key space.
+@query(
+    "event_transition_counts",
+    oracle="""
+    SELECT prev_type, event_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type NULLS FIRST, event_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("prev_type"), "event_type")
+    )
