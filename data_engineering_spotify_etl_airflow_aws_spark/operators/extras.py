@@ -264,14 +264,25 @@ def intersect_segment_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2. rows get their band via a broadcast of the 1-row boundary array -
 #      the fact table never shuffles for the assignment;
 #   3. ONE wide shuffle: row_number per band (reducers = bands, each
-#      sorting ~1/_N_BANDS of the data);
-#   4. band counts -> cumulative offsets via a broadcast triangular
-#      self-join on the tiny per-band count table (no single-partition
-#      window anywhere in the plan);
+#      sorting ~1/n_bands of the data);
+#   4. band counts -> cumulative offsets + grand total via ONE window
+#      cumsum over the n_bands-row count table. That window is
+#      single-partition, but over a relation whose size is the BAND
+#      COUNT, not the data - bounded by construction, so it is not the
+#      global-sort scale-killer the naive ntile plan had. (Round-3 shape
+#      used a broadcast triangular self-join here; same result, three
+#      more stages - round-4 verdict item.)
 #   5. global rank = offset + local rank; ntile's exact bucket arithmetic
 #      (first n%10 deciles get one extra row) reproduces ntile(10) row for
 #      row, verified by the unchanged ntile oracle.
-_N_BANDS = 32
+#
+# Band count scales with the scan partitioning (~128 MB splits by
+# spark.sql.files.maxPartitionBytes): ~2 bands per split keeps each
+# band's sort at roughly half an input split regardless of data volume,
+# so the plan that runs on one parquet file at sf0.1 is the same plan
+# that runs on 100k files at 100 TB.
+_MIN_BANDS = 8
+_MAX_BANDS = 65536
 
 
 @query(
@@ -290,9 +301,12 @@ _N_BANDS = 32
 )
 def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    probs = [i / _N_BANDS for i in range(1, _N_BANDS)]
+    n_bands = max(_MIN_BANDS, min(_MAX_BANDS, 2 * len(o.inputFiles())))
+    probs = [i / n_bands for i in range(1, n_bands)]
     bounds = o.agg(
-        F.percentile_approx("o_totalprice", probs, 10_000).alias("_bounds")
+        F.percentile_approx(
+            "o_totalprice", probs, max(10_000, 4 * n_bands)
+        ).alias("_bounds")
     )
     # band = #boundaries strictly below the price: rows equal to a boundary
     # all land in the same band, so bands strictly respect the price order
@@ -308,15 +322,18 @@ def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = banded.withColumn("_lrn", F.row_number().over(wb))
 
     # counts come from the pre-window lineage: the heavy per-band sort never
-    # re-executes for the offset table (its agg is partial + tiny shuffle)
+    # re-executes for the offset table (its agg is partial + tiny shuffle);
+    # offsets + grand total ride ONE window pass over the n_bands-row table
     counts = banded.groupBy("_band").agg(F.count("*").alias("_bn"))
-    below = counts.select(F.col("_band").alias("_b2"), F.col("_bn").alias("_bn2"))
-    offsets = (
-        counts.join(F.broadcast(below), F.col("_b2") < F.col("_band"), "left")
-        .groupBy("_band")
-        .agg(F.coalesce(F.sum("_bn2"), F.lit(0)).alias("_off"))
+    w_cum = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_band").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    total = counts.agg(F.sum("_bn").alias("_n"))
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_bn").over(w_cum), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(w_all).alias("_n"),
+    )
 
     r = F.col("_off") + F.col("_lrn")
     q = F.floor(F.col("_n") / 10)
@@ -329,7 +346,6 @@ def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.join(F.broadcast(offsets), "_band")
-        .join(F.broadcast(total))
         .withColumn("decile", decile)
         .groupBy("decile")
         .agg(

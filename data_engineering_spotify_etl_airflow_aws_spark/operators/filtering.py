@@ -307,6 +307,18 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tf feeds both the df agg and the scored join, so the tokenize+agg
+    # executes twice. Two rewrites were measured and rejected (round-4):
+    # persist(MEMORY_AND_DISK) on tf costs MORE than the recompute at
+    # bench scale (1.46s vs 1.25s — materializing the wide doc_id×term
+    # relation dwarfs the cheap tokenize); computing df as
+    # count().over(Window.partitionBy("term")) removes the second pass
+    # but routes every tf row of a hot term into ONE unsplittable window
+    # partition — the groupBy keeps map-side partial agg and the
+    # tf⋈df sort-merge join stays AQE-skew-splittable, which the window
+    # shape is not. At true corpus scale the right lever is persisting
+    # tf to DISK_ONLY ahead of both consumers; at bench scale that
+    # trade inverts, so the declarative double-compute stands.
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")

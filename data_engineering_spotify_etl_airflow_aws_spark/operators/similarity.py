@@ -107,6 +107,11 @@ def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF top-k: inverted-file ANN with deterministic sampled centroids.
 # Assignment and probing are both broadcast joins against the C-row
 # centroid table; only vectors in the nprobe probed clusters are scored.
+
+# previous invocation's persisted embedding base, released on next call
+_IVF_CACHE: list[DataFrame] = []
+
+
 @query(
     "ivf_topk_similar",
     oracle=f"""
@@ -155,7 +160,17 @@ def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _emb(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    # The embedding base feeds four consumers (assign over all vectors,
+    # probe over queries, plus the q_emb/c_emb sides of the verify join);
+    # without a persist each one re-reads parquet and re-runs the
+    # array<float> -> array<double> cast. Same released-on-next-call
+    # pattern as _SIG_CACHE below (round-3 verdict #2).
+    while _IVF_CACHE:
+        _IVF_CACHE.pop().unpersist()
+    v = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _IVF_CACHE.append(v)
     cent = v.where(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REM).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_emb")
     )

@@ -29,6 +29,7 @@ driven explicitly.
 
 from __future__ import annotations
 
+import hashlib
 import shutil
 from pathlib import Path
 
@@ -83,16 +84,26 @@ def dedup_within_watermark_stream(
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path("/tmp/spark_graft_stream/events_dedup")
     shutil.rmtree(base, ignore_errors=True)
-    chunks = base / "chunks"
 
     # 6 time-bucketed chunk files; identical ts keys (original + its dup)
-    # land in the same range partition by construction.
-    (
-        events_with_planted_dups(spark, sf_dir)
-        .repartitionByRange(6, "ts")
-        .sortWithinPartitions("ts", "event_id")
-        .write.parquet(str(chunks))
+    # land in the same range partition by construction. The chunk content
+    # is a pure function of (sf_dir, _DUP_PRED), so it is written ONCE per
+    # sf_dir and reused across invocations (round-3 verdict #3: the
+    # per-run rebuild was bench noise masking the operator's real cost);
+    # only the streaming run below - the operator under test - gets a
+    # fresh checkpoint and output dir every time.
+    chunks = (
+        Path("/tmp/spark_graft_stream/events_dedup_chunks")
+        / hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
     )
+    if not (chunks / "_SUCCESS").exists():
+        shutil.rmtree(chunks, ignore_errors=True)  # partial previous write
+        (
+            events_with_planted_dups(spark, sf_dir)
+            .repartitionByRange(6, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.parquet(str(chunks))
+        )
 
     q = (
         dedup_within_watermark_stream(spark, str(chunks))
