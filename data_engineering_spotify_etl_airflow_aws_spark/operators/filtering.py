@@ -73,9 +73,18 @@ def _duck_ngrams(t: str, n: int) -> str:
 # PII redaction. Scrub order is part of the contract (URL first so its
 # userinfo/host never half-matches the email pattern, then email, then
 # IPv4); each count is taken on the text the pattern actually sees.
-_URL_RE = r"https?://[^\s]+"
+# Patterns stay inside the Java≡RE2 common subset (no lookarounds - RE2
+# has none) so Spark and the DuckDB oracle compile the same automaton:
+#   * URL: greedy \S+ but the final char must not be sentence punctuation,
+#     so "see http://x.org/p." redacts "http://x.org/p" not "...p.".
+#   * IPv4: octets constrained to 0-255 (25[0-5]|2[0-4]\d|1?\d?\d), so
+#     "999.999.999.999" no longer reads as an address. Version-ish dotted
+#     runs ("1.2.3.4.5" matching its first four fields) would need a
+#     trailing lookahead to reject - out of the RE2 subset; documented
+#     residual over-match.
+_URL_RE = r"https?://[^\s]*[^\s.,;:!?)\]}>\"]"
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_IP_RE = r"\b(?:25[0-5]|2[0-4]\d|1?\d?\d)(?:\.(?:25[0-5]|2[0-4]\d|1?\d?\d)){3}\b"
 
 
 @query(

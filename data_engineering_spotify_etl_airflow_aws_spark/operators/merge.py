@@ -38,12 +38,43 @@ def merge_upsert(
     key: str,
     set_cols: dict[str, str],
     insert_defaults: dict[str, Column] | None = None,
+    check_unique_key: bool = True,
 ) -> DataFrame:
     """Generic SCD1 merge: rows of `changes` update matching `base` rows'
     `set_cols` (base_col <- change_col) and insert new keys; untouched
     base rows pass through. Adds merge_action in {kept, updated, inserted}.
+
+    `changes` MUST be unique on `key`: the full-outer-join rewrite would
+    otherwise fan a matched base row out once per duplicate, silently
+    multiplying the dimension. Real MERGE engines (Delta/Iceberg) raise
+    on multiple matches; with `check_unique_key` (default) so does this
+    one, at execution time, via a per-key window count that raises on the
+    first key seen twice. The window partitions on the same key the join
+    shuffles on, so alias-aware output partitioning makes the guard a
+    zero-extra-exchange pass over the change set. Disable only when the
+    caller proves uniqueness upstream (e.g. a rn=1 slice) and the extra
+    sort matters.
     """
     insert_defaults = insert_defaults or {}
+    if check_unique_key:
+        kc = F.count("*").over(W.partitionBy(key))
+        changes = (
+            changes.withColumn("_key_cnt", kc)
+            .where(
+                F.when(F.col("_key_cnt") == 1, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_upsert: duplicate change-set key "
+                                f"'{key}' = "
+                            ),
+                            F.col(key).cast("string"),
+                        )
+                    )
+                )
+            )
+            .drop("_key_cnt")
+        )
     b = base.alias("b")
     c = changes.alias("c")
     joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")

@@ -153,3 +153,42 @@ def test_curation_drops_low_quality_and_duplicates(spark):
     assert sum(cur.values()) < sum(raw.values())
     for lang, n in cur.items():
         assert 0 < n <= raw[lang]
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark):
+    """MERGE semantics: a change set with two rows for one key must raise
+    (Delta/Iceberg raise on multiple matches; the full-outer-join rewrite
+    would otherwise silently fan the base row out). Unique keys pass."""
+    from pyspark.sql.utils import PythonException
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "z")], "k int, v string"
+    )
+    with pytest.raises(Exception, match="duplicate change-set key"):
+        merge_upsert(base, dup, key="k", set_cols={"v": "v"}).collect()
+
+    uniq = spark.createDataFrame([(1, "x"), (3, "z")], "k int, v string")
+    out = {
+        r.k: (r.v, r.merge_action)
+        for r in merge_upsert(
+            base, uniq, key="k", set_cols={"v": "v"}
+        ).collect()
+    }
+    assert out == {
+        1: ("x", "updated"),
+        2: ("b", "kept"),
+        3: ("z", "inserted"),
+    }
+
+    # opt-out path keeps the old fan-out behaviour for proven-unique input
+    assert (
+        merge_upsert(
+            base, dup, key="k", set_cols={"v": "v"}, check_unique_key=False
+        ).count()
+        == 4
+    )
