@@ -40,6 +40,8 @@ AUDIT_FIRST: list[str] = [
     "percent_rank_acctbal",
     "doc_length_histogram",
     "except_small_orders",
+    # -- new this round (first driver audit)
+    "song_added_tz_roundtrip",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -93,7 +95,6 @@ AUDIT_FIRST: list[str] = [
     "corpus_curation_stats",
     "merge_upsert_customer",
     "scd2_user_value_history",
-    "latest_order_per_segment",
 ]
 
 

@@ -127,3 +127,74 @@ def tokens(col: str | Column) -> Column:
 ORACLE_TOKENS = (
     "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
 )
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP_TZ analog (reference S:47 `song_added TIMESTAMP_TZ`).
+# Snowflake's TIMESTAMP_TZ stores (UTC instant, original offset); Spark's
+# TimestampType normalizes to a UTC instant and forgets the offset
+# (SURVEY §7 hard-part 1). The faithful analog is a column PAIR:
+# unix_micros(to_timestamp(s)) carries the instant, ts_offset_minutes(s)
+# carries the source offset, and format_ts_with_offset() reconstructs the
+# original rendering losslessly. All JVM-side builtins, no UDFs; the
+# arithmetic is session-timezone-proof because the only date_format call
+# renders a micros value that was ALREADY shifted to the source-local
+# clock (the session is pinned to UTC, session.RUNTIME_CONFS).
+
+_TS_OFFSET_RE = r"([+-])(\d{2}):(\d{2})$"
+
+
+def ts_offset_minutes(col: str | Column) -> Column:
+    """Signed minutes of an ISO-8601 string's UTC offset suffix.
+    'Z' (or no suffix) -> 0; '+05:30' -> 330; '-08:00' -> -480."""
+    c = F.col(col) if isinstance(col, str) else col
+    sign = F.when(F.regexp_extract(c, _TS_OFFSET_RE, 1) == "-", -1).otherwise(1)
+    hh = F.coalesce(
+        F.nullif(F.regexp_extract(c, _TS_OFFSET_RE, 2), F.lit("")).cast("int"),
+        F.lit(0),
+    )
+    mm = F.coalesce(
+        F.nullif(F.regexp_extract(c, _TS_OFFSET_RE, 3), F.lit("")).cast("int"),
+        F.lit(0),
+    )
+    return sign * (hh * 60 + mm)
+
+
+def format_ts_with_offset(utc_us: Column, offset_minutes: Column) -> Column:
+    """Render (UTC-instant micros, offset minutes) back to the original
+    ISO-8601 string: local clock = instant + offset, suffix = Z | ±HH:MM."""
+    local_us = utc_us + offset_minutes.cast("bigint") * F.lit(60_000_000)
+    clock = F.date_format(
+        F.timestamp_micros(local_us), "yyyy-MM-dd'T'HH:mm:ss"
+    )
+    abs_min = F.abs(offset_minutes)
+    suffix = F.when(offset_minutes == 0, F.lit("Z")).otherwise(
+        F.concat(
+            F.when(offset_minutes < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad((abs_min / 60).cast("int").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((abs_min % 60).cast("string"), 2, "0"),
+        )
+    )
+    return F.concat(clock, suffix)
+
+
+def oracle_ts_offset_minutes(expr: str) -> str:
+    """DuckDB SQL fragment matching ts_offset_minutes()."""
+    sgn = f"CASE WHEN regexp_extract({expr}, '([+-])(\\d{{2}}):(\\d{{2}})$', 1) = '-' THEN -1 ELSE 1 END"
+    hh = f"coalesce(try_cast(nullif(regexp_extract({expr}, '([+-])(\\d{{2}}):(\\d{{2}})$', 2), '') AS INT), 0)"
+    mm = f"coalesce(try_cast(nullif(regexp_extract({expr}, '([+-])(\\d{{2}}):(\\d{{2}})$', 3), '') AS INT), 0)"
+    return f"({sgn}) * (({hh}) * 60 + ({mm}))"
+
+
+def oracle_format_ts_with_offset(utc_us: str, offset_minutes: str) -> str:
+    """DuckDB SQL fragment matching format_ts_with_offset()."""
+    local = f"make_timestamp(({utc_us}) + CAST({offset_minutes} AS BIGINT) * 60000000)"
+    clock = f"strftime({local}, '%Y-%m-%dT%H:%M:%S')"
+    suffix = (
+        f"CASE WHEN ({offset_minutes}) = 0 THEN 'Z' ELSE "
+        f"concat(CASE WHEN ({offset_minutes}) < 0 THEN '-' ELSE '+' END, "
+        f"lpad(CAST(abs({offset_minutes}) // 60 AS VARCHAR), 2, '0'), ':', "
+        f"lpad(CAST(abs({offset_minutes}) % 60 AS VARCHAR), 2, '0')) END"
+    )
+    return f"concat({clock}, {suffix})"

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import to_date_cascade
+from ..functions import (
+    oracle_format_ts_with_offset,
+    oracle_ts_offset_minutes,
+    to_date_cascade,
+)
 from ..registry import query
 from .schemas import DUCK_RAW_COLUMNS, RAW_PLAYLIST_SCHEMA
 
@@ -458,3 +462,89 @@ def songs_export_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("scrape_date", "rank")
         .drop("scrape_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP_TZ offset preservation (reference S:47 `song_added
+# TIMESTAMP_TZ`; SURVEY §7 hard-part 1). Snowflake keeps each value's
+# original UTC offset; Spark's TimestampType normalizes to the instant.
+# The engine's analog is a column pair (UTC-instant micros, source offset
+# minutes) - functions.ts_offset_minutes / format_ts_with_offset - which
+# this query proves lossless: every playlist item's added_at is re-rendered
+# at a deterministic non-UTC source offset (rank-rotated through five real
+# zones, since the live feed only ever emits 'Z'), parsed back through the
+# pair representation, and reconstructed bit-identically. Pure projection,
+# no shuffle; the oracle parses independently via DuckDB's TIMESTAMPTZ.
+_TZ_OFFSETS = [-480, -300, 0, 330, 540]  # PST, EST, UTC, IST, JST
+
+_O_SRC_TS = oracle_format_ts_with_offset("song_added_us", "src_off")
+_O_OFF_MIN = oracle_ts_offset_minutes("src_ts")
+_O_RENDERED = oracle_format_ts_with_offset(
+    "song_added_us", "src_offset_minutes"
+)
+
+
+@query(
+    "song_added_tz_roundtrip",
+    oracle=_ORACLE_BASE
+    + f"""
+    , src AS (
+        SELECT song_id, rank, scrape_date,
+               {_O_SRC_TS} AS src_ts
+        FROM (
+            SELECT song_id, rank, scrape_date, song_added_us,
+                   ([{",".join(str(o) for o in _TZ_OFFSETS)}])[(rank % {len(_TZ_OFFSETS)}) + 1]
+                       AS src_off
+            FROM songs
+        )
+    ),
+    parsed AS (
+        SELECT song_id, rank, scrape_date, src_ts,
+               epoch_us(CAST(src_ts AS TIMESTAMPTZ)) AS song_added_us,
+               {_O_OFF_MIN} AS src_offset_minutes
+        FROM src
+    )
+    SELECT song_id, rank, scrape_date, src_ts, song_added_us,
+           src_offset_minutes,
+           {_O_RENDERED} AS rendered,
+           CAST({_O_RENDERED} = src_ts AS INT) AS roundtrip_ok
+    FROM parsed
+    ORDER BY scrape_date, rank
+    """,
+)
+def song_added_tz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf_dir unused: the raw inbox is its own fixture (as star_songs_fact).
+    Cites: snowflake-pipeline-query/spotify-analysis.sql:47 (TIMESTAMP_TZ),
+    Airflow-docker/dags/spotify-airflow-pipeline.py:149,158 (added_at)."""
+    from ..functions import format_ts_with_offset, ts_offset_minutes
+
+    ex = exploded_items(spark)
+    utc_us = F.unix_micros(F.to_timestamp("item.added_at"))
+    src_off = F.element_at(
+        F.array(*[F.lit(o) for o in _TZ_OFFSETS]),
+        (F.col("rank") % len(_TZ_OFFSETS) + 1).cast("int"),
+    )
+    src = ex.select(
+        F.col("item.track.id").alias("song_id"),
+        "rank",
+        "scrape_date",
+        format_ts_with_offset(utc_us, src_off).alias("src_ts"),
+    )
+    # the capability under test: src_ts is the ONLY timestamp input from
+    # here on - instant + offset both come back out of the string
+    parsed = src.select(
+        "song_id",
+        "rank",
+        "scrape_date",
+        "src_ts",
+        F.unix_micros(F.to_timestamp("src_ts")).alias("song_added_us"),
+        ts_offset_minutes("src_ts").alias("src_offset_minutes"),
+    )
+    rendered = format_ts_with_offset(
+        F.col("song_added_us"), F.col("src_offset_minutes")
+    )
+    return parsed.select(
+        "*",
+        rendered.alias("rendered"),
+        (rendered == F.col("src_ts")).cast("int").alias("roundtrip_ok"),
+    ).orderBy("scrape_date", "rank")

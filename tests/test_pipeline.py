@@ -140,3 +140,33 @@ def test_q2_sql_broadcast_hint_takes_effect(spark):
 
     df = QUERIES["q2_album_popularity_sql"](spark, "")
     assert "BroadcastHashJoin" in plans.executed_plan(df)
+
+
+def test_tz_roundtrip_is_lossless_and_covers_all_offsets(spark):
+    """TIMESTAMP_TZ analog (SURVEY §7 hard-part 1): every synthesized
+    offset-carrying added_at must survive parse -> (instant, offset) ->
+    re-render bit-identically, and the rank rotation must actually
+    exercise non-UTC offsets in both directions."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    rows = QUERIES["song_added_tz_roundtrip"](spark, "").collect()
+    assert rows
+    assert all(r.roundtrip_ok == 1 for r in rows)
+    offsets = {r.src_offset_minutes for r in rows}
+    assert {-480, -300, 0, 330, 540} <= offsets
+    # offset preserved, instant normalized: non-UTC rows carry their
+    # offset suffix in the rendering, and the stored instant equals the
+    # suffix-shifted local clock for every row
+    import datetime as dt
+
+    for r in rows:
+        if r.src_offset_minutes == 0:
+            assert r.src_ts.endswith("Z")
+        else:
+            sgn = "+" if r.src_offset_minutes > 0 else "-"
+            hh, mm = divmod(abs(r.src_offset_minutes), 60)
+            assert r.src_ts.endswith(f"{sgn}{hh:02d}:{mm:02d}")
+        local = dt.datetime.strptime(r.src_ts[:19], "%Y-%m-%dT%H:%M:%S")
+        epoch = dt.datetime(1970, 1, 1)
+        local_us = int((local - epoch).total_seconds()) * 1_000_000
+        assert local_us - r.src_offset_minutes * 60_000_000 == r.song_added_us
