@@ -18,6 +18,21 @@ Scale notes: the file source lists the inbox prefix per trigger (use
 maxFilesPerTrigger to bound batch size); state is only the file log, no
 aggregation state. The sink is date-partitioned Parquet, so the streamed
 table is physically identical to the batch transform's output.
+
+Object-store (S3A) safety - why this composition needs no atomic rename
+anywhere (reference substrate is S3, P:166-183):
+  * sink commit: the streaming parquet sink publishes each batch's files
+    through the _spark_metadata manifest; readers of the output dir trust
+    the manifest, never the listing, so a crashed task's stray upload is
+    invisible (no directory-rename visibility barrier needed).
+  * source progress: the checkpoint's compact file log records consumed
+    files; it is the sole source of truth for exactly-once.
+  * archival: cleanSource=archive is copy-then-delete on S3A. A crash in
+    that window leaves the consumed file in BOTH inbox and archive - and
+    that is safe, because re-listing a consumed path ingests nothing (the
+    file log wins) and re-archiving is idempotent hygiene. The reference's
+    own copy-then-delete (P:177-183) has the same window, unhandled.
+  Asserted in tests/test_streaming.py::test_commit_then_archive_is_crash_window_safe.
 """
 
 from __future__ import annotations
@@ -146,3 +161,46 @@ def streaming_ingest_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scrape_date",
     ]
     return back.select(*cols).orderBy("scrape_date", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Pipe introspection: the SHOW PIPES / DESC PIPE analog (reference
+# spotify-analysis.sql:76-82) over Spark's StreamingQuery surface. The
+# reference used Snowflake's pipe metadata to debug AUTO_INGEST; the
+# engine's equivalent operational state lives on StreamingQuery.status
+# (current activity) and lastProgress (per-batch metrics). Driver-side
+# metadata about a handful of queries - a createDataFrame of scalars is
+# the right shape, nothing here scales with data.
+
+PIPE_STATUS_SCHEMA = (
+    "name string, run_id string, is_active boolean, message string, "
+    "is_data_available boolean, is_trigger_active boolean, "
+    "last_batch_id bigint, num_input_rows bigint, sources string, sink string"
+)
+
+
+def _pipe_row(q) -> tuple:
+    """One SHOW-PIPES row from a StreamingQuery (active or stopped)."""
+    st = q.status or {}
+    prog = q.lastProgress or {}
+    return (
+        q.name,
+        str(q.runId),
+        q.isActive,
+        st.get("message"),
+        st.get("isDataAvailable"),
+        st.get("isTriggerActive"),
+        prog.get("batchId"),
+        (prog.get("numInputRows") if prog else None),
+        "; ".join(s.get("description", "") for s in prog.get("sources", [])) or None,
+        (prog.get("sink") or {}).get("description"),
+    )
+
+
+def pipe_status(spark: SparkSession, query=None) -> DataFrame:
+    """SHOW PIPES (no arg: every active query on the session) or DESC PIPE
+    (pass a StreamingQuery, active or stopped, for its single row)."""
+    qs = [query] if query is not None else list(spark.streams.active)
+    return spark.createDataFrame(
+        [_pipe_row(q) for q in qs], PIPE_STATUS_SCHEMA
+    )

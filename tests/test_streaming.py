@@ -311,3 +311,93 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         fn, ftotal, fmx = final[uid]
         assert fn == n and fmx == mx, uid
         assert abs(ftotal - total) < 1e-6 * max(1.0, abs(total)), uid
+def test_commit_then_archive_is_crash_window_safe(spark, tmp_path):
+    """SURVEY §7 hard-part 5 / round-3 verdict #7: object-store (S3A)
+    semantics for the ingest's two non-atomic moments.
+
+    (a) Archive crash window: S3A archival is copy-then-delete; a crash
+        between the checkpoint commit and the delete leaves the consumed
+        file back in the inbox. The checkpoint - not the inbox listing -
+        is the source of truth, so a re-run must ingest nothing.
+    (b) Rename-less sink commit: the streaming parquet sink publishes
+        files through the _spark_metadata manifest, never via directory
+        rename, so an orphan part-file (a crashed task's leftover upload)
+        in the output directory must be invisible to readers.
+    """
+    import shutil as sh
+
+    inbox = tmp_path / "inbox"
+    archive = tmp_path / "archive"
+    sh.copytree(INBOX_DIR, inbox)
+    dest, cp = str(tmp_path / "data"), str(tmp_path / "cp")
+
+    ingest_songs_available_now(
+        spark, str(inbox), dest, cp, archive_dir=str(archive),
+        max_files_per_trigger=1,
+    )
+    ingest_songs_available_now(
+        spark, str(inbox), dest, cp, archive_dir=str(archive)
+    )
+    assert _count(spark, dest) == 150
+    archived = sorted(archive.rglob("*.json"))
+    assert archived, "need at least one archived file to replay the crash"
+
+    # (a) the interrupted copy-then-delete: file exists in BOTH archive
+    # and inbox again; replay must not double-ingest it
+    sh.copy(archived[0], inbox / archived[0].name)
+    ingest_songs_available_now(
+        spark, str(inbox), dest, cp, archive_dir=str(archive)
+    )
+    assert _count(spark, dest) == 150, "checkpoint must win over inbox listing"
+
+    # (b) orphan part-file: simulate a crashed task's stray upload by
+    # copying a committed parquet file to an uncommitted name; the
+    # manifest-gated read must not see its rows
+    parts = [
+        p
+        for p in Path(dest).rglob("part-*.parquet")
+        if p.is_file()
+    ]
+    orphan = parts[0].with_name("part-99999-orphan.c000.snappy.parquet")
+    sh.copy(parts[0], orphan)
+    assert _count(spark, dest) == 150, (
+        "streaming sink readers must trust _spark_metadata, not the listing"
+    )
+    # a plain directory listing WOULD see the orphan - the manifest is
+    # what makes the commit rename-free and object-store safe
+    assert len(list(Path(dest).rglob("part-*.parquet"))) == len(parts) + 1
+
+
+def test_pipe_status_show_and_describe(spark, tmp_path):
+    """SHOW PIPES / DESC PIPE analog (reference spotify-analysis.sql:76-82):
+    pipe_status() must list an active continuous ingest with its progress
+    metadata, and describe a stopped query without raising."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.ingest import (
+        pipe_status,
+    )
+
+    inbox = tmp_path / "inbox"
+    shutil.copytree(INBOX_DIR, inbox)
+    q = ingest_songs_continuous(
+        spark, str(inbox), str(tmp_path / "data"), str(tmp_path / "cp")
+    )
+    try:
+        q.processAllAvailable()
+        rows = pipe_status(spark).collect()
+        mine = [r for r in rows if r.run_id == str(q.runId)]
+        assert len(mine) == 1
+        r = mine[0]
+        assert r.is_active
+        assert r.last_batch_id is not None and r.last_batch_id >= 0
+        assert "FileStreamSource" in (r.sources or "")
+        assert "FileSink" in (r.sink or "")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    r = pipe_status(spark, q).collect()[0]
+    assert r.run_id == str(q.runId)
+    assert not r.is_active
+    # a stopped pipe no longer appears in SHOW PIPES
+    assert str(q.runId) not in {
+        row.run_id for row in pipe_status(spark).collect()
+    }
