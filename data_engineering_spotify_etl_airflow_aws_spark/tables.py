@@ -1,9 +1,16 @@
 """Loaders for the driver-generated testdata tables (TESTDATA.md).
 
-Handles the one physical quirk of the fixtures: events.parquet stores
-timestamp[ns], which Spark only reads via the nanosAsLong escape hatch; we
-convert the resulting long back to a proper TimestampType column (microsecond
-truncation — matching DuckDB's ns->us conversion, so oracles agree).
+Normalizes the fixtures' physical timestamp quirks so every operator sees one
+timestamp semantic: TimestampType UTC instants (the session timezone is pinned
+to UTC in session.RUNTIME_CONFS).
+
+- timestamp[us] parquet columns carry no timezone (isAdjustedToUTC=false), so
+  Spark surfaces them as TIMESTAMP_NTZ; we cast to TimestampType, which under
+  the UTC session reinterprets the same wall-clock as a UTC instant — exactly
+  how DuckDB's epoch_us() treats its naive TIMESTAMP, so oracles agree.
+- timestamp[ns] columns (earlier fixture generations) are only readable via
+  the nanosAsLong escape hatch; we convert the long back to TimestampType
+  with microsecond truncation (matching DuckDB's ns->us conversion).
 
 load_table() applies the needed session confs defensively because the
 correctness driver hands us a session we didn't build.
@@ -36,8 +43,9 @@ _NANOS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for col in _NANOS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        if dtypes.get(col) == "bigint":
             # Floor division in exact long arithmetic (`div` truncates toward
             # zero, which would be off by 1µs for pre-1970 negative nanos;
             # float division would lose precision past 2^53). pmod keeps the
@@ -48,6 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     F.expr(f"(`{col}` - pmod(`{col}`, 1000L)) div 1000L")
                 ),
             )
+    # NTZ -> UTC instant (no-op on the wall-clock under the UTC session; see
+    # module docstring). Cast keeps the projection narrow and codegen-able.
+    ntz_cols = [c for c, d in dtypes.items() if d == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 
