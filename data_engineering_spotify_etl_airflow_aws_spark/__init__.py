@@ -42,6 +42,13 @@ AUDIT_FIRST: list[str] = [
     "except_small_orders",
     # -- new this round (first driver audit)
     "song_added_tz_roundtrip",
+    "unpivot_part_metrics",
+    "median_mode_by_status",
+    "props_json_stats",
+    "embedding_l2_normalize",
+    "pack_token_sequences",
+    "chunk_docs_overlap",
+    "stream_join_click_purchase",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -67,7 +74,6 @@ AUDIT_FIRST: list[str] = [
     # -- §2b: event-time windows / time series
     "ts_gap_fill",
     # -- §2b: dedup family
-    "dedup_exact_content",
     "ngram_jaccard_near_dup",
     "minhash_lsh_near_dup",
     "dedup_clusters",
@@ -78,8 +84,6 @@ AUDIT_FIRST: list[str] = [
     "text_quality_stats",
     "token_counts_by_lang",
     "lang_id_stopword",
-    "doc_fingerprints",
-    "token_ngram_vocab",
     # -- §2b: multimodal family
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
@@ -89,12 +93,8 @@ AUDIT_FIRST: list[str] = [
     "benchmark_decontam_overlap",
     "tfidf_top_terms",
     "asof_join_purchase_click",
-    "promo_range_join",
     "stratified_sample_docs",
-    "label_centroids",
-    "corpus_curation_stats",
     "merge_upsert_customer",
-    "scd2_user_value_history",
 ]
 
 
@@ -120,6 +120,7 @@ def load_all_operators() -> None:
         extras,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
+    from .streaming import joins as streaming_joins  # noqa: F401
 
     from .registry import ORACLES, QUERIES
 

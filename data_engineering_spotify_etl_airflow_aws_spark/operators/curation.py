@@ -226,3 +226,159 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-stream sequence packing: the training-data step that concatenates
+# the tokenized corpus (in deterministic doc_id order) and slices it into
+# fixed-length training sequences. Each document's placement is fully
+# determined by the EXCLUSIVE prefix sum of token counts in that order -
+# the document occupies token interval [start_tok, start_tok + n_tokens),
+# which spans sequences floor(start/L) .. floor((end-1)/L).
+#
+# The prefix sum does NOT use a global single-partition window (the
+# canonical scale-killer): same banded plan as ntile_price_deciles -
+# approx-percentile doc_id boundaries split the corpus into bands, ONE
+# shuffle computes per-band local cumsums, and band offsets ride a window
+# over the band-count table (rows = n_bands, bounded by construction).
+_SEQ_LEN = 512
+_PACK_MIN_BANDS = 8
+_PACK_MAX_BANDS = 65536
+
+
+@query(
+    "pack_token_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_OT}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_tok
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // {_SEQ_LEN} AS first_seq,
+           CASE WHEN n_tokens = 0 THEN start_tok // {_SEQ_LEN}
+                ELSE (start_tok + n_tokens - 1) // {_SEQ_LEN} END AS last_seq,
+           start_tok % {_SEQ_LEN} AS seq_offset
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+
+    n_bands = max(
+        _PACK_MIN_BANDS, min(_PACK_MAX_BANDS, 2 * len(docs.inputFiles()))
+    )
+    probs = [i / n_bands for i in range(1, n_bands)]
+    bounds = t.agg(
+        F.percentile_approx("doc_id", probs, max(10_000, 4 * n_bands)).alias(
+            "_bounds"
+        )
+    )
+    banded = (
+        t.join(F.broadcast(bounds))
+        .withColumn(
+            "_band", F.size(F.filter("_bounds", lambda x: x < F.col("doc_id")))
+        )
+        .drop("_bounds")
+    )
+    w_local = (
+        W.partitionBy("_band")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = banded.withColumn(
+        "_lsum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    counts = banded.groupBy("_band").agg(F.sum("n_tokens").alias("_bn"))
+    w_off = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_band", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+
+    start = (F.col("_off") + F.col("_lsum")).alias("start_tok")
+    out = local.join(F.broadcast(offsets), "_band").select(
+        "doc_id", "n_tokens", start
+    )
+    end_tok = F.col("start_tok") + F.col("n_tokens") - 1
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / _SEQ_LEN).alias("first_seq"),
+        F.when(
+            F.col("n_tokens") == 0, F.floor(F.col("start_tok") / _SEQ_LEN)
+        )
+        .otherwise(F.floor(end_tok / _SEQ_LEN))
+        .alias("last_seq"),
+        (F.col("start_tok") % _SEQ_LEN).alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking with overlap (RAG / long-context prep):
+# fixed _CHUNK_CHARS windows advancing by _CHUNK_STRIDE, so consecutive
+# chunks share (_CHUNK_CHARS - _CHUNK_STRIDE) chars of context. Pure
+# per-row expansion: sequence() + posexplode + substring, all JVM
+# expressions, zero shuffle - the plan is a flat map over the corpus.
+# Chunk text is emitted as md5 + length (not the text itself) so the
+# result stays narrow at any scale; substring/md5 semantics are identical
+# in DuckDB (1-based, length-capped, lowercase hex).
+_CHUNK_CHARS = 200
+_CHUNK_STRIDE = 150
+
+
+@query(
+    "chunk_docs_overlap",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_idx,
+           i * {_CHUNK_STRIDE} + 1 AS chunk_start,
+           length(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_CHARS}))
+               AS chunk_len,
+           md5(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_CHARS}))
+               AS chunk_md5
+    FROM documents,
+         LATERAL (
+             SELECT unnest(generate_series(
+                 0, (length(text) - 1) // {_CHUNK_STRIDE}
+             )) AS i
+         ) g
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks_last = F.floor((F.length("text") - 1) / _CHUNK_STRIDE)
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_CHARS,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(F.lit(0), n_chunks_last.cast("int"))
+            ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK_STRIDE + 1)
+            .cast("bigint")
+            .alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -627,3 +627,134 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.asc_nulls_first("prev_type"), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide numeric columns -> long (metric, value) rows, the
+# relational dual of pivot_event_counts. Spark's unpivot() is a zero-shuffle
+# per-row expansion (each input row emits one output row per value column);
+# the oracle spells the same relation as UNION ALL, the ANSI-portable form.
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value
+    FROM (
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    ORDER BY p_partkey, metric
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group median + deterministic mode. Median rides percentile()
+# in the integer cents domain so both engines interpolate over exact
+# integers ((a+b)/2 on <=2^53 ints is exact in double - no last-ulp
+# divergence; cf. value_quantiles_exact which needs round(6) for raw
+# doubles). Mode is spelled as count + row_number with a lexicographic
+# tiebreak instead of the engines' mode() aggregates, whose tie choice is
+# implementation-defined.
+#
+# Scale: percentile() buffers each group's values (3 statuses here); at
+# true corpus scale the approx twin (value_quantiles_approx) or the banded
+# ntile_price_deciles plan is the bounded-memory path - documented trade,
+# same as value_quantiles_exact.
+@query(
+    "median_mode_by_status",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                   / 100 AS median_price
+        FROM orders GROUP BY o_orderstatus
+    ),
+    pc AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS pn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    md AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY pn DESC, o_orderpriority
+            ) AS rn FROM pc
+        ) WHERE rn = 1
+    )
+    SELECT o_orderstatus, n_orders, median_price, mode_priority
+    FROM med JOIN md USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def median_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (F.expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)") / 100)
+        .alias("median_price"),
+    )
+    pc = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("pn")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("pn"), "o_orderpriority"
+    )
+    md = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(md, "o_orderstatus").orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction: events.props is a JSON payload column (the schemaless
+# sidecar every event pipeline drags along). get_json_object is a per-row
+# JVM projection - the predicate/agg runs on the extracted value with no
+# Python in the loop; sum stays in exact integer arithmetic.
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+           count(DISTINCT k) AS n_distinct_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(CAST(props AS JSON), '$.k') AS BIGINT)
+                   AS k
+        FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

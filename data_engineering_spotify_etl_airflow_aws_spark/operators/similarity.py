@@ -388,3 +388,48 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("vec_id", "scale", F.posexplode(q).alias("dim_idx", "q_val"))
         .orderBy("vec_id", "dim_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 normalization to unit vectors via higher-order array functions -
+# the standard pre-step before cosine ANN indexing (unit vectors turn
+# cosine into a plain dot product). transform/aggregate are JVM-side
+# lambda expressions: zero shuffle, zero Python. The sum of squares is a
+# sequential left fold over the array in index order; DuckDB's list_sum
+# folds the same order, so norms are bit-identical (same contract as
+# functions.dot, verified by the cosine family).
+@query(
+    "embedding_l2_normalize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS l2_norm
+        FROM base
+    )
+    SELECT vec_id, l2_norm, i - 1 AS dim_idx,
+           CASE WHEN l2_norm = 0 THEN 0.0 ELSE v[i] / l2_norm END AS unit_val
+    FROM n, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    ORDER BY vec_id, dim_idx
+    """,
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    ssq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    base = emb.select("vec_id", v.alias("v"), F.sqrt(ssq).alias("l2_norm"))
+    unit = F.transform(
+        "v",
+        lambda x: F.when(F.col("l2_norm") == 0, F.lit(0.0)).otherwise(
+            x / F.col("l2_norm")
+        ),
+    )
+    return base.select(
+        "vec_id", "l2_norm", F.posexplode(unit).alias("dim_idx", "unit_val")
+    ).orderBy("vec_id", "dim_idx")

@@ -4,6 +4,8 @@ and fingerprint stability."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import data_engineering_spotify_etl_airflow_aws_spark as engine
 from data_engineering_spotify_etl_airflow_aws_spark import registry
 
@@ -215,3 +217,52 @@ def test_tfidf_top_terms_rank_contract(spark):
         assert len(rs) <= 5, doc
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True), doc
+
+
+def test_pack_token_sequences_is_contiguous_token_stream(spark):
+    """Packing invariants: the corpus concatenates with no gaps or overlaps
+    (start_tok[0]=0; each next doc starts where the previous ended), and
+    every sequence-index column is pure arithmetic on (start_tok, n_tokens)
+    with the fixed 512-token budget."""
+    rows = (
+        registry.QUERIES["pack_token_sequences"](spark, SF_CORRECT)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows and rows[0].start_tok == 0
+    expect = 0
+    for r in rows:
+        assert r.start_tok == expect, r
+        expect += r.n_tokens
+        assert r.first_seq == r.start_tok // 512, r
+        last = r.start_tok if r.n_tokens == 0 else r.start_tok + r.n_tokens - 1
+        assert r.last_seq == last // 512, r
+        assert r.seq_offset == r.start_tok % 512, r
+
+
+def test_chunk_docs_overlap_covers_each_doc_exactly(spark):
+    """Chunking invariants: per doc, starts advance by the 150-char stride
+    from 1, every chunk is <=200 chars, and stride coverage reconstructs the
+    document length exactly (no char lost or counted twice beyond the
+    declared 50-char overlap)."""
+    from collections import defaultdict
+
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    n_chars = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    per_doc = defaultdict(list)
+    for r in registry.QUERIES["chunk_docs_overlap"](spark, SF_CORRECT).collect():
+        per_doc[r.doc_id].append(r)
+    assert set(per_doc) == set(n_chars)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs))), doc
+        for i, r in enumerate(rs):
+            assert r.chunk_start == i * 150 + 1, r
+            assert 1 <= r.chunk_len <= 200, r
+        assert 150 * (len(rs) - 1) + rs[-1].chunk_len == n_chars[doc], doc

@@ -289,3 +289,43 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_pack_sequences_banded_prefix_sum_plan(spark):
+    """pack_token_sequences must compute the corpus prefix sum with the
+    banded plan: the data-sized cumulative-sum window is fed by a
+    _band-hash exchange, never SinglePartition; only the per-band total
+    table (rows = band count, bounded by construction) may window over a
+    single partition."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["pack_token_sequences"](spark, SF_CORRECT)
+    df.collect()
+    plan = plans.executed_plan(df)
+    lines = plan.splitlines()
+    windows = [i for i, l in enumerate(lines) if "Window" in l]
+    assert windows, "expected window nodes in the packing plan"
+    for i in windows:
+        if "_bn" in lines[i]:
+            continue  # bounded band-offset window
+        feeding = next((l for l in lines[i + 1 : i + 6] if "Exchange" in l), "")
+        assert "hashpartitioning(_band" in feeding, (
+            f"prefix-sum window fed by non-band exchange: {feeding.strip()[:120]}"
+        )
+
+
+def test_chunk_docs_is_flat_map_single_output_sort(spark):
+    """chunk_docs_overlap is a pure per-row expansion: the only shuffle in
+    the plan is the deterministic output sort (range partitioning)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["chunk_docs_overlap"](spark, SF_CORRECT)
+    df.collect()
+    # count only the final adaptive plan (toString also prints the initial)
+    final = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange rangepartitioning") == 1, final[:2000]
+    assert "Exchange hashpartitioning" not in final, final[:2000]

@@ -401,3 +401,57 @@ def test_pipe_status_show_and_describe(spark, tmp_path):
     assert str(q.runId) not in {
         row.run_id for row in pipe_status(spark).collect()
     }
+
+
+def test_stream_stream_join_matches_batch_across_batches(spark, tmp_path):
+    """Stream-stream interval join: a click read in micro-batch 1 must
+    still match a purchase read in micro-batch 2 (click is in join state,
+    within the window), while clicks outside the attribution window never
+    pair. Batch boundaries are driven explicitly via one file per chunk +
+    maxFilesPerTrigger=1."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.joins import (
+        click_purchase_join_stream,
+    )
+
+    chunk_dir = tmp_path / "chunks"
+    base = "2024-01-01 12:{:02d}:00"
+    rows1 = [  # chunk 1: clicks only
+        (1, 7, base.format(0), "click", 1.0),   # inside 2h window
+        (2, 7, base.format(5), "click", 1.0),   # inside
+        (3, 8, base.format(0), "click", 1.0),   # other user -> no pair
+        (4, 7, base.format(1), "view", 1.0),    # wrong type -> no pair
+    ]
+    rows2 = [  # chunk 2: the purchases (later event time)
+        (10, 7, "2024-01-01 13:30:00", "purchase", 9.0),
+        (11, 9, "2024-01-01 13:30:00", "purchase", 9.0),  # no clicks
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(
+            [(e, u, t, ty, v) for e, u, t, ty, v in rows],
+            "event_id bigint, user_id bigint, ts_s string, "
+            "event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "event_type",
+            "value",
+        )
+        df.coalesce(1).write.parquet(str(chunk_dir / f"c{i}"))
+    # file source lists paths in order -> c0 then c1
+    out = tmp_path / "out"
+    q = (
+        click_purchase_join_stream(spark, str(chunk_dir / "*"))
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(out / "data")).collect()
+    )
+    assert got == [(10, 1), (10, 2)]
