@@ -262,6 +262,11 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr(_spark_ngrams("t", 5))).alias("g"),
         )
         .where(F.size("g") > 0)
+        # both branches (bench broadcast + corpus probe) consume the gram
+        # base; without the persist the tokenize+5-gram pass - the
+        # dominant per-doc cost - executes twice (measured 2.1s of 4.6s
+        # at sf0.1). Same lesson as the Jaccard shingle base (dedup.py).
+        .persist()
     )
     bench = base.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_doc"), F.explode("g").alias("gram")

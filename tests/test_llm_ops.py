@@ -266,3 +266,57 @@ def test_chunk_docs_overlap_covers_each_doc_exactly(spark):
             assert r.chunk_start == i * 150 + 1, r
             assert 1 <= r.chunk_len <= 200, r
         assert 150 * (len(rs) - 1) + rs[-1].chunk_len == n_chars[doc], doc
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property-based check: on random small graphs, the iterative
+    min-label-propagation + pointer-jumping plan must compute exactly the
+    same components as a reference union-find (label = min vertex id of
+    the component). Random graphs hit shapes the fixture never produces:
+    long chains, stars, multi-edges, self-loops, cycles."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.clusters import (
+        connected_components,
+    )
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {
+            r.node: r.lbl
+            for r in connected_components(
+                None, df, id_col="doc_id", src="doc_a", dst="doc_b"
+            ).collect()
+        }
+        assert got == union_find_labels(edges)
+
+    check()

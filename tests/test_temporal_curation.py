@@ -67,12 +67,14 @@ def test_asof_join_single_shuffle_plan(spark):
     assert "SinglePartition" not in plan
 
 
-def test_promo_range_join_broadcasts_intervals(spark):
-    """The interval dim rides a broadcast nested-loop join (range predicate
-    evaluated map-side); only the aggregation and final order shuffle."""
+def test_promo_range_join_is_bucketed_hash_join(spark):
+    """The interval join must be the month-bucketed broadcast HASH join
+    (hash probe per fact row + residual BETWEEN), never a nested loop
+    that evaluates every interval against every row."""
     df = QUERIES["promo_range_join"](spark, SF_CORRECT)
     plan = plans.executed_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert plans.num_shuffles(df) <= 2  # partial/final agg + output sort
 
 
