@@ -98,16 +98,24 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: events_with_planted_dups(spark, sf_dir),
     )
 
-    q = (
-        dedup_within_watermark_stream(spark, chunks)
-        .writeStream.format("parquet")
-        .option("path", str(base / "data"))
-        .option("checkpointLocation", str(base / "checkpoint"))
-        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch, bounded
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State stores are one-per-shuffle-partition with per-batch checkpoint
+    # I/O; size the partition count to STATE volume, not scan parallelism
+    # (see streaming/joins.py for the measured 4x).
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dedup_within_watermark_stream(spark, chunks)
+            .writeStream.format("parquet")
+            .option("path", str(base / "data"))
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     back = spark.read.parquet(str(base / "data"))
     return back.select(
