@@ -49,6 +49,8 @@ AUDIT_FIRST: list[str] = [
     "pack_token_sequences",
     "chunk_docs_overlap",
     "stream_join_click_purchase",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -71,8 +73,6 @@ AUDIT_FIRST: list[str] = [
     "point_lookup_series",
     "star_join_agg",
     "dedup_earliest_survivor",
-    # -- §2b: event-time windows / time series
-    "ts_gap_fill",
     # -- §2b: dedup family
     "ngram_jaccard_near_dup",
     "minhash_lsh_near_dup",
@@ -82,7 +82,6 @@ AUDIT_FIRST: list[str] = [
     "embedding_quantize_int8",
     # -- §2b: text analysis family
     "text_quality_stats",
-    "token_counts_by_lang",
     "lang_id_stopword",
     # -- §2b: multimodal family
     "multimodal_content_dedup",

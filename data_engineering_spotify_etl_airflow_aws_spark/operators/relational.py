@@ -359,3 +359,126 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shipping-priority analog: 3-way join, selective filters on all
+# three inputs, grouped revenue, top-10. The optimizer showcase - the
+# mktsegment filter reaches the customer scan, the date filters reach the
+# orders/lineitem scans (PushedFilters), customer broadcasts into orders,
+# and only the surviving join output shuffles for the group-by. Top-10
+# rides TakeOrderedAndProject on (revenue DESC, unique keys) - no global
+# sort. (The fixture has no o_shippriority; o_orderpriority stands in.)
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(disc_price, scale=4, alias="revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 local-supplier-volume analog: 6-way snowflake join where the
+# customer and supplier arms must agree on nationkey. Join order matters -
+# region -> nation prunes first (broadcast), supplier/customer broadcast
+# into the fact chain, and the c_nationkey = s_nationkey equality rides
+# the customer join condition so mismatched pairs die before the agg.
+# Only |nations| rows leave the final shuffle.
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc_price, scale=4, alias="revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

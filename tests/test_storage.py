@@ -329,3 +329,26 @@ def test_chunk_docs_is_flat_map_single_output_sort(spark):
     final = plans.executed_plan(df).split("== Initial Plan ==")[0]
     assert final.count("Exchange rangepartitioning") == 1, final[:2000]
     assert "Exchange hashpartitioning" not in final, final[:2000]
+
+
+def test_tpch_q3_q5_join_plans_broadcast_dims(spark):
+    """Q3: filtered customer broadcasts, top-10 rides TakeOrderedAndProject
+    (no global sort). Q5: region/nation/supplier/customer all broadcast -
+    the only shuffle partitions the surviving join output for the agg."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    q3 = QUERIES["tpch_q3_shipping_priority"](spark, SF_CORRECT)
+    q3.collect()
+    p3 = plans.executed_plan(q3).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in p3, p3[:1500]
+    assert "BroadcastHashJoin" in p3
+    assert "SortMergeJoin" not in p3
+
+    q5 = QUERIES["tpch_q5_local_supplier_volume"](spark, SF_CORRECT)
+    q5.collect()
+    p5 = plans.executed_plan(q5).split("== Initial Plan ==")[0]
+    assert p5.count("BroadcastHashJoin") >= 3, p5[:1500]
+    # lineitem (the fact) must be scanned with column pruning in effect
+    assert "l_extendedprice" in p5 and "l_tax" not in p5
