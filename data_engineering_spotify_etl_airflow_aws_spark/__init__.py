@@ -55,6 +55,7 @@ AUDIT_FIRST: list[str] = [
     "ivf_topk_similar",
     "stream_dedup_events",
     "ntile_price_deciles",
+    "promo_range_join",
     # -- §2a reference surface: star transforms, Q1-Q4, ingest paths
     #    (the four SQL twins + csv_null_semantics + raw_field_presence +
     #    songs_export_keys rotated to the tail: hash-green in r03,
@@ -79,7 +80,6 @@ AUDIT_FIRST: list[str] = [
     "dedup_clusters",
     # -- §2b: similarity search family
     "embedding_near_dup_pairs",
-    "embedding_quantize_int8",
     # -- §2b: text analysis family
     "text_quality_stats",
     "lang_id_stopword",
