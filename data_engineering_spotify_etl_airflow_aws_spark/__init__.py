@@ -56,13 +56,15 @@ AUDIT_FIRST: list[str] = [
     "stream_dedup_events",
     "ntile_price_deciles",
     "promo_range_join",
+    "simhash_fingerprints",
+    "multimodal_digest_features",
+    "multimodal_frame_sample",
     # -- §2a reference surface: star transforms, Q1-Q4, ingest paths
     #    (the four SQL twins + csv_null_semantics + raw_field_presence +
     #    songs_export_keys rotated to the tail: hash-green in r03,
     #    unchanged since)
     "star_songs_fact",
     "star_album_dim",
-    "star_artist_dim",
     "q1_top_trending",
     "q2_album_popularity",
     "q3_top_artist_presence",
@@ -71,9 +73,7 @@ AUDIT_FIRST: list[str] = [
     "rest_api_songs",
     "session_window_agg",
     "streaming_ingest_songs",
-    "point_lookup_series",
     "star_join_agg",
-    "dedup_earliest_survivor",
     # -- §2b: dedup family
     "ngram_jaccard_near_dup",
     "minhash_lsh_near_dup",

@@ -44,7 +44,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions import ORACLE_TOKENS
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 JACCARD_TAU = 0.5  # planted near-dups sit at ~0.98; background noise < 0.03
 
@@ -99,7 +99,9 @@ def _spark_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse non-cheap projections into lambda bodies, so the bound
     attribute is computed once per row.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # the per-row regex+shingle work dominates; widen the 1-split fixture
+    # scan so it parallelizes (no-op on a real many-split corpus)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
     return (
         docs.select("doc_id", F.expr(toks).alias("t"))

@@ -43,7 +43,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 _OT = ORACLE_TOKENS.format(col="text")
 
@@ -197,7 +197,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     e = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.expr(_spark_ngrams("t", 3)).alias("tg"))
@@ -254,7 +254,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     base = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select(
@@ -320,7 +320,7 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     # tf feeds both the df agg and the scored join, so the tokenize+agg
     # executes twice. Two rewrites were measured and rejected (round-4):
     # persist(MEMORY_AND_DISK) on tf costs MORE than the recompute at

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, widen_small_scan
 
 _N_FEATURES = 8
 
@@ -42,7 +42,9 @@ _N_FEATURES = 8
 def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents re-typed as a multimodal table: opaque BinaryType payload +
     typed metadata struct (the schema a real image/audio table would have)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widen the 1-split fixture scan: the Arrow/mapInPandas consumers
+    # otherwise run every batch through ONE Python worker
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

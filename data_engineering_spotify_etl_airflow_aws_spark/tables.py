@@ -71,3 +71,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     the reference's Glue Crawler + Athena tier; SURVEY.md S4)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def widen_small_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Fan a small scan out to the session's parallelism before CPU-heavy
+    per-row work (regex tokenization, shingling, n-gram building).
+
+    A small parquet fixture is ONE split (single row group), so without
+    this the whole map stage runs on one core while 31 idle - measured
+    3.5s -> 1.3s for the Jaccard shingle base at sf0.1. At real scale the
+    scan already has >= parallelism splits and this is a no-op, so the
+    shuffle only exists in exactly the regime where it is free.
+    """
+    sess = df.sparkSession
+    target = parts or sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
