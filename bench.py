@@ -42,9 +42,11 @@ def main() -> int:
     warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
     for warm_q in (
         "count_star",
-        "rest_api_songs",
-        "multimodal_digest_features",
-        "streaming_ingest_songs",
+        "rest_api_songs",  # Python DataSource worker pool
+        "multimodal_digest_features",  # Arrow / Pandas-UDF runner
+        "streaming_ingest_songs",  # Structured Streaming engine
+        "doc_repetition_stats",  # tokenize + zip_with n-gram codegen
+        "ngram_jaccard_near_dup",  # shingle index / PPJoin join path
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()
