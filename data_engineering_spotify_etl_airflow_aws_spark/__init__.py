@@ -51,6 +51,7 @@ AUDIT_FIRST: list[str] = [
     "stream_join_click_purchase",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "cume_dist_price_quartiles",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -81,7 +82,6 @@ AUDIT_FIRST: list[str] = [
     # -- §2b: similarity search family
     "embedding_near_dup_pairs",
     # -- §2b: text analysis family
-    "text_quality_stats",
     "lang_id_stopword",
     # -- §2b: multimodal family
     "multimodal_content_dedup",

@@ -758,3 +758,44 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUME_DIST: relative cumulative position within a partition - completes
+# the relative-rank window family (percent_rank, ntile). Partitioned by
+# o_orderpriority so no window ever spans one global partition; the agg
+# on top keeps the output small (per-priority quartile occupancy).
+@query(
+    "cume_dist_price_quartiles",
+    oracle="""
+    SELECT o_orderpriority, quartile, count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(ceil(cume_dist() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) * 4) AS BIGINT) AS quartile
+        FROM orders
+    )
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def cume_dist_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    quartile = F.ceil(F.cume_dist().over(w) * 4).cast("bigint")
+    return (
+        orders.select(
+            "o_orderpriority", "o_totalprice", quartile.alias("quartile")
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )

@@ -352,3 +352,25 @@ def test_tpch_q3_q5_join_plans_broadcast_dims(spark):
     assert p5.count("BroadcastHashJoin") >= 3, p5[:1500]
     # lineitem (the fact) must be scanned with column pruning in effect
     assert "l_extendedprice" in p5 and "l_tax" not in p5
+
+
+def test_widen_small_scan_noops_on_wide_input(spark):
+    """The fan-out must fire only in the small-scan regime: a relation
+    already at session parallelism passes through untouched (the 100 TB
+    case), while a 1-split scan widens to the default parallelism."""
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import (
+        load_table,
+        widen_small_scan,
+    )
+
+    from .conftest import SF_CORRECT
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, numPartitions=target)
+    assert widen_small_scan(wide) is wide
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert docs.rdd.getNumPartitions() < target
+    widened = widen_small_scan(docs)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == docs.count()

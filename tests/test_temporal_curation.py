@@ -194,3 +194,52 @@ def test_merge_upsert_rejects_duplicate_change_keys(spark):
         ).count()
         == 4
     )
+
+
+def test_asof_join_matches_reference_on_random_inputs(spark):
+    """Property-based check: on random (key, ts) build/probe sets -
+    including duplicate timestamps and keys with no build rows - the
+    union+window as-of plan must agree with a brute-force reference
+    (latest build ts <= probe ts; ties to the largest build id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.temporal import (
+        asof_join,
+    )
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 20))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        build=st.lists(row, min_size=1, max_size=25),
+        probe=st.lists(row, min_size=1, max_size=15),
+    )
+    def check(build, probe):
+        b = spark.createDataFrame(
+            [(k, t * 1000, i) for i, (k, t) in enumerate(build)],
+            "k bigint, ts_ms bigint, bid bigint",
+        ).select("k", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "bid")
+        p = spark.createDataFrame(
+            [(k, t * 1000, i) for i, (k, t) in enumerate(probe)],
+            "k bigint, ts_ms bigint, pid bigint",
+        ).select("pid", "k", F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        got = {
+            r.pid: r.asof_bid
+            for r in asof_join(p, b, key="k", ts="ts", build_id="bid").collect()
+        }
+        expect = {}
+        for i, (pk, pt) in enumerate(probe):
+            cands = [
+                (bt, j)
+                for j, (bk, bt) in enumerate(build)
+                if bk == pk and bt <= pt
+            ]
+            expect[i] = max(cands)[1] if cands else None
+        assert got == expect
+
+    check()
