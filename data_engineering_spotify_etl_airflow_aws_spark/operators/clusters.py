@@ -83,48 +83,67 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if nodes is None:
-        vertices = und.select(F.col("src").alias("node")).distinct()
-    else:
-        vertices = nodes.select(F.col(id_col).alias("node"))
-    labels = vertices.select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
-    # label(v) <= v holds throughout (init =, least() only lowers), so the
-    # decimal checksum strictly decreases iff any label moved this round.
-    checksum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-    ).first()[0]
-    prev = checksum(labels)
-    for _ in range(max_rounds):
-        # hop: take the min label over incoming neighbors
-        msgs = (
-            und.join(labels, und.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr"))
-        )
-        hop = labels.join(msgs, labels.node == msgs.dst, "left").select(
-            "node", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl")
-        )
-        # jump: label's label (always defined: every label is a vertex id).
-        # localCheckpoint both truncates the 2x-per-round plan growth of
-        # this self-join AND materializes nxt for the checksum read.
-        nxt = (
-            hop.alias("x")
-            .join(hop.alias("y"), F.col("x.lbl") == F.col("y.node"))
-            .select(
-                F.col("x.node").alias("node"),
-                F.least("x.lbl", "y.lbl").alias("lbl"),
+    # Size the ROUND shuffles by the iteration frame (edge endpoints), not
+    # the session default: und is materialized, so its count is free, and
+    # every relation inside the loop is O(edges) - at near-dup densities a
+    # tiny fraction of the corpus. One shuffle partition per ~50k edges
+    # (floor 8) keeps per-round task overhead proportional to the frame;
+    # a 100 TB edge set stays at the session width. The upstream edge
+    # plan (the expensive part) already ran at full width inside the
+    # localCheckpoint above.
+    spark = edges.sparkSession
+    n_edges = und.count()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    narrowed = max(8, min(int(prev_sp), n_edges // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(narrowed))
+    try:
+        if nodes is None:
+            vertices = und.select(F.col("src").alias("node")).distinct()
+        else:
+            vertices = nodes.select(F.col(id_col).alias("node"))
+        labels = vertices.select(
+            "node", F.col("node").alias("lbl")
+        ).localCheckpoint()
+        # label(v) <= v holds throughout (init =, least() only lowers), so
+        # the decimal checksum strictly decreases iff any label moved.
+        checksum = lambda df: df.agg(  # noqa: E731
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+        prev = checksum(labels)
+        for _ in range(max_rounds):
+            # hop: take the min label over incoming neighbors
+            msgs = (
+                und.join(labels, und.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nbr"))
             )
-            .localCheckpoint()
-        )
-        cur = checksum(nxt)
-        labels = nxt
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+            hop = labels.join(msgs, labels.node == msgs.dst, "left").select(
+                "node", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl")
+            )
+            # jump: label's label (always defined: every label is a vertex
+            # id). localCheckpoint both truncates the 2x-per-round plan
+            # growth of this self-join AND materializes nxt for the
+            # checksum read.
+            nxt = (
+                hop.alias("x")
+                .join(hop.alias("y"), F.col("x.lbl") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.least("x.lbl", "y.lbl").alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            cur = checksum(nxt)
+            labels = nxt
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_rounds} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return labels
 
 
