@@ -12,7 +12,8 @@ Layout:
     pipeline/  - the Spotify star-schema ETL (schemas, transforms, Q1-Q4
                  in DataFrame and spark.sql forms)
     streaming/ - Structured Streaming ingest (Snowpipe analog), windowed
-                 aggregation twins, applyInPandasWithState custom state
+                 aggregation twins, bounded-state dedup, stream-stream
+                 interval join, applyInPandasWithState custom state
     functions/ - shared column-expression helpers
     plans/     - plan inspection/explain helpers
 """

@@ -9,6 +9,11 @@ data pipeline (sits on top of the text/dedup/similarity operators).
   * curation pipeline    - quality filter -> near-format dedup -> per-lang
                            corpus stats, composed from the same expressions
                            the standalone text queries register.
+  * sequence packing     - exclusive prefix sum of token counts (banded,
+                           never a global single-partition window) maps each
+                           doc onto fixed-length training sequences.
+  * overlap chunking     - sliding char windows per document (RAG prep),
+                           a pure zero-shuffle flat map.
 
 Determinism: sampling uses the md5-derived 32-bit hash shared with the
 dedup operators (identical in DuckDB), so the sample is a pure function of
