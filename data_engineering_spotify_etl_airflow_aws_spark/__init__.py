@@ -53,6 +53,7 @@ AUDIT_FIRST: list[str] = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "cume_dist_price_quartiles",
+    "stateful_running_totals",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -83,7 +84,6 @@ AUDIT_FIRST: list[str] = [
     # -- §2b: similarity search family
     "embedding_near_dup_pairs",
     # -- §2b: text analysis family
-    "lang_id_stopword",
     # -- §2b: multimodal family
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
@@ -121,6 +121,7 @@ def load_all_operators() -> None:
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
+    from .streaming import stateful as streaming_stateful  # noqa: F401
 
     from .registry import ORACLES, QUERIES
 

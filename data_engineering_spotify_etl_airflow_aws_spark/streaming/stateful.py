@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+from ..registry import query
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
@@ -83,4 +85,156 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered, hash-verified form of the operator. Exactness contract: the
+# stream pre-quantizes value to integer micro-units (floor(value * 1e6),
+# identical in both engines), the state accumulates int64 - so the total
+# is EXACTLY the sum of the quantized inputs regardless of batch order -
+# and one final division renders it as a double. That turns the custom
+# stateful operator from tolerance-tested into value-hash-verified
+# against the batch oracle.
+
+U6_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_u6", T.LongType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+U6_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_u6", T.LongType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+
+def _accumulate_u6(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total_u6, max_ts = state.get
+    else:
+        n, total_u6, max_ts = 0, 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total_u6 += int(pdf["value_u6"].sum())
+        if len(pdf):
+            max_ts = max(max_ts, int(pdf["ts_us"].max()))
+    state.update((n, total_u6, max_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_u6": [total_u6],
+            "max_ts_us": [max_ts],
+        }
+    )
+
+
+def running_user_totals_u6(events_stream: DataFrame) -> DataFrame:
+    """Exact-arithmetic twin of running_user_totals: expects
+    (user_id, value_u6: long, ts_us: long)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _accumulate_u6,
+        outputStructType=U6_OUTPUT_SCHEMA,
+        stateStructType=U6_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000 AS total_value,
+           max(epoch_us(ts)) AS max_ts_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stateful_running_totals(spark, sf_dir: str) -> DataFrame:
+    """Drain the chunked event stream through the custom stateful
+    accumulator; per-key snapshots land in an upsert log via foreachBatch
+    (the documented downstream pattern), and the final state per user -
+    the snapshot with the greatest n_events, which is strictly monotone
+    per emission - must equal the batch aggregate, hash-exact."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..tables import load_table
+    from .chunks import ensure_event_chunks
+
+    base = Path("/tmp/spark_graft_stream/stateful_totals")
+    shutil.rmtree(base, ignore_errors=True)
+    chunks = ensure_event_chunks(
+        spark,
+        sf_dir,
+        "events_plain",
+        lambda: load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        ),
+    )
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
+        .parquet(chunks)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("value_u6"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    out_dir = str(base / "upserts")
+
+    def _append_upserts(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    # state stores sized to state volume, not scan parallelism (joins.py)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_totals_u6(stream)
+            .writeStream.foreachBatch(_append_upserts)
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    upserts = spark.read.parquet(out_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        upserts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_u6").cast("double") / 1_000_000).alias("total_value"),
+            "max_ts_us",
+        )
+        .orderBy("user_id")
     )
