@@ -170,3 +170,35 @@ def test_tz_roundtrip_is_lossless_and_covers_all_offsets(spark):
         epoch = dt.datetime(1970, 1, 1)
         local_us = int((local - epoch).total_seconds()) * 1_000_000
         assert local_us - r.src_offset_minutes * 60_000_000 == r.song_added_us
+
+
+def test_read_raw_survives_malformed_inbox_file(spark, tmp_path):
+    """Ingest resilience: a corrupt JSON object landing in the inbox must
+    not fail the scan or poison valid files - the declared-schema
+    PERMISSIVE read yields a null-tracks row for the bad file (droppable
+    by the existing P5 field-presence predicate), and every valid file's
+    rows survive with their filename-derived scrape_date intact."""
+    import shutil
+
+    from data_engineering_spotify_etl_airflow_aws_spark.pipeline.fixture_gen import (
+        INBOX_DIR,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.pipeline.transforms import (
+        explode_raw,
+        read_raw,
+    )
+
+    inbox = tmp_path / "inbox"
+    shutil.copytree(INBOX_DIR, inbox)
+    n_good = len(list(inbox.glob("*.json")))
+    (inbox / "spotify_raw_2025-07-23.json").write_text('{"tracks": {"items": [')
+    (inbox / "notes.txt").write_text("not json at all")  # glob-filtered out
+
+    raw = read_raw(spark, inbox)
+    rows = raw.collect()
+    assert len(rows) == n_good + 1
+    bad = [r for r in rows if r.tracks is None]
+    assert len(bad) == 1
+    assert str(bad[0].scrape_date) == "2025-07-23"
+    ok = raw.where(F.col("tracks").isNotNull())
+    assert explode_raw(ok).count() == n_good * 50
