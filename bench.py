@@ -45,6 +45,8 @@ def main() -> int:
         "rest_api_songs",  # Python DataSource worker pool
         "multimodal_digest_features",  # Arrow / Pandas-UDF runner
         "streaming_ingest_songs",  # Structured Streaming engine
+        "stream_dedup_events",  # streaming state-store machinery
+        "stateful_running_totals",  # applyInPandasWithState worker path
         "doc_repetition_stats",  # tokenize + zip_with n-gram codegen
         "ngram_jaccard_near_dup",  # shingle index / PPJoin join path
     ):
