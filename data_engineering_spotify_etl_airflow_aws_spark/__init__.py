@@ -54,6 +54,7 @@ AUDIT_FIRST: list[str] = [
     "tpch_q5_local_supplier_volume",
     "cume_dist_price_quartiles",
     "stateful_running_totals",
+    "user_event_type_profile",
     # -- changed this round (perf rewrites; must re-audit)
     "ivf_topk_similar",
     "stream_dedup_events",
@@ -74,7 +75,6 @@ AUDIT_FIRST: list[str] = [
     "partitioned_roundtrip_prune",
     "q4_song_movement",
     "rest_api_songs",
-    "session_window_agg",
     "streaming_ingest_songs",
     "star_join_agg",
     # -- §2b: dedup family

@@ -799,3 +799,39 @@ def cume_dist_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: per-entity set profile via collect_set. Determinism
+# contract: set aggregates are unordered in both engines, so the result
+# is rendered through an explicit sort before leaving the query
+# (sort_array + array_join <-> list_sort + array_to_string) - the same
+# "aggregate, then impose a total order" rule every top-k query follows.
+# One partial-agg shuffle on user_id; the per-user set is bounded by the
+# event-type vocabulary, so state never grows with stream length.
+@query(
+    "user_event_type_profile",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS types_csv,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types_csv"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
