@@ -49,6 +49,7 @@ def main() -> int:
         "stateful_running_totals",  # applyInPandasWithState worker path
         "doc_repetition_stats",  # tokenize + zip_with n-gram codegen
         "ngram_jaccard_near_dup",  # shingle index / PPJoin join path
+        "promo_range_join",  # bucketed interval-join codegen path
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()
@@ -82,6 +83,11 @@ def main() -> int:
     if failed:
         out["failed"] = failed
     print(json.dumps(out), flush=True)
+    # free the operators' module-level persisted bases (the last query's
+    # relation otherwise survives until session shutdown)
+    from data_engineering_spotify_etl_airflow_aws_spark import caches
+
+    caches.release_all()
     spark.stop()
     return 1 if failed else 0
 

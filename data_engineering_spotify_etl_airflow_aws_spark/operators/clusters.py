@@ -94,7 +94,13 @@ def connected_components(
     spark = edges.sparkSession
     n_edges = und.count()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    narrowed = max(8, min(int(prev_sp), n_edges // 50_000 + 1))
+    # Never WIDEN: min(prev, ...) caps at the session value even when it
+    # is already below the 8-partition floor. The override is session-
+    # global (restored in the finally below) - the fixpoint loop assumes
+    # it owns the session while iterating, same as any multi-action
+    # driver algorithm; concurrent queries on the same session would need
+    # a per-query session clone, which cross-session DataFrames forbid.
+    narrowed = min(int(prev_sp), max(8, n_edges // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(narrowed))
     try:
         if nodes is None:

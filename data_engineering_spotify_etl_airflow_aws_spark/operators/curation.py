@@ -357,11 +357,16 @@ _CHUNK_STRIDE = 150
                  0, (length(text) - 1) // {_CHUNK_STRIDE}
              )) AS i
          ) g
+    WHERE length(text) > 0
     ORDER BY doc_id, chunk_idx
     """,
 )
 def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the empty-text guard is part of the contract on BOTH sides: Spark's
+    # sequence(0, -1) defaults to step -1 and yields [0, -1] (two bogus
+    # chunks), while DuckDB's generate_series(0, -1) is empty - an
+    # empty document must produce zero chunks in either engine
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     n_chunks_last = F.floor((F.length("text") - 1) / _CHUNK_STRIDE)
     chunk = F.substring(
         F.col("text"),
@@ -385,5 +390,7 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).cast("bigint").alias("chunk_len"),
             F.md5(chunk).alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        # no output sort: full-table fan-out (several chunks per doc), the
+        # driver hash is order-insensitive and the plan is otherwise
+        # shuffle-free - a global sort would be its only exchange
     )

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
 
+from ..caches import register_cache
 from ..functions import ORACLE_TOKENS
 from ..registry import query
 from ..tables import load_table, widen_small_scan
@@ -139,14 +140,18 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("survivor_doc_id"),
             F.count("*").alias("n_copies"),
         )
-        .orderBy("survivor_doc_id")
+        # no output sort: full-table fan-out, driver hash is
+        # order-insensitive; a global sort here is the plan's single
+        # largest exchange at scale and buys nothing (oracle keeps its
+        # ORDER BY - harmless on the DuckDB side)
     )
 
 
 # Persisted relations from the previous near-dup invocation, released on
 # the next call (the lazily returned plans mean in-function unpersist
-# would be premature; the bench also clears cache between measurements).
-_SHINGLE_BASE_CACHE: list[DataFrame] = []
+# would be premature; the bench also clears cache between measurements)
+# or via caches.release_all() for interactive sessions.
+_SHINGLE_BASE_CACHE: list[DataFrame] = register_cache([])
 
 
 # ---------------------------------------------------------------------------
@@ -464,5 +469,6 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id")
         .agg(*bit_sums)
         .select("doc_id", assembled.cast("bigint").alias("simhash32"))
-        .orderBy("doc_id")
+        # no output sort: one row per doc (full-table scale), driver hash
+        # is order-insensitive
     )

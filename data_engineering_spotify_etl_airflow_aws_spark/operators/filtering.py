@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
 from ..tables import load_table, widen_small_scan
@@ -230,6 +231,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination: flag corpus docs sharing any token 5-gram
 # with the held-out benchmark split (doc_id % 50 == 0 - decontamination
 # always runs against a small fixed eval suite, hence the broadcast).
+
+# previous invocation's persisted gram base, released on next call
+# (or via caches.release_all())
+_GRAM_BASE_CACHE: list[DataFrame] = register_cache([])
 @query(
     "benchmark_decontam_overlap",
     oracle=f"""
@@ -255,6 +260,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    # both branches (bench broadcast + corpus probe) consume the gram
+    # base; without the persist the tokenize+5-gram pass - the
+    # dominant per-doc cost - executes twice (measured 2.1s of 4.6s
+    # at sf0.1). Same lifecycle as the Jaccard shingle base (dedup.py):
+    # the lazy plan forbids in-function unpersist, so the previous call's
+    # relation is released here and the last one via caches.release_all().
+    while _GRAM_BASE_CACHE:
+        _GRAM_BASE_CACHE.pop().unpersist()
     base = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select(
@@ -262,12 +275,9 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr(_spark_ngrams("t", 5))).alias("g"),
         )
         .where(F.size("g") > 0)
-        # both branches (bench broadcast + corpus probe) consume the gram
-        # base; without the persist the tokenize+5-gram pass - the
-        # dominant per-doc cost - executes twice (measured 2.1s of 4.6s
-        # at sf0.1). Same lesson as the Jaccard shingle base (dedup.py).
         .persist()
     )
+    _GRAM_BASE_CACHE.append(base)
     bench = base.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_doc"), F.explode("g").alias("gram")
     )

@@ -39,12 +39,21 @@ from ..tables import load_table, widen_small_scan
 _N_FEATURES = 8
 
 
-def payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def payload_table(
+    spark: SparkSession, sf_dir: str, *, widen: bool = False
+) -> DataFrame:
     """documents re-typed as a multimodal table: opaque BinaryType payload +
-    typed metadata struct (the schema a real image/audio table would have)."""
-    # widen the 1-split fixture scan: the Arrow/mapInPandas consumers
-    # otherwise run every batch through ONE Python worker
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    typed metadata struct (the schema a real image/audio table would have).
+
+    widen=True fans the 1-split fixture scan out to session parallelism —
+    needed ONLY by the mapInPandas consumers, whose Arrow batches would
+    otherwise all flow through one Python worker. JVM-only consumers must
+    keep the narrow scan: repartitioning shuffles the binary payloads for
+    zero benefit (measured ~2x regression on the whole family when the
+    widen was unconditional here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if widen:
+        docs = widen_small_scan(docs)
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -171,7 +180,7 @@ def _extract_batches(
     """,
 )
 def multimodal_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = payload_table(spark, sf_dir).select("doc_id", "payload")
+    t = payload_table(spark, sf_dir, widen=True).select("doc_id", "payload")
     return t.mapInPandas(_extract_batches, schema=_FEATURE_SCHEMA).orderBy(
         "doc_id"
     )
@@ -234,7 +243,7 @@ def _frame_batches(
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = payload_table(spark, sf_dir).select("doc_id", "payload")
+    t = payload_table(spark, sf_dir, widen=True).select("doc_id", "payload")
     return t.mapInPandas(_frame_batches, schema=_FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import cosine, oracle_cosine, vec_double
 from ..registry import query
 from ..tables import load_table
@@ -109,7 +110,8 @@ def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid table; only vectors in the nprobe probed clusters are scored.
 
 # previous invocation's persisted embedding base, released on next call
-_IVF_CACHE: list[DataFrame] = []
+# (or via caches.release_all())
+_IVF_CACHE: list[DataFrame] = register_cache([])
 
 
 @query(
@@ -276,7 +278,8 @@ def _duck_bucket(emb: str) -> str:
 
 
 # previous invocation's persisted signature table, released on next call
-_SIG_CACHE: list[DataFrame] = []
+# (or via caches.release_all())
+_SIG_CACHE: list[DataFrame] = register_cache([])
 
 
 def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
@@ -384,9 +387,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(x * 127 / F.col("scale")).cast("bigint")
         ),
     )
-    return (
-        base.select("vec_id", "scale", F.posexplode(q).alias("dim_idx", "q_val"))
-        .orderBy("vec_id", "dim_idx")
+    # no output sort: per-dimension fan-out of every vector; the plan is
+    # shuffle-free without it and the driver hash is order-insensitive
+    return base.select(
+        "vec_id", "scale", F.posexplode(q).alias("dim_idx", "q_val")
     )
 
 
@@ -430,6 +434,8 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             x / F.col("l2_norm")
         ),
     )
+    # no output sort: per-dimension fan-out of every vector; the plan is
+    # shuffle-free without it and the driver hash is order-insensitive
     return base.select(
         "vec_id", "l2_norm", F.posexplode(unit).alias("dim_idx", "unit_val")
-    ).orderBy("vec_id", "dim_idx")
+    )

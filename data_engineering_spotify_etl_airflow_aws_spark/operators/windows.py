@@ -192,20 +192,39 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# HLL sketch: approx distinct. Estimates are engine-specific, so no value
-# oracle - the driver records the weaker rows-only check; the exact
-# counterpart (distinct_users_by_type, relational.py) is oracle-checked.
-@query("approx_distinct_users")
+# HLL sketch: approx distinct. The raw estimate is engine-specific, so it
+# cannot sit in the hashed output; instead the query emits the EXACT
+# distinct count (computed in the same agg) plus a within_bound flag that
+# checks the sketch against its documented error (rsd=0.02 -> 4-sigma =
+# 8% relative, floored at a small absolute slack for tiny groups). The
+# oracle computes the exact side and asserts the flag, so a sketch
+# drifting out of bound hash-mismatches at the driver. The sketch itself
+# remains the 100 TB path: single-pass, fixed-size state per group.
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           1 AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+    bound = F.greatest(F.col("exact_users").cast("double") * 0.08, F.lit(8.0))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.when(err <= bound, 1).otherwise(0).alias("within_bound"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -238,17 +257,52 @@ def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # approx_percentile sketch twin of value_quantiles_exact: single-pass
 # bounded-memory quantiles (the shape that matters at 100 TB, where exact
-# percentile() would materialize every group's values). Engine-specific
-# estimates -> rows-only driver check; tests/test_llm_ops.py bounds the
-# error against the exact twin.
-@query("value_quantiles_approx")
+# percentile() would materialize every group's values). The estimates are
+# engine-specific, so the hashed output carries RANK-ERROR flags instead:
+# approx_percentile guarantees rank error <= 1/accuracy, and the returned
+# value is an element of the dataset, so the fraction of values strictly
+# below / at-or-below it must bracket the target quantile within eps
+# (1e-4 documented + discreteness/tie slack -> 0.01). The second events
+# scan that computes the ranks is the VERIFICATION harness, not the
+# sketch path; the oracle asserts the flags, so an out-of-bound sketch
+# hash-mismatches at the driver.
+_Q_EPS = 0.01
+
+
+@query(
+    "value_quantiles_approx",
+    oracle="""
+    SELECT event_type, count(*) AS n_values,
+           1 AS p50_within, 1 AS p95_within
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
-            F.expr("approx_percentile(value, 0.95, 10000)").alias("p95"),
-        )
-        .orderBy("event_type")
+    sketch = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95"),
     )
+    ranks = (
+        ev.join(F.broadcast(sketch), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum((F.col("value") < F.col("p50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("p95")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("le95"),
+        )
+    )
+
+    def within(lt: str, le: str, q: float):
+        n = F.col("n_values").cast("double")
+        ok = (F.col(lt) / n <= q + _Q_EPS) & (F.col(le) / n >= q - _Q_EPS)
+        return F.when(ok, 1).otherwise(0)
+
+    return ranks.select(
+        "event_type",
+        "n_values",
+        within("lt50", "le50", 0.5).alias("p50_within"),
+        within("lt95", "le95", 0.95).alias("p95_within"),
+    ).orderBy("event_type")

@@ -1,26 +1,33 @@
 """Shared time-bucketed chunk-file builder for the streaming queries.
 
-The registered streaming queries (dedup, stream-stream join) exercise a
-file-source stream over the events fixture. The chunk layout is a pure
-function of the source data, so it is written ONCE per source generation
-and reused across invocations - the per-run rebuild was bench noise
-(round-3 verdict). The cache key covers the source file's identity
-(size + mtime), not just its path: the round driver regenerates
-/root/testdata between rounds, and a path-only key would replay stale
-chunks from a previous generation.
+The registered streaming queries (dedup, stream-stream join, stateful
+totals) exercise a file-source stream over the events fixture. The chunk
+layout is a pure function of the source data and the builder logic, so it
+is written ONCE per (source generation, builder version) and reused
+across invocations - the per-run rebuild was bench noise (round-3
+verdict). The cache key covers the source file's identity (size + mtime)
+because the round driver regenerates /root/testdata between rounds, plus
+the caller's builder-version string and n_chunks, because a code change
+to the builder must not replay a stale layout from /tmp.
 
 repartitionByRange(ts) is the distributed way to write time-bucketed
 files: no global sort, no driver collection, and rows with equal ts land
-in the same chunk by construction. Chunk files come out named in range
-order (part-00000 is the earliest bucket), so the file source's
-path-ordered listing feeds the stream roughly chronologically - the shape
-a real file-arrival feed has.
+in the same chunk by construction. Spark's FileStreamSource orders files
+by MODIFICATION TIME (task/job-commit order), not path, so range-ordered
+part file NAMES alone do not guarantee chronological arrival - a later
+time bucket landing in an earlier micro-batch would advance the watermark
+past rows still in flight and silently drop them as late. The builder
+therefore stamps each part file's mtime explicitly in range (path) order
+after the write, making arrival order == event-time order by
+construction.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
+import time
 from collections.abc import Callable
 from pathlib import Path
 
@@ -29,19 +36,35 @@ from pyspark.sql import DataFrame, SparkSession
 _CHUNK_ROOT = Path("/tmp/spark_graft_stream")
 
 
+def _stamp_mtimes_in_range_order(chunks: Path) -> None:
+    """Set part-file mtimes strictly increasing in path order (part-00000
+    is the earliest range bucket). 2-second spacing, all in the past, so
+    FileStreamSource's ms-granularity timestamp sort sees the same order
+    a real chronological file-arrival feed would produce."""
+    parts = sorted(p for p in chunks.glob("part-*") if p.is_file())
+    base = time.time() - 2.0 * (len(parts) + 1)
+    for i, p in enumerate(parts):
+        t = base + 2.0 * i
+        os.utime(p, (t, t))
+
+
 def ensure_event_chunks(
     spark: SparkSession,
     sf_dir: str,
     tag: str,
     build_df: Callable[[], DataFrame],
     n_chunks: int = 6,
+    builder_version: str = "1",
 ) -> str:
     """Write build_df() as n_chunks time-bucketed parquet files, once per
-    (tag, source-file generation); return the chunk directory path."""
+    (tag, source-file generation, builder version); return the chunk
+    directory path. Callers bump builder_version whenever the build_df
+    logic changes so stale /tmp layouts are never replayed."""
     src = Path(sf_dir) / "events.parquet"
     st = src.stat()
     cache_id = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+        f"|{n_chunks}|v{builder_version}".encode()
     ).hexdigest()[:12]
     chunks = _CHUNK_ROOT / f"{tag}_chunks" / cache_id
     if not (chunks / "_SUCCESS").exists():
@@ -52,4 +75,5 @@ def ensure_event_chunks(
             .sortWithinPartitions("ts", "event_id")
             .write.parquet(str(chunks))
         )
+        _stamp_mtimes_in_range_order(chunks)
     return str(chunks)

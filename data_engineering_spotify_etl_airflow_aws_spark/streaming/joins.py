@@ -17,10 +17,13 @@ shape this extends).
 Safety of availableNow over range-ordered chunks: the watermark only
 advances AFTER a micro-batch completes, and state eviction keeps every
 click within (join window + watermark delay) of the global minimum
-watermark. Chunks are time-bucketed (chunks.py), so a batch-N purchase
-can only need clicks newer than watermark - window - delay, which are
-still in state; the driver-audited result is therefore EXACTLY the batch
-join, which the DuckDB oracle states directly.
+watermark. Chunks are time-bucketed AND arrive in event-time order by
+construction - FileStreamSource orders files by modification time, which
+chunks.py stamps explicitly in range order (path order alone would not
+guarantee this) - so a batch-N purchase can only need clicks newer than
+watermark - window - delay, which are still in state; the driver-audited
+result is therefore EXACTLY the batch join, which the DuckDB oracle
+states directly.
 """
 
 from __future__ import annotations
