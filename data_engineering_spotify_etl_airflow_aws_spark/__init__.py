@@ -28,73 +28,74 @@ __version__ = "0.1.0"
 # audit, (2) queries whose implementation or oracle changed since their
 # last green audit, (3) one representative per SURVEY §2a/§2b family.
 # Every query NOT listed here was hash-verified green in
-# CORRECTNESS_r02.json or CORRECTNESS_r03.json and is unchanged since
+# CORRECTNESS_r03.json or CORRECTNESS_r04.json and is unchanged since
 # (local oracle parity re-checks them each run regardless); they take
 # the tail in their original registration order.
 AUDIT_FIRST: list[str] = [
-    # -- never driver-audited: the 7 late round-3 extras (round-3
-    #    verdict #1) — first driver audit this round
-    "rolling_value_7d",
-    "orders_above_cust_avg",
-    "event_transition_counts",
-    "grouping_sets_seg_nation",
-    "percent_rank_acctbal",
-    "doc_length_histogram",
-    "except_small_orders",
-    # -- new this round (first driver audit)
-    "song_added_tz_roundtrip",
-    "unpivot_part_metrics",
-    "median_mode_by_status",
-    "props_json_stats",
-    "embedding_l2_normalize",
-    "pack_token_sequences",
-    "chunk_docs_overlap",
-    "stream_join_click_purchase",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "cume_dist_price_quartiles",
-    "stateful_running_totals",
-    "user_event_type_profile",
-    # -- changed this round (perf rewrites; must re-audit)
-    "ivf_topk_similar",
-    "stream_dedup_events",
-    "ntile_price_deciles",
-    "promo_range_join",
-    "simhash_fingerprints",
-    "multimodal_digest_features",
-    "multimodal_frame_sample",
-    # -- §2a reference surface: star transforms, Q1-Q4, ingest paths
-    #    (the four SQL twins + csv_null_semantics + raw_field_presence +
-    #    songs_export_keys rotated to the tail: hash-green in r03,
-    #    unchanged since)
-    "star_songs_fact",
-    "star_album_dim",
-    "q1_top_trending",
-    "q2_album_popularity",
-    "q3_top_artist_presence",
-    "partitioned_roundtrip_prune",
-    "q4_song_movement",
-    "rest_api_songs",
-    "streaming_ingest_songs",
-    "star_join_agg",
-    # -- §2b: dedup family
-    "ngram_jaccard_near_dup",
-    "minhash_lsh_near_dup",
-    "dedup_clusters",
-    # -- §2b: similarity search family
-    "embedding_near_dup_pairs",
-    # -- §2b: text analysis family
-    # -- §2b: multimodal family
+    # -- first-ever hash audit: the two sketch queries grew real oracles
+    #    this round (exact value + within-bound flag, round-4 verdict #4)
+    "approx_distinct_users",
+    "value_quantiles_approx",
+    # -- changed this round, must re-audit: widen_small_scan gated to the
+    #    mapInPandas consumers (round-4 verdict #1) / widen removed
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
-    # -- §2b: filtering / temporal / curation / merge families
-    "pii_scrub_docs",
-    "doc_repetition_stats",
-    "benchmark_decontam_overlap",
     "tfidf_top_terms",
-    "asof_join_purchase_click",
-    "stratified_sample_docs",
+    # -- changed this round: presentation-only output sorts dropped
+    #    (round-4 verdict #3) + chunk_docs_overlap empty-text guard
+    "dedup_exact_content",
+    "simhash_fingerprints",
+    "chunk_docs_overlap",
+    "embedding_l2_normalize",
+    "embedding_quantize_int8",
     "merge_upsert_customer",
+    # -- changed this round: chunk feed now stamps range-ordered mtimes
+    #    and keys its cache on builder version (ADVICE r4); decontam's
+    #    persist moved to the released-cache lifecycle
+    "stream_join_click_purchase",
+    "stream_dedup_events",
+    "stateful_running_totals",
+    "benchmark_decontam_overlap",
+    # -- evidence rotation: every query whose latest green driver row is
+    #    from the r2 data generation (round-4 verdict #2; all 22 fit)
+    "count_star",
+    "pricing_summary",
+    "group_avg_join",
+    "filter_group_count_topk",
+    "recent_topk",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "left_outer_join_agg",
+    "rollup_agg",
+    "cube_flag_status",
+    "pivot_event_counts",
+    "intersect_segment_buyers",
+    "full_outer_date_alignment",
+    "distinct_users_by_type",
+    "date_cast_cascade",
+    "topk_per_group",
+    "topk_similar_per_query",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_windows",
+    "user_value_movement",
+    "value_quantiles_exact",
+    # -- evidence rotation, r3 generation (13 of 23 fit this round; the
+    #    reference-surface tail + SQL twins + the text family first, the
+    #    remaining 10 rotate next round)
+    "star_artist_dim",
+    "csv_null_semantics",
+    "raw_field_presence",
+    "songs_export_keys",
+    "q1_top_trending_sql",
+    "q2_album_popularity_sql",
+    "q3_top_artist_presence_sql",
+    "q4_song_movement_sql",
+    "text_quality_stats",
+    "token_counts_by_lang",
+    "lang_id_stopword",
+    "doc_fingerprints",
+    "token_ngram_vocab",
 ]
 
 

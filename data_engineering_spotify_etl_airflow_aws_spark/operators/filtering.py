@@ -330,7 +330,12 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    # narrow scan on purpose: the widen repartition was measured (round 5,
+    # sf0.1 warm, min of 3) at 1.49s vs 1.19s narrow - the tokenize stage
+    # here is one cheap regex pass, so fanning the 1-split fixture out
+    # costs more in shuffle than it buys in map parallelism (unlike the
+    # 5-gram builders below, whose per-row work dominates their shuffle)
+    docs = load_table(spark, sf_dir, "documents")
     # tf feeds both the df agg and the scored join, so the tokenize+agg
     # executes twice. Two rewrites were measured and rejected (round-4):
     # persist(MEMORY_AND_DISK) on tf costs MORE than the recompute at

@@ -137,14 +137,18 @@ def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select(F.col("user_id").alias("c_custkey"), F.col("value"))
     )
-    merged = merge_upsert(
+    # no output sort: the merged dim is full-table scale and the driver
+    # hash is order-insensitive - dropping the rangepartitioning leaves
+    # exactly two exchanges (change-set window + base join side; the
+    # uniqueness guard rides the window's partitioning, asserted by
+    # tests/test_temporal_curation.py::test_merge_guard_adds_no_exchange)
+    return merge_upsert(
         cust,
         upd,
         key="c_custkey",
         set_cols={"c_acctbal": "value"},
         insert_defaults={"c_name": F.lit("(new)")},
     )
-    return merged.orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------

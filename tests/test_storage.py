@@ -316,9 +316,10 @@ def test_pack_sequences_banded_prefix_sum_plan(spark):
         )
 
 
-def test_chunk_docs_is_flat_map_single_output_sort(spark):
-    """chunk_docs_overlap is a pure per-row expansion: the only shuffle in
-    the plan is the deterministic output sort (range partitioning)."""
+def test_chunk_docs_is_shuffle_free_flat_map(spark):
+    """chunk_docs_overlap is a pure per-row expansion: with the
+    presentation-only output sort dropped (round-4 verdict #3) the plan
+    has NO exchange at all - a flat map over the corpus."""
     from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
 
     from .conftest import SF_CORRECT
@@ -327,8 +328,7 @@ def test_chunk_docs_is_flat_map_single_output_sort(spark):
     df.collect()
     # count only the final adaptive plan (toString also prints the initial)
     final = plans.executed_plan(df).split("== Initial Plan ==")[0]
-    assert final.count("Exchange rangepartitioning") == 1, final[:2000]
-    assert "Exchange hashpartitioning" not in final, final[:2000]
+    assert "Exchange" not in final, final[:2000]
 
 
 def test_tpch_q3_q5_join_plans_broadcast_dims(spark):

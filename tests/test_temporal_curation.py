@@ -196,6 +196,39 @@ def test_merge_upsert_rejects_duplicate_change_keys(spark):
     )
 
 
+def test_merge_guard_adds_no_exchange(spark):
+    """The duplicate-key guard window must reuse the change-set window's
+    hash partitioning (both key on the merge key), so enabling it adds
+    ZERO exchanges: the registered merge plan has exactly two shuffles -
+    the change-set derivation window and the base side of the full-outer
+    join (round-4 verdict #6, claim in merge.py's docstring)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_customer,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+    df = merge_upsert_customer(spark, SF_CORRECT)
+    assert plans.num_shuffles(df) == 2, plans.executed_plan(df)
+    # and the guard itself is exchange-free: the same merge with the
+    # guard on vs off produces identical shuffle counts
+
+    base = load_table(spark, SF_CORRECT, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(F.max("value").alias("value"))
+    )
+    kwargs = dict(key="c_custkey", set_cols={"c_acctbal": "value"})
+    with_guard = merge_upsert(base, changes, check_unique_key=True, **kwargs)
+    without = merge_upsert(base, changes, check_unique_key=False, **kwargs)
+    assert plans.num_shuffles(with_guard) == plans.num_shuffles(without), (
+        plans.executed_plan(with_guard)
+    )
+
+
 def test_asof_join_matches_reference_on_random_inputs(spark):
     """Property-based check: on random (key, ts) build/probe sets -
     including duplicate timestamps and keys with no build rows - the
