@@ -36,10 +36,13 @@ AUDIT_FIRST: list[str] = [
     #    this round (exact value + within-bound flag, round-4 verdict #4)
     "approx_distinct_users",
     "value_quantiles_approx",
-    # -- changed this round, must re-audit: widen_small_scan gated to the
-    #    mapInPandas consumers (round-4 verdict #1) / widen removed
+    # -- changed this round, must re-audit: widen_small_scan removed from
+    #    the whole multimodal family + tfidf (round-4 verdict #1; narrow
+    #    scan measured faster for every consumer, see multimodal.py)
     "multimodal_content_dedup",
     "multimodal_metadata_stats",
+    "multimodal_digest_features",
+    "multimodal_frame_sample",
     "tfidf_top_terms",
     # -- changed this round: presentation-only output sorts dropped
     #    (round-4 verdict #3) + chunk_docs_overlap empty-text guard
@@ -80,9 +83,9 @@ AUDIT_FIRST: list[str] = [
     "session_windows",
     "user_value_movement",
     "value_quantiles_exact",
-    # -- evidence rotation, r3 generation (13 of 23 fit this round; the
-    #    reference-surface tail + SQL twins + the text family first, the
-    #    remaining 10 rotate next round)
+    # -- evidence rotation, r3 generation (11 of 23 fit this round; the
+    #    reference-surface tail + SQL twins + text family first, the
+    #    remaining 12 rotate next round)
     "star_artist_dim",
     "csv_null_semantics",
     "raw_field_presence",
@@ -94,8 +97,6 @@ AUDIT_FIRST: list[str] = [
     "text_quality_stats",
     "token_counts_by_lang",
     "lang_id_stopword",
-    "doc_fingerprints",
-    "token_ngram_vocab",
 ]
 
 
