@@ -329,30 +329,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 rows per l_returnflag (a 3-value key).
+    """Top-3 rows per l_returnflag (a 3-value key), declarative form.
 
-    Scale note (round-1 verdict fix): a single row_number() window over the
-    raw group key shuffles the WHOLE fact table into |groups|=3 partitions -
-    at 100 TB each holds ~1/3 of the data and sorts it. Instead: phase 1
-    windows over (group, input-partition-id), a high-cardinality composite,
-    so the heavy shuffle spreads across ~|groups| x |partitions| reducers and
-    each sorts only its slice; rows ranked > k within their own slice cannot
-    be in the global top-k (the ordering is a strict total order), so the
-    survivors - at most k x |partitions| x |groups| rows - feed the exact
-    phase-2 window over the bare group key, which is now tiny.
+    Scale note: a bare row_number() window over a 3-value key LOOKS like it
+    shuffles the whole fact into 3 reducer partitions, and round 1 shipped
+    a manual two-phase rewrite (local window over (group, partition-id),
+    then the exact window over survivors) to avoid that. Catalyst's
+    InferWindowGroupLimit rule (Spark 3.5+) makes the rewrite native: a
+    rank-style window under a `rn <= k` filter gets a map-side
+    WindowGroupLimit(Partial) BEFORE the exchange - each input split
+    forwards at most k rows per group, so the per-group reducer sorts
+    k x |splits| survivors, not 1/|groups| of the table - plus a Final
+    prune after. The declarative form is also measurably faster than the
+    hand-rolled two-phase (1.14s vs 1.33s, sf0.1 warm min-of-3), so the
+    manual rewrite was deleted in round 5; the plan shape is asserted by
+    tests/test_storage.py::test_topk_per_group_prunes_map_side.
     """
     li = load_table(spark, sf_dir, "lineitem")
     order = (F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
-    local_w = W.partitionBy("l_returnflag", "_slice").orderBy(*order)
-    candidates = (
-        li.withColumn("_slice", F.spark_partition_id())
-        .withColumn("_lrn", F.row_number().over(local_w))
-        .where(F.col("_lrn") <= 3)
-        .drop("_slice", "_lrn")
-    )
     w = W.partitionBy("l_returnflag").orderBy(*order)
     return (
-        candidates.withColumn("rn", F.row_number().over(w))
+        li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
         .orderBy("l_returnflag", "rn")

@@ -77,3 +77,22 @@ def ensure_event_chunks(
         )
         _stamp_mtimes_in_range_order(chunks)
     return str(chunks)
+
+
+def plain_event_feed(spark: SparkSession, sf_dir: str) -> str:
+    """The un-augmented events chunk feed shared by the stream-stream join
+    and the stateful-totals queries. A NAMED builder on purpose: every
+    consumer (and the bench pre-warm) must go through the same build_df,
+    because the cache key identifies the layout by tag+version, not by
+    builder code - two call sites with drifting lambdas under one tag
+    would silently serve each other's chunks."""
+    from ..tables import load_table
+
+    return ensure_event_chunks(
+        spark,
+        sf_dir,
+        "events_plain",
+        lambda: load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        ),
+    )

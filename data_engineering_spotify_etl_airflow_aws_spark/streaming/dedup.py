@@ -54,6 +54,17 @@ def events_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionByName(ev.where(F.expr(_DUP_PRED)))
 
 
+def dup_event_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Named chunk-feed builder (same single-builder-per-tag contract as
+    chunks.plain_event_feed) for the planted-duplicate stream."""
+    return ensure_event_chunks(
+        spark,
+        sf_dir,
+        "events_dedup",
+        lambda: events_with_planted_dups(spark, sf_dir),
+    )
+
+
 def dedup_within_watermark_stream(
     spark: SparkSession,
     chunk_dir: str,
@@ -91,12 +102,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source generation and reused across invocations (see chunks.py);
     # only the streaming run below - the operator under test - gets a
     # fresh checkpoint and output dir every time.
-    chunks = ensure_event_chunks(
-        spark,
-        sf_dir,
-        "events_dedup",
-        lambda: events_with_planted_dups(spark, sf_dir),
-    )
+    chunks = dup_event_feed(spark, sf_dir)
 
     # State stores are one-per-shuffle-partition with per-batch checkpoint
     # I/O; size the partition count to STATE volume, not scan parallelism

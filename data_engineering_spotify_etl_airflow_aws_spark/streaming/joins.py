@@ -35,8 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
-from .chunks import ensure_event_chunks
+from .chunks import plain_event_feed
 
 _EVENT_SCHEMA = (
     "event_id bigint, user_id bigint, ts timestamp, "
@@ -101,14 +100,7 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path("/tmp/spark_graft_stream/click_purchase_join")
     shutil.rmtree(base, ignore_errors=True)
 
-    chunks = ensure_event_chunks(
-        spark,
-        sf_dir,
-        "events_plain",
-        lambda: load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type", "value"
-        ),
-    )
+    chunks = plain_event_feed(spark, sf_dir)
 
     # Stateful-query state stores are one-per-shuffle-partition (x4 for a
     # stream-stream join) and each pays per-batch checkpoint I/O, so the

@@ -177,19 +177,11 @@ def stateful_running_totals(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    from ..tables import load_table
-    from .chunks import ensure_event_chunks
+    from .chunks import plain_event_feed
 
     base = Path("/tmp/spark_graft_stream/stateful_totals")
     shutil.rmtree(base, ignore_errors=True)
-    chunks = ensure_event_chunks(
-        spark,
-        sf_dir,
-        "events_plain",
-        lambda: load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type", "value"
-        ),
-    )
+    chunks = plain_event_feed(spark, sf_dir)
     schema = (
         "event_id bigint, user_id bigint, ts timestamp, "
         "event_type string, value double"

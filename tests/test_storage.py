@@ -331,6 +331,34 @@ def test_chunk_docs_is_shuffle_free_flat_map(spark):
     assert "Exchange" not in final, final[:2000]
 
 
+def test_topk_per_group_prunes_map_side(spark):
+    """Grouped top-k must NOT ship the whole fact to |groups| reducers:
+    Catalyst's InferWindowGroupLimit gives the rank-filter window a
+    map-side WindowGroupLimit(Partial) BELOW the group-key exchange (each
+    split forwards <= k rows per group) and a Final prune above it - the
+    'partial TakeOrdered before the shuffle' shape of SURVEY §4's
+    grouped-top-k rule, provided natively by the optimizer."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["topk_per_group"](spark, SF_CORRECT)
+    df.collect()
+    final = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    assert partial, final[:2000]
+    # the Partial prune must sit BELOW (after, in toString order) the
+    # group-key hash exchange it feeds
+    exchange = [i for i, l in enumerate(lines)
+                if "Exchange hashpartitioning(l_returnflag" in l]
+    assert exchange and min(exchange) < max(partial), final[:2000]
+    assert any("WindowGroupLimit" in l and "Final" in l for l in lines), (
+        final[:2000]
+    )
+
+
 def test_tpch_q3_q5_join_plans_broadcast_dims(spark):
     """Q3: filtered customer broadcasts, top-10 rides TakeOrderedAndProject
     (no global sort). Q5: region/nation/supplier/customer all broadcast -
