@@ -59,6 +59,8 @@ AUDIT_FIRST: list[str] = [
     "stream_dedup_events",
     "stateful_running_totals",
     "benchmark_decontam_overlap",
+    # -- changed this round: CC fixpoint shuffle floor + output sort drop
+    "dedup_clusters",
     # -- evidence rotation: every query whose latest green driver row is
     #    from the r2 data generation (round-4 verdict #2; all 22 fit)
     "count_star",
@@ -83,9 +85,9 @@ AUDIT_FIRST: list[str] = [
     "session_windows",
     "user_value_movement",
     "value_quantiles_exact",
-    # -- evidence rotation, r3 generation (11 of 23 fit this round; the
+    # -- evidence rotation, r3 generation (10 of 23 fit this round; the
     #    reference-surface tail + SQL twins + text family first, the
-    #    remaining 12 rotate next round)
+    #    remaining 13 rotate next round)
     "star_artist_dim",
     "csv_null_semantics",
     "raw_field_presence",
@@ -96,7 +98,6 @@ AUDIT_FIRST: list[str] = [
     "q4_song_movement_sql",
     "text_quality_stats",
     "token_counts_by_lang",
-    "lang_id_stopword",
 ]
 
 

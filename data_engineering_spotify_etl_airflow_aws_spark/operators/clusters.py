@@ -94,12 +94,17 @@ def connected_components(
     spark = edges.sparkSession
     n_edges = und.count()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    # Never WIDEN: min(prev, ...) caps at the session value even when it
-    # is already below the 8-partition floor. The override is session-
-    # global (restored in the finally below) - the fixpoint loop assumes
-    # it owns the session while iterating, same as any multi-action
-    # driver algorithm; concurrent queries on the same session would need
-    # a per-query session clone, which cross-session DataFrames forbid.
+    # One shuffle partition per ~50k edges with a floor of 8, capped at
+    # the session value (never WIDEN - min(prev, ...) holds even when the
+    # session is already narrower than 8). The floor was re-measured in
+    # round 5: a single partition serializes the per-round micro-jobs and
+    # is ~1.6x SLOWER than 8 even on a 256-edge fixture (the cost is job
+    # launch, not task count), while a 100 TB edge set still gets session
+    # width. The override is session-global (restored in the finally
+    # below) - the fixpoint loop assumes it owns the session while
+    # iterating, same as any multi-action driver algorithm; concurrent
+    # queries on the same session would need a per-query session clone,
+    # which cross-session DataFrames forbid.
     narrowed = min(int(prev_sp), max(8, n_edges // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(narrowed))
     try:
@@ -208,5 +213,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
         )
-        .orderBy("doc_id")
+        # no output sort: one row per doc (full-table scale), driver hash
+        # is order-insensitive; the cluster_id window partitioning is the
+        # plan's last required exchange
     )
