@@ -455,3 +455,50 @@ def test_stream_stream_join_matches_batch_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(out / "data")).collect()
     )
     assert got == [(10, 1), (10, 2)]
+
+
+def test_chunk_feed_mtimes_follow_range_order(spark):
+    """FileStreamSource orders files by MODIFICATION TIME, not path, so
+    the watermark-safety argument in streaming/joins.py requires the
+    chunk builder to stamp mtimes explicitly in range order: part-00000
+    (the earliest event-time bucket) must carry the smallest mtime,
+    strictly increasing from there (round-4 ADVICE, medium)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.chunks import (
+        plain_event_feed,
+    )
+
+    chunks = Path(plain_event_feed(spark, SF_CORRECT))
+    parts = sorted(p for p in chunks.glob("part-*") if p.is_file())
+    assert len(parts) >= 2
+    mtimes = [p.stat().st_mtime for p in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes), (
+        list(zip((p.name for p in parts), mtimes))
+    )
+    # and range order really is event-time order: per-file max(ts) must
+    # not decrease across the path-ordered (= mtime-ordered) files
+    maxes = [
+        spark.read.parquet(str(p)).agg(F.max("ts")).first()[0] for p in parts
+    ]
+    assert maxes == sorted(maxes)
+
+
+def test_chunk_cache_keys_on_builder_version(spark):
+    """A builder code change must never replay a stale /tmp chunk layout:
+    bumping builder_version (or n_chunks) has to produce a different
+    cache directory for the same source data (round-4 ADVICE, low)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.chunks import (
+        ensure_event_chunks,
+    )
+
+    build = lambda: load_table(spark, SF_CORRECT, "events").select(  # noqa: E731
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    d1 = ensure_event_chunks(spark, SF_CORRECT, "vertest", build)
+    d2 = ensure_event_chunks(
+        spark, SF_CORRECT, "vertest", build, builder_version="2"
+    )
+    d3 = ensure_event_chunks(spark, SF_CORRECT, "vertest", build, n_chunks=4)
+    assert len({d1, d2, d3}) == 3
+    # same inputs -> cache hit on the same directory
+    assert ensure_event_chunks(spark, SF_CORRECT, "vertest", build) == d1
+    shutil.rmtree(Path(d1).parent, ignore_errors=True)
