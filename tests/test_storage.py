@@ -143,21 +143,6 @@ def test_pricing_summary_plan_shape(spark):
     assert plans.num_shuffles(df) <= 2  # agg exchange + output sort
 
 
-def test_topk_per_group_two_phase_window(spark):
-    """Round-1 verdict fix: grouped top-k must window twice - a local pass
-    over the high-cardinality (group, slice) composite, then the exact pass
-    over the pruned candidates - so no single reducer ever sorts a whole
-    group's slice of the fact table."""
-    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
-
-    from .conftest import SF_CORRECT
-
-    df = QUERIES["topk_per_group"](spark, SF_CORRECT)
-    plan = plans.executed_plan(df)
-    assert plan.count("Window") >= 2, "expected local + final window phases"
-    assert "SPARK_PARTITION_ID" in plan.upper() or "_slice" in plan
-
-
 def test_ntile_deciles_no_global_sort_window(spark):
     """Round-2 verdict fix: exact ntile deciles must not route the fact
     table through a single-partition global-order window. The distributed
