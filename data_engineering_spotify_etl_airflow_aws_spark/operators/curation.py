@@ -394,3 +394,130 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver hash is order-insensitive and the plan is otherwise
         # shuffle-free - a global sort would be its only exchange
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding corpus, two full Lloyd iterations
+# with deterministic seeding - the semantic-clustering step a curation
+# pipeline uses for diversity sampling / semantic dedup, and the iterative
+# generalization of label_centroids (the E-step) above.
+#
+# Determinism contract (the whole loop is oracle-mirrored step for step):
+#   * seeds are a fixed data-independent sample (vec_id % 50 == 7, the
+#     similarity module's centroid rule);
+#   * assignment minimizes squared L2 distance composed EXACTLY as
+#     (v.v + c.c) - 2*(v.c) with the shared sequential-fold dot product,
+#     tie-broken on centroid id via the same row_number pattern as IVF;
+#   * centroid means use the decimal-sum contract at scale 9. float32
+#     inputs are dyadic rationals, so no value sits on a half-ulp decimal
+#     rounding boundary and both engines quantize identically.
+#
+# Scale notes (100 TB): per iteration, assignment is a broadcast of the
+# C-row centroid table against the corpus (no corpus shuffle) followed by
+# a per-vector window (N-way key); the update is posexplode -> ONE
+# partial-agg shuffle on the uniform (cid, dim) key - no vector crosses
+# the wire whole, and rounds compose by chaining the same two plans.
+_KM_MOD, _KM_REM = 50, 7
+_KM_SCALE = 9
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, emb) x (cid, cemb) -> (vec_id, emb, cid) nearest centroid."""
+    from ..functions import dot
+
+    d2 = (dot(F.col("emb"), F.col("emb")) + dot(F.col("cemb"), F.col("cemb"))) - (
+        F.lit(2.0) * dot(F.col("emb"), F.col("cemb"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """(vec_id, emb, cid) -> (cid, cemb) decimal-exact per-dim means."""
+    sums = (
+        assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast(f"decimal(30,{_KM_SCALE})")).cast("double")
+                / F.count("*")
+            ).alias("mv")
+        )
+    )
+    return sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s["mv"],
+        ).alias("cemb")
+    )
+
+
+def _km_oracle_assign(vtab: str, ctab: str, out: str) -> str:
+    from ..functions import oracle_dot
+
+    d2 = (
+        f"(({oracle_dot('a.emb', 'a.emb')}) + ({oracle_dot('b.cemb', 'b.cemb')}))"
+        f" - (2.0 * ({oracle_dot('a.emb', 'b.cemb')}))"
+    )
+    return f"""
+    {out} AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, b.cid,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {d2} ASC, b.cid ASC
+                   ) AS rn
+            FROM {vtab} a CROSS JOIN {ctab} b
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM v
+           WHERE vec_id % {_KM_MOD} = {_KM_REM}),
+    {_km_oracle_assign('v', 'c0', 'a1')},
+    pe1 AS (
+        SELECT a1.cid, g.i - 1 AS dim, v.emb[g.i] AS val
+        FROM a1 JOIN v USING (vec_id),
+             LATERAL (SELECT unnest(generate_series(1, len(v.emb))) AS i) g
+    ),
+    m1 AS (
+        SELECT cid, dim,
+               CAST(sum(CAST(val AS DECIMAL(30,{_KM_SCALE}))) AS DOUBLE)
+                   / count(*) AS mv
+        FROM pe1 GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(mv ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
+    {_km_oracle_assign('v', 'c1', 'a2')}
+    SELECT vec_id, cid AS cluster_id,
+           count(*) OVER (PARTITION BY cid) AS cluster_size
+    FROM a2 ORDER BY vec_id
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vec_double
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb")
+    )
+    c0 = v.where(F.col("vec_id") % _KM_MOD == _KM_REM).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a1 = _km_assign(v, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(v, c1)
+    # no output sort: one row per vector (full-table scale), driver hash
+    # is order-insensitive
+    return a2.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.count("*").over(W.partitionBy("cid")).alias("cluster_size"),
+    )

@@ -835,3 +835,72 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh (materialized-view maintenance): merge a
+# delta batch's PARTIAL aggregates into a previously-computed base
+# aggregate and land exactly the full recompute - the warehouse pattern
+# that turns an O(history) nightly rebuild into an O(delta) refresh. The
+# oracle IS the full recompute over the whole table, so the hash match
+# PROVES partial-merge == full for count / decimal sum / max.
+#
+# Exactness: additive measures stay in exact DECIMAL through the merge
+# (decimal(base) + decimal(delta) == decimal(total) associatively), with
+# ONE final cast to double - summing two already-cast doubles could
+# differ from the full recompute by an ulp. count/max merge trivially.
+#
+# Scale notes (100 TB): the base agg is |groups| rows (here: read back
+# from the stored MV; computed in-query to stay self-contained), the
+# delta agg shuffles only the delta batch with map-side combine, and the
+# merge itself is a broadcast full-outer join on the group key - cost is
+# O(delta + groups), never O(history).
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(max(o_orderdate) AS DATE) AS latest_order_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # the "previously materialized" history vs the newly-arrived batch: a
+    # deterministic 90/10 key split stands in for the stored MV + delta
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+            F.max(F.to_date("o_orderdate")).alias("d"),
+        )
+
+    b = partial(base).alias("b")
+    d = partial(delta).alias("d")
+    merged = b.join(
+        F.broadcast(d),
+        F.col("b.o_orderpriority") == F.col("d.o_orderpriority"),
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(30,2)")
+    return merged.select(
+        F.coalesce("b.o_orderpriority", "d.o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).alias("n_orders"),
+        (F.coalesce("b.s", zero) + F.coalesce("d.s", zero))
+        .cast("double")
+        .alias("sum_price"),
+        F.greatest(
+            F.coalesce("b.d", "d.d"), F.coalesce("d.d", "b.d")
+        ).alias("latest_order_date"),
+    ).orderBy("o_orderpriority")
