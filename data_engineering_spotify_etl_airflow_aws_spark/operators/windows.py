@@ -306,3 +306,116 @@ def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("lt50", "le50", 0.5).alias("p50_within"),
         within("lt95", "le95", 0.95).alias("p95_within"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per user (the TSDB time_weight operator): each
+# value is weighted by how long it remained current - the interval to the
+# user's next event; the final observation carries no interval and drops
+# out, standard left-closed semantics. Determinism: value has 6 generated
+# fractional digits, so floor(value*1e6) is an exact micro-unit integer;
+# (value_u6 x interval_us) products and their sums stay in exact DECIMAL
+# (the bigint product alone could overflow int64), with one double cast
+# per output column. Scale: one window shuffle on user_id, then a
+# partial-agg on the same key - Catalyst reuses the window's partitioning.
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events
+    ),
+    iv AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000) AS DECIMAL(20,0)) AS val_u6,
+               CAST(next_us - ts_us AS DECIMAL(20,0)) AS dt_us
+        FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           round(CAST(sum(val_u6 * dt_us) AS DOUBLE)
+               / (1000000.0 * CAST(sum(dt_us) AS DOUBLE)), 6) AS twa_value
+    FROM iv GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _ts_us().alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iv = (
+        ev.withColumn("next_us", F.lead("ts_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 1_000_000).cast("decimal(20,0)").alias(
+                "val_u6"
+            ),
+            (F.col("next_us") - F.col("ts_us")).cast("decimal(20,0)").alias(
+                "dt_us"
+            ),
+        )
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            # round(6): the exact decimal sums exceed 2^53, and the two
+            # engines' int128/decimal -> double conversions can differ in
+            # the last ulp (same reason value_quantiles_exact rounds)
+            F.round(
+                F.sum(F.col("val_u6") * F.col("dt_us")).cast("double")
+                / (F.lit(1_000_000.0) * F.sum("dt_us").cast("double")),
+                6,
+            ).alias("twa_value"),
+        )
+        # no output sort: one row per user, driver hash order-insensitive
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: bucket every user by first-activity date, then count
+# distinct active users per (cohort, day-offset) - the standard product-
+# analytics retention triangle. Two shuffles total: the cohort-assignment
+# agg on user_id and the (cohort, offset) distinct-count, both uniform
+# keys with map-side partials; the per-user cohort table broadcasts.
+@query(
+    "cohort_daily_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           count(*) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
