@@ -31,10 +31,11 @@ __version__ = "0.1.0"
 # CORRECTNESS_r03.json or CORRECTNESS_r04.json and is unchanged since
 # (local oracle parity re-checks them each run regardless); they take
 # the tail in their original registration order. Round-6 slot queue, in
-# priority order: the four never-audited round-5 additions
+# priority order: the never-audited round-5 additions
 # (kmeans_embedding_clusters, incremental_agg_refresh,
-# time_weighted_avg_value, cohort_daily_retention - same precedent as
-# the late round-3 extras), then the 13 remaining r3-evidence queries
+# time_weighted_avg_value, cohort_daily_retention, fuzzy_name_matches,
+# sample_exact_k_per_lang - same precedent as the late round-3 extras),
+# then the 13 remaining r3-evidence queries
 # (doc_fingerprints, token_ngram_vocab, corpus_curation_stats,
 # dedup_earliest_survivor, label_centroids, latest_order_per_segment,
 # point_lookup_series, scd2_user_value_history, session_window_agg,

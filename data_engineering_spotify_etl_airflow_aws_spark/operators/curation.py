@@ -521,3 +521,47 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.count("*").over(W.partitionBy("cid")).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k per-group sampling: exactly K docs per language, chosen by the
+# md5-derived hash order (with doc_id as total-order tiebreak), so the
+# sample is a pure function of the data - reproducible across engines,
+# partitionings, and reruns, and EXACTLY sized (the rate-based sampler
+# above is exact only in expectation). The rank-filter window gets
+# Catalyst's native map-side WindowGroupLimit prune (each input split
+# forwards <= K rows per language before the shuffle), so the plan moves
+# O(K x splits x langs) rows, not the corpus.
+_SAMPLE_K = 20
+
+
+@query(
+    "sample_exact_k_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_DUCK_H32.format(s="concat('pick-', CAST(doc_id AS VARCHAR))")},
+                            doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_SAMPLE_K}
+    ORDER BY lang, rk
+    """,
+)
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            _SPARK_H32.format(s="concat('pick-', cast(doc_id as string))")
+        ).alias("_h"),
+    )
+    w = W.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SAMPLE_K)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )

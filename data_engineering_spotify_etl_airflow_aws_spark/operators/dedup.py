@@ -472,3 +472,48 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no output sort: one row per doc (full-table scale), driver hash
         # is order-insensitive
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution by blocked fuzzy matching: candidate pairs come from
+# an equi-join on a BLOCK key (nation, name length) - never all-pairs -
+# then Levenshtein as the residual predicate, the standard record-linkage
+# shape (the string-typo analog of the shingle prefix filter above). Both
+# engines implement classic unit-cost edit distance, so dist is exact and
+# hash-checkable. At 100 TB the block key generalizes to q-gram LSH (the
+# machinery the document near-dup operators already provide); blocking
+# keeps the quadratic term bounded by the largest block, not the table.
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("_len")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a._len") == F.col("b._len"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
