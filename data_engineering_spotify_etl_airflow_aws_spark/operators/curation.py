@@ -422,19 +422,24 @@ _KM_SCALE = 9
 
 
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, emb) x (cid, cemb) -> (vec_id, emb, cid) nearest centroid."""
+    """(vec_id, emb, vv) x (cid, cemb, cc) -> (vec_id, emb, cid) nearest
+    centroid. Squared norms arrive precomputed - per-VECTOR work, not
+    per-PAIR (the N x C assignment would otherwise re-fold both arrays
+    for every pair; same lesson as the LSH verify join) - leaving one
+    dot product per pair. vv/cc are the identical fold over the identical
+    array, so d2 is bit-equal to the inline form the oracle states."""
     from ..functions import dot
 
-    d2 = (dot(F.col("emb"), F.col("emb")) + dot(F.col("cemb"), F.col("cemb"))) - (
+    d2 = (F.col("vv") + F.col("cc")) - (
         F.lit(2.0) * dot(F.col("emb"), F.col("cemb"))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "emb", "cid", d2.alias("d2"))
+        .select("vec_id", "emb", "vv", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
+        .select("vec_id", "emb", "vv", "cid")
     )
 
 
@@ -503,16 +508,19 @@ def _km_oracle_assign(vtab: str, ctab: str, out: str) -> str:
     """,
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import vec_double
+    from ..functions import dot, vec_double
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec_double("embedding").alias("emb")
     )
+    v = v.withColumn("vv", dot(F.col("emb"), F.col("emb")))
     c0 = v.where(F.col("vec_id") % _KM_MOD == _KM_REM).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("vv").alias("cc"),
     )
     a1 = _km_assign(v, c0)
-    c1 = _km_update(a1)
+    c1 = _km_update(a1).withColumn("cc", dot(F.col("cemb"), F.col("cemb")))
     a2 = _km_assign(v, c1)
     # no output sort: one row per vector (full-table scale), driver hash
     # is order-insensitive
