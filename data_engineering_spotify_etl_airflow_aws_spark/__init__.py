@@ -26,87 +26,82 @@ __version__ = "0.1.0"
 # only the local parity suite. This list pins those 50 slots explicitly.
 # Priority order for a slot: (1) queries that have NEVER had a driver
 # audit, (2) queries whose implementation or oracle changed since their
-# last green audit, (3) one representative per SURVEY §2a/§2b family.
-# Every query NOT listed here was hash-verified green in
-# CORRECTNESS_r03.json or CORRECTNESS_r04.json and is unchanged since
+# last green audit, (3) evidence rotation, oldest green generation
+# first. Every query NOT listed here was hash-verified green in
+# CORRECTNESS_r04.json or CORRECTNESS_r05.json and is unchanged since
 # (local oracle parity re-checks them each run regardless); they take
-# the tail in their original registration order. Round-6 slot queue, in
-# priority order: the never-audited round-5 additions
-# (kmeans_embedding_clusters, incremental_agg_refresh,
-# time_weighted_avg_value, cohort_daily_retention, fuzzy_name_matches,
-# sample_exact_k_per_lang - same precedent as the late round-3 extras),
-# then the 13 remaining r3-evidence queries
-# (doc_fingerprints, token_ngram_vocab, corpus_curation_stats,
-# dedup_earliest_survivor, label_centroids, latest_order_per_segment,
-# point_lookup_series, scd2_user_value_history, session_window_agg,
-# ts_gap_fill, ...).
+# the tail in their original registration order. After this round the
+# only stale evidence left is a handful of r4-generation rows (listed
+# at the bottom comment) - they rotate in round 7.
 AUDIT_FIRST: list[str] = [
-    # -- first-ever hash audit: the two sketch queries grew real oracles
-    #    this round (exact value + within-bound flag, round-4 verdict #4)
-    "approx_distinct_users",
-    "value_quantiles_approx",
-    # -- changed this round, must re-audit: widen_small_scan removed from
-    #    the whole multimodal family + tfidf (round-4 verdict #1; narrow
-    #    scan measured faster for every consumer, see multimodal.py)
-    "multimodal_content_dedup",
-    "multimodal_metadata_stats",
-    "multimodal_digest_features",
-    "multimodal_frame_sample",
-    "tfidf_top_terms",
-    # -- changed this round: presentation-only output sorts dropped
-    #    (round-4 verdict #3) + chunk_docs_overlap empty-text guard
-    "dedup_exact_content",
-    "simhash_fingerprints",
-    "chunk_docs_overlap",
-    "embedding_l2_normalize",
-    "embedding_quantize_int8",
-    "merge_upsert_customer",
-    # -- changed this round: chunk feed now stamps range-ordered mtimes
-    #    and keys its cache on builder version (ADVICE r4); decontam's
-    #    persist moved to the released-cache lifecycle
-    "stream_join_click_purchase",
-    "stream_dedup_events",
-    "stateful_running_totals",
-    "benchmark_decontam_overlap",
-    # -- changed this round: CC fixpoint shuffle floor + output sort drop
-    "dedup_clusters",
-    # -- evidence rotation: every query whose latest green driver row is
-    #    from the r2 data generation (round-4 verdict #2; all 22 fit)
-    "count_star",
-    "pricing_summary",
-    "group_avg_join",
-    "filter_group_count_topk",
-    "recent_topk",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "left_outer_join_agg",
-    "rollup_agg",
-    "cube_flag_status",
-    "pivot_event_counts",
-    "intersect_segment_buyers",
-    "full_outer_date_alignment",
-    "distinct_users_by_type",
-    "date_cast_cascade",
-    "topk_per_group",
+    # -- never driver-audited: the six round-5 operators (round-5
+    #    verdict #1 - these take the first slots, before anything else).
+    #    kmeans/cohort/incremental audit the ROUND-6 FIXED plans: fixed-
+    #    count K=256 hash-order seeds, no per-user broadcast hint,
+    #    union-merge instead of full-outer join.
+    "kmeans_embedding_clusters",
+    "incremental_agg_refresh",
+    "time_weighted_avg_value",
+    "cohort_daily_retention",
+    "fuzzy_name_matches",
+    "sample_exact_k_per_lang",
+    # -- changed this round, must re-audit: the similarity query set and
+    #    IVF centroid set moved from the fractional %50 rule (grows as
+    #    N/50 - the round-5 scale bug) to fixed-count md5-hash-order
+    #    picks (64 queries / 256 centroids), and IVF now broadcasts the
+    #    bounded query set instead of an O(N) projection.
     "topk_similar_per_query",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_windows",
-    "user_value_movement",
-    "value_quantiles_exact",
-    # -- evidence rotation, r3 generation (10 of 23 fit this round; the
-    #    reference-surface tail + SQL twins + text family first, the
-    #    remaining 13 rotate next round)
-    "star_artist_dim",
-    "csv_null_semantics",
-    "raw_field_presence",
-    "songs_export_keys",
-    "q1_top_trending_sql",
-    "q2_album_popularity_sql",
-    "q3_top_artist_presence_sql",
-    "q4_song_movement_sql",
-    "text_quality_stats",
-    "token_counts_by_lang",
+    "ivf_topk_similar",
+    # -- evidence rotation: the 11 queries whose latest green driver row
+    #    is the r3 data generation (round-5 verdict "what's missing" #2;
+    #    closes the r3-era debt entirely).
+    "session_window_agg",
+    "point_lookup_series",
+    "dedup_earliest_survivor",
+    "lang_id_stopword",
+    "doc_fingerprints",
+    "token_ngram_vocab",
+    "ts_gap_fill",
+    "label_centroids",
+    "corpus_curation_stats",
+    "scd2_user_value_history",
+    "latest_order_per_segment",
+    # -- evidence rotation, r4 generation (31 of 35 fit this round; the
+    #    reference-surface core first, then TPC-H, then the LLM families;
+    #    the 4 remaining - median_mode_by_status, props_json_stats,
+    #    cume_dist_price_quartiles, user_event_type_profile - rotate in
+    #    round 7)
+    "star_songs_fact",
+    "star_album_dim",
+    "q1_top_trending",
+    "q2_album_popularity",
+    "q3_top_artist_presence",
+    "q4_song_movement",
+    "rest_api_songs",
+    "streaming_ingest_songs",
+    "partitioned_roundtrip_prune",
+    "song_added_tz_roundtrip",
+    "star_join_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "ngram_jaccard_near_dup",
+    "minhash_lsh_near_dup",
+    "embedding_near_dup_pairs",
+    "asof_join_purchase_click",
+    "promo_range_join",
+    "stratified_sample_docs",
+    "pack_token_sequences",
+    "pii_scrub_docs",
+    "doc_repetition_stats",
+    "ntile_price_deciles",
+    "except_small_orders",
+    "grouping_sets_seg_nation",
+    "percent_rank_acctbal",
+    "doc_length_histogram",
+    "rolling_value_7d",
+    "orders_above_cust_avg",
+    "event_transition_counts",
+    "unpivot_part_metrics",
 ]
 
 

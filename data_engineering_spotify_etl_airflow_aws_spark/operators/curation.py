@@ -403,8 +403,13 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generalization of label_centroids (the E-step) above.
 #
 # Determinism contract (the whole loop is oracle-mirrored step for step):
-#   * seeds are a fixed data-independent sample (vec_id % 50 == 7, the
-#     similarity module's centroid rule);
+#   * seeds are the FIXED-COUNT K=256 vectors first in md5-hash order
+#     (hash of 'km-'||vec_id, vec_id tiebreak) - a pure function of the
+#     ids, picked by a top-K (TakeOrderedAndProject: map-side partial
+#     top-K, no global sort), so C stays 256 no matter how large the
+#     corpus grows. (A fractional rule like vec_id % 50 would make C
+#     scale as N/50 and turn the broadcast below into an O(N) relation
+#     and assignment into O(N^2/50) pairs - the round-5 scale bug.);
 #   * assignment minimizes squared L2 distance composed EXACTLY as
 #     (v.v + c.c) - 2*(v.c) with the shared sequential-fold dot product,
 #     tie-broken on centroid id via the same row_number pattern as IVF;
@@ -413,12 +418,15 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     rounding boundary and both engines quantize identically.
 #
 # Scale notes (100 TB): per iteration, assignment is a broadcast of the
-# C-row centroid table against the corpus (no corpus shuffle) followed by
-# a per-vector window (N-way key); the update is posexplode -> ONE
-# partial-agg shuffle on the uniform (cid, dim) key - no vector crosses
-# the wire whole, and rounds compose by chaining the same two plans.
-_KM_MOD, _KM_REM = 50, 7
+# BOUNDED 256-row centroid table against the corpus (no corpus shuffle)
+# followed by a per-vector window (N-way key); the update is posexplode
+# -> ONE partial-agg shuffle on the uniform (cid, dim) key - no vector
+# crosses the wire whole, and rounds compose by chaining the same two
+# plans.
+_KM_K = 256  # fixed centroid count: broadcast stays bounded at any N
 _KM_SCALE = 9
+_KM_H_SPARK = _SPARK_H32.format(s="concat('km-', cast(vec_id as string))")
+_KM_H_DUCK = _DUCK_H32.format(s="concat('km-', CAST(vec_id AS VARCHAR))")
 
 
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -487,7 +495,7 @@ def _km_oracle_assign(vtab: str, ctab: str, out: str) -> str:
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     c0 AS (SELECT vec_id AS cid, emb AS cemb FROM v
-           WHERE vec_id % {_KM_MOD} = {_KM_REM}),
+           ORDER BY {_KM_H_DUCK}, vec_id LIMIT {_KM_K}),
     {_km_oracle_assign('v', 'c0', 'a1')},
     pe1 AS (
         SELECT a1.cid, g.i - 1 AS dim, v.emb[g.i] AS val
@@ -514,10 +522,14 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", vec_double("embedding").alias("emb")
     )
     v = v.withColumn("vv", dot(F.col("emb"), F.col("emb")))
-    c0 = v.where(F.col("vec_id") % _KM_MOD == _KM_REM).select(
-        F.col("vec_id").alias("cid"),
-        F.col("emb").alias("cemb"),
-        F.col("vv").alias("cc"),
+    c0 = (
+        v.orderBy(F.expr(_KM_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("vv").alias("cc"),
+        )
     )
     a1 = _km_assign(v, c0)
     c1 = _km_update(a1).withColumn("cc", dot(F.col("cemb"), F.col("cemb")))

@@ -543,4 +543,4 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_a",
         "custkey_b",
         F.levenshtein("name_a", "name_b").alias("edit_dist"),
-    ).orderBy("custkey_a", "custkey_b")
+    )  # no output sort: driver hash is order-insensitive (r5 rule)

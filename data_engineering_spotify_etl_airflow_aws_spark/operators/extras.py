@@ -853,7 +853,11 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale notes (100 TB): the base agg is |groups| rows (here: read back
 # from the stored MV; computed in-query to stay self-contained), the
 # delta agg shuffles only the delta batch with map-side combine, and the
-# merge itself is a broadcast full-outer join on the group key - cost is
+# merge itself is UNION ALL of the two partial-aggregate sets followed by
+# one more groupBy on the group key - no join at all (round 5 used a
+# full-outer join with a broadcast hint, but Spark's broadcast hash join
+# does not support full outer, so it silently planned as a sort-merge
+# join; the union-merge needs one exchange fewer and no sorts). Cost is
 # O(delta + groups), never O(history).
 @query(
     "incremental_agg_refresh",
@@ -882,25 +886,18 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.to_date("o_orderdate")).alias("d"),
         )
 
-    b = partial(base).alias("b")
-    d = partial(delta).alias("d")
-    merged = b.join(
-        F.broadcast(d),
-        F.col("b.o_orderpriority") == F.col("d.o_orderpriority"),
-        "full_outer",
+    # merge = re-aggregate the unioned partials: count partials add, the
+    # decimal sum partials add exactly (one final cast to double), date
+    # partials max-combine. Absent groups need no coalesce handling -
+    # a group present in only one side simply contributes one partial row.
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_price"),
+            F.max("d").alias("latest_order_date"),
+        )
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
-    zero = F.lit(0).cast("decimal(30,2)")
-    return merged.select(
-        F.coalesce("b.o_orderpriority", "d.o_orderpriority").alias(
-            "o_orderpriority"
-        ),
-        (
-            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
-        ).alias("n_orders"),
-        (F.coalesce("b.s", zero) + F.coalesce("d.s", zero))
-        .cast("double")
-        .alias("sum_price"),
-        F.greatest(
-            F.coalesce("b.d", "d.d"), F.coalesce("d.d", "b.d")
-        ).alias("latest_order_date"),
-    ).orderBy("o_orderpriority")

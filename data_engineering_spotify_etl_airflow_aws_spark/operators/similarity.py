@@ -13,9 +13,16 @@ Three tiers, per the 100 TB brief:
 
 Everything is deterministic and oracle-mirrored: cosine is the zip_with +
 left-fold composition from functions.py (bit-identical to DuckDB's
-list_transform + list_sum, verified), centroids are a fixed data-independent
-sample (vec_id % 50 == 7), and hyperplanes are integer-arithmetic
-pseudo-random constants both engines generate identically.
+list_transform + list_sum, verified), the query set and the centroid set
+are FIXED-COUNT md5-hash-order picks (top-64 / top-256 by hash of a
+salted vec_id, vec_id tiebreak - a pure function of the ids whose size
+does NOT grow with the corpus; a fractional rule like vec_id % 50 would
+make both sets O(N) and the broadcasts unbounded - the round-5 scale
+bug), and hyperplanes are integer-arithmetic pseudo-random constants both
+engines generate identically. The classic IVF sizing rule is C ~ sqrt(N)
+with nprobe fixed; a production deployment would bump N_CENTROIDS per
+corpus - here it is a fixed constant so the result is deterministic and
+the centroid broadcast is bounded by construction.
 
 The fixture's vectors are near-uniform on the unit sphere (max pairwise
 cosine ~0.51), so near_dup at tau=0.9 is correctly EMPTY on it; the planted-
@@ -41,10 +48,11 @@ from ..caches import register_cache
 from ..functions import cosine, oracle_cosine, vec_double
 from ..registry import query
 from ..tables import load_table
+from .dedup import _DUCK_H32, _SPARK_H32
 
 TOP_K = 5
-QUERY_MOD = 50  # query set = vec_id % 50 == 0 (data-independent sample)
-CENTROID_MOD_REM = 7  # centroids = vec_id % 50 == 7
+N_QUERIES = 64  # fixed query-set size: broadcast bounded at any corpus N
+N_CENTROIDS = 256  # fixed IVF centroid count (see module docstring)
 N_PROBE = 3
 NEAR_DUP_TAU = 0.9
 _SIG_BITS = 16
@@ -52,10 +60,29 @@ _DIM = 64
 
 _OCOS = oracle_cosine("a.emb", "b.emb")
 
+# fixed-count deterministic picks: first-N in md5-hash order over a
+# salted vec_id (vec_id tiebreak). Spark plans orderBy().limit() as
+# TakeOrderedAndProject - map-side partial top-N, never a global sort -
+# so the pick itself is scale-safe and its output size is a CONSTANT.
+_Q_H_SPARK = _SPARK_H32.format(s="concat('simq-', cast(vec_id as string))")
+_Q_H_DUCK = _DUCK_H32.format(s="concat('simq-', CAST(vec_id AS VARCHAR))")
+_C_H_SPARK = _SPARK_H32.format(s="concat('simc-', cast(vec_id as string))")
+_C_H_DUCK = _DUCK_H32.format(s="concat('simc-', CAST(vec_id AS VARCHAR))")
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec_double("embedding").alias("emb")
+    )
+
+
+def _query_set(v: DataFrame) -> DataFrame:
+    """The fixed N_QUERIES-row query set (query_id, q_emb) - bounded, so
+    broadcasting it is safe at any corpus size."""
+    return (
+        v.orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
     )
 
 
@@ -66,6 +93,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_similar_per_query",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id, emb FROM v
+          ORDER BY {_Q_H_DUCK}, vec_id LIMIT {N_QUERIES}),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
                {_OCOS} AS score,
@@ -73,8 +102,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY a.vec_id
                    ORDER BY {_OCOS} DESC, b.vec_id
                ) AS rank
-        FROM v a JOIN v b ON a.vec_id % {QUERY_MOD} = 0
-                         AND b.vec_id != a.vec_id
+        FROM q a JOIN v b ON b.vec_id != a.vec_id
     )
     SELECT query_id, cand_id, score, rank
     FROM scored WHERE rank <= {TOP_K}
@@ -83,9 +111,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _emb(spark, sf_dir)
-    queries = v.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
-    )
+    queries = _query_set(v)
     cands = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
     scored = (
         F.broadcast(queries)
@@ -119,7 +145,9 @@ _IVF_CACHE: list[DataFrame] = register_cache([])
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, emb FROM v
-             WHERE vec_id % {QUERY_MOD} = {CENTROID_MOD_REM}),
+             ORDER BY {_C_H_DUCK}, vec_id LIMIT {N_CENTROIDS}),
+    q AS (SELECT vec_id, emb FROM v
+          ORDER BY {_Q_H_DUCK}, vec_id LIMIT {N_QUERIES}),
     assign AS (
         SELECT vec_id, centroid_id FROM (
             SELECT a.vec_id, b.centroid_id,
@@ -139,8 +167,7 @@ _IVF_CACHE: list[DataFrame] = register_cache([])
                        ORDER BY {oracle_cosine('a.emb', 'b.emb')} DESC,
                                 b.centroid_id
                    ) AS rn
-            FROM v a CROSS JOIN cent b
-            WHERE a.vec_id % {QUERY_MOD} = 0
+            FROM q a CROSS JOIN cent b
         ) WHERE rn <= {N_PROBE}
     ),
     scored AS (
@@ -173,9 +200,14 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_CACHE.pop().unpersist()
     v = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     _IVF_CACHE.append(v)
-    cent = v.where(F.col("vec_id") % QUERY_MOD == CENTROID_MOD_REM).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_emb")
+    cent = (
+        v.orderBy(F.expr(_C_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_emb")
+        )
     )
+    qset = _query_set(v)  # bounded N_QUERIES rows: safe to broadcast
 
     def argmax_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent)).select(
@@ -192,19 +224,19 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = argmax_centroids(v, "vec_id", keep=1)
     probe = argmax_centroids(
-        v.where(F.col("vec_id") % QUERY_MOD == 0).select(
-            F.col("vec_id").alias("query_id"), "emb"
-        ),
+        qset.select("query_id", F.col("q_emb").alias("emb")),
         "query_id",
         keep=N_PROBE,
     )
-    q_emb = v.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
     c_emb = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
     scored = (
         probe.join(assign, "centroid_id")
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .where(F.col("cand_id") != F.col("query_id"))
-        .join(F.broadcast(q_emb), "query_id")
+        # round 6: broadcast the BOUNDED query set, not an O(N)
+        # projection of the whole corpus (the r5 plan broadcast all of
+        # v's rows here even though only the queries survive the join)
+        .join(F.broadcast(qset), "query_id")
         .join(c_emb, "cand_id")
         .select(
             "query_id",

@@ -381,9 +381,14 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Cohort retention: bucket every user by first-activity date, then count
 # distinct active users per (cohort, day-offset) - the standard product-
-# analytics retention triangle. Two shuffles total: the cohort-assignment
-# agg on user_id and the (cohort, offset) distinct-count, both uniform
-# keys with map-side partials; the per-user cohort table broadcasts.
+# analytics retention triangle. The per-user cohort table is one row per
+# user - it GROWS with the data, so it must NOT broadcast (billions of
+# rows at 100 TB); instead the events->cohort join is a plain shuffle
+# join on user_id, which co-partitions with the min-agg that produced
+# first_day, so the join reuses that exchange. Shuffles: the
+# cohort-assignment agg on user_id (shared with the join) and the
+# (cohort, offset) distinct-count, both uniform keys with map-side
+# partials.
 @query(
     "cohort_daily_retention",
     oracle="""
@@ -408,7 +413,7 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(F.broadcast(first_day), "user_id")
+        ev.join(first_day, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -417,5 +422,5 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active_users"))
-        .orderBy("cohort_day", "day_offset")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )

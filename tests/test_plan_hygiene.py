@@ -39,3 +39,17 @@ def test_no_forbidden_plan_nodes(name, spark):
     plan = plans.executed_plan(df)
     hits = [node for node in _FORBIDDEN if node in plan]
     assert not hits, f"{name}: forbidden plan node(s) {hits}\n{plan[:2000]}"
+
+
+def test_cohort_retention_has_no_forced_broadcast(spark):
+    """cohort_daily_retention must not HINT a broadcast of the per-user
+    cohort aggregate: that relation is one row per user and grows with the
+    data, so a forced broadcast OOMs at 100 TB (round-5 verdict #1). The
+    static planner choosing BroadcastHashJoin from SIZE ESTIMATES at the
+    tiny smoke scale is fine - that decision reverts to a shuffle join
+    when the estimate exceeds the threshold - so the assertion targets the
+    analyzed logical plan's hint nodes, not the physical join choice."""
+    df = registry.QUERIES["cohort_daily_retention"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:2000]
+    assert "UnresolvedHint" not in analyzed, analyzed[:2000]
