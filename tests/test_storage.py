@@ -387,3 +387,37 @@ def test_widen_small_scan_noops_on_wide_input(spark):
     widened = widen_small_scan(docs)
     assert widened.rdd.getNumPartitions() == target
     assert widened.count() == docs.count()
+
+
+def test_bucketed_colocated_join_is_exchange_free_into_the_join(spark):
+    """The bucketed join's whole point: both scans bucket-aligned, the
+    sort-merge join fed by ZERO exchanges, and exactly one shuffle in the
+    entire query (the final segment agg)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["bucketed_colocated_join"](spark, SF_CORRECT)
+    p = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in p, p[:1500]
+    assert p.count("SelectedBucketsCount") == 2, p[:1500]
+    assert plans.num_shuffles(df) == 1, p[:1500]
+    # the join itself must sit below no Exchange: everything between the
+    # scans and the join is sort/filter/project only
+    join_part = p.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_part, join_part[:1500]
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain_semantics(spark):
+    """The salted plan must (a) join on the composite (key, salt) pair -
+    visible in the SMJ keys - and (b) keep the hint-pinned sort-merge
+    path (the big-dim regime salting exists for)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["skew_salted_join_agg"](spark, SF_CORRECT)
+    p = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in p, p[:1500]
+    smj_line = [ln for ln in p.splitlines() if "SortMergeJoin" in ln][0]
+    assert "salt" in smj_line, smj_line
