@@ -11,6 +11,23 @@ most one cached relation per family outlives its query.
 This module centralizes those lists so interactive sessions (and the
 bench teardown) can free everything at once with release_all() instead
 of relying on the next same-family call or session shutdown.
+
+Notebook lifecycle example (see examples/interactive_session.py for the
+runnable version)::
+
+    import data_engineering_spotify_etl_airflow_aws_spark as engine
+    from data_engineering_spotify_etl_airflow_aws_spark import caches, registry
+    from data_engineering_spotify_etl_airflow_aws_spark.session import get_spark
+
+    engine.load_all_operators()
+    spark = get_spark()
+    sf = "/root/testdata/sf0.01"
+
+    registry.QUERIES["minhash_lsh_near_dup"](spark, sf).show()   # persists base
+    registry.QUERIES["ivf_topk_similar"](spark, sf).show()       # persists base
+    # ... exploration done - executor memory back in one call:
+    caches.release_all()
+    # later queries just rebuild their bases on demand
 """
 
 from __future__ import annotations

@@ -23,7 +23,7 @@ from data_engineering_spotify_etl_airflow_aws_spark.streaming.ingest import (
 )
 from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, SF_SMOKE
 
 engine.load_all_operators()
 
@@ -502,3 +502,22 @@ def test_chunk_cache_keys_on_builder_version(spark):
     # same inputs -> cache hit on the same directory
     assert ensure_event_chunks(spark, SF_CORRECT, "vertest", build) == d1
     shutil.rmtree(Path(d1).parent, ignore_errors=True)
+
+
+def test_interactive_example_end_to_end(spark):
+    """The examples/interactive_session.py walkthrough must actually run:
+    batch query, continuous ingest driven once, SHOW PIPES row for it,
+    cache release."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        import interactive_session
+    finally:
+        sys.path.pop(0)
+
+    out = interactive_session.main(spark, SF_SMOKE)
+    assert out["q1_rows"] >= 0
+    assert out["n_active_pipes"] >= 1
+    assert out["pipe_active"] is True
