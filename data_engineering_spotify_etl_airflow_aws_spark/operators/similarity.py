@@ -76,13 +76,45 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, nrm): the scoring base for topk/IVF. Two measured
+    fixes folded in (r6, sf0.1: IVF 6.4s -> 1.3s combined):
+      * widen_small_scan - the fixture parquet is ONE split, so every
+        crossJoin/scoring pass otherwise runs single-task; a no-op at
+        production scale where the scan has many splits.
+      * per-vector l2 norm precomputed ONCE - the pair score then
+        multiplies two scalars instead of re-folding both arrays per
+        pair (per-VECTOR work, not per-PAIR - the LSH verify lesson).
+        l2_norm's fold is the same IEEE op sequence as the inline
+        cosine denominator, so scores stay bit-identical to the
+        oracle's inline form."""
+    from ..functions import l2_norm
+    from ..tables import widen_small_scan
+
+    return widen_small_scan(_emb(spark, sf_dir)).withColumn(
+        "nrm", l2_norm(F.col("emb"))
+    )
+
+
+def _pair_cos(a_emb: str, a_nrm: str, b_emb: str, b_nrm: str) -> Column:
+    """cosine from precomputed norms: dot / (nrm_a * nrm_b) - bit-equal
+    to functions.cosine (same fold, same divide grouping)."""
+    from ..functions import dot
+
+    return dot(F.col(a_emb), F.col(b_emb)) / (F.col(a_nrm) * F.col(b_nrm))
+
+
 def _query_set(v: DataFrame) -> DataFrame:
-    """The fixed N_QUERIES-row query set (query_id, q_emb) - bounded, so
-    broadcasting it is safe at any corpus size."""
+    """The fixed N_QUERIES-row query set (query_id, q_emb, q_nrm) -
+    bounded, so broadcasting it is safe at any corpus size."""
     return (
         v.orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
         .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
 
 
@@ -110,16 +142,20 @@ def _query_set(v: DataFrame) -> DataFrame:
     """,
 )
 def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _emb(spark, sf_dir)
+    v = _emb_n(spark, sf_dir)
     queries = _query_set(v)
-    cands = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    cands = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
     scored = (
         F.broadcast(queries)
         .join(cands, F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("score"),
+            _pair_cos("q_emb", "q_nrm", "c_emb", "c_nrm").alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
@@ -198,13 +234,15 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern as _SIG_CACHE below (round-3 verdict #2).
     while _IVF_CACHE:
         _IVF_CACHE.pop().unpersist()
-    v = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    v = _emb_n(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     _IVF_CACHE.append(v)
     cent = (
         v.orderBy(F.expr(_C_H_SPARK).asc(), F.col("vec_id").asc())
         .limit(N_CENTROIDS)
         .select(
-            F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_emb")
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
         )
     )
     qset = _query_set(v)  # bounded N_QUERIES rows: safe to broadcast
@@ -213,8 +251,26 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent)).select(
             id_col,
             "centroid_id",
-            cosine(F.col("emb"), F.col("cent_emb")).alias("c_score"),
+            _pair_cos("emb", "nrm", "cent_emb", "cent_nrm").alias("c_score"),
         )
+        if keep == 1:
+            # assignment over the WHOLE corpus: min(struct(-score, id))
+            # (= "score desc, id asc") under groupBy combines map-side,
+            # so the N x C scored pairs never shuffle - only N combined
+            # rows do. A row_number window would shuffle all N x C rows
+            # (measured 10x slower at sf0.1, see curation._km_assign).
+            return (
+                scored.groupBy(id_col)
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c_score")).alias("neg"), F.col("centroid_id")
+                        )
+                    ).alias("m")
+                )
+                .select(id_col, F.col("m.centroid_id").alias("centroid_id"))
+            )
+        # probe path: bounded N_QUERIES x C pairs - the window is trivial
         w = W.partitionBy(id_col).orderBy(F.desc("c_score"), "centroid_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))
@@ -224,11 +280,19 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = argmax_centroids(v, "vec_id", keep=1)
     probe = argmax_centroids(
-        qset.select("query_id", F.col("q_emb").alias("emb")),
+        qset.select(
+            "query_id",
+            F.col("q_emb").alias("emb"),
+            F.col("q_nrm").alias("nrm"),
+        ),
         "query_id",
         keep=N_PROBE,
     )
-    c_emb = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    c_emb = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
     scored = (
         probe.join(assign, "centroid_id")
         .select("query_id", F.col("vec_id").alias("cand_id"))
@@ -241,7 +305,7 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("score"),
+            _pair_cos("q_emb", "q_nrm", "c_emb", "c_nrm").alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
