@@ -229,8 +229,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: flag corpus docs sharing any token 5-gram
-# with the held-out benchmark split (doc_id % 50 == 0 - decontamination
-# always runs against a small fixed eval suite, hence the broadcast).
+# with the held-out benchmark split (doc_id % 50 == 0 here). NB unlike
+# the sampling rules fixed in round 6, the %50 is NOT a scale knob: it
+# merely STANDS IN for a real eval suite, which is a separate fixed
+# dataset whose size is independent of the training corpus (MMLU does
+# not grow when the corpus does) - that is what justifies broadcasting
+# the bench gram set; a corpus-sized bench side would need the equi-join
+# without the hint.
 
 # previous invocation's persisted gram base, released on next call
 # (or via caches.release_all())

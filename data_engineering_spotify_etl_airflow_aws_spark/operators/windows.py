@@ -201,8 +201,13 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checks the sketch against its documented error (rsd=0.02 -> 4-sigma =
 # 8% relative, floored at a small absolute slack for tiny groups). The
 # oracle computes the exact side and asserts the flag, so a sketch
-# drifting out of bound hash-mismatches at the driver. The sketch itself
-# remains the 100 TB path: single-pass, fixed-size state per group.
+# drifting out of bound hash-mismatches at the driver. NB the REGISTERED
+# query is therefore sketch + verification harness in one plan - the
+# exact count_distinct dominates its benchmarked time and would dominate
+# at scale; a production caller runs the sketch alone (single-pass,
+# fixed-size state per group - that path, not the harness, is the 100 TB
+# claim). Same caveat for value_quantiles_approx below, whose rank-check
+# scan is the verification side, not the sketch.
 @query(
     "approx_distinct_users",
     oracle="""
