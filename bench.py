@@ -80,6 +80,11 @@ def main() -> int:
         )
 
         ensure_bucketed_join_tables(spark, sf_dir)
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+            ensure_day_partitioned_events,
+        )
+
+        ensure_day_partitioned_events(spark, sf_dir)
     except Exception:
         pass
     spark.catalog.clearCache()

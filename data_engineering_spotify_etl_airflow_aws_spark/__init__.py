@@ -52,7 +52,7 @@ AUDIT_FIRST: list[str] = [
     #    bounded query set instead of an O(N) projection.
     "topk_similar_per_query",
     "ivf_topk_similar",
-    # -- never driver-audited: the seven round-6 additions (registered
+    # -- never driver-audited: the twelve round-6 additions (registered
     #    this round, so they take slots ahead of rotation per the same
     #    rule that front-loaded the round-5 six above)
     "lang_temperature_resample",
@@ -62,6 +62,11 @@ AUDIT_FIRST: list[str] = [
     "bucketed_colocated_join",
     "stream_static_enrich",
     "corrupt_json_recovery",
+    "dynamic_partition_pruned_join",
+    "dq_constraint_violations",
+    "snapshot_diff_orders",
+    "table_profile_orders",
+    "stream_foreachbatch_upsert",
     # -- evidence rotation: the 11 queries whose latest green driver row
     #    is the r3 data generation (round-5 verdict "what's missing" #2;
     #    closes the r3-era debt entirely).
@@ -76,12 +81,15 @@ AUDIT_FIRST: list[str] = [
     "corpus_curation_stats",
     "scd2_user_value_history",
     "latest_order_per_segment",
-    # -- evidence rotation, r4 generation (31 of 35 fit this round; the
-    #    reference-surface core first, then TPC-H, then the LLM families;
-    #    the 11 remaining - grouping_sets_seg_nation, percent_rank_acctbal,
-    #    doc_length_histogram, rolling_value_7d, orders_above_cust_avg,
-    #    event_transition_counts, unpivot_part_metrics,
-    #    median_mode_by_status, props_json_stats,
+    # -- evidence rotation, r4 generation (19 of 35 fit this round
+    #    after the twelve round-6 additions took their never-audited
+    #    slots; the reference-surface core first, then TPC-H, then the
+    #    LLM families; the 16 remaining - pack_token_sequences,
+    #    pii_scrub_docs, doc_repetition_stats, ntile_price_deciles,
+    #    except_small_orders, grouping_sets_seg_nation,
+    #    percent_rank_acctbal, doc_length_histogram, rolling_value_7d,
+    #    orders_above_cust_avg, event_transition_counts,
+    #    unpivot_part_metrics, median_mode_by_status, props_json_stats,
     #    cume_dist_price_quartiles, user_event_type_profile - rotate in
     #    round 7)
     "star_songs_fact",
@@ -103,11 +111,6 @@ AUDIT_FIRST: list[str] = [
     "asof_join_purchase_click",
     "promo_range_join",
     "stratified_sample_docs",
-    "pack_token_sequences",
-    "pii_scrub_docs",
-    "doc_repetition_stats",
-    "ntile_price_deciles",
-    "except_small_orders",
 ]
 
 
@@ -136,6 +139,7 @@ def load_all_operators() -> None:
     from .streaming import enrich as streaming_enrich  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
     from .streaming import stateful as streaming_stateful  # noqa: F401
+    from .streaming import upsert_sink as streaming_upsert  # noqa: F401
 
     from .registry import ORACLES, QUERIES
 

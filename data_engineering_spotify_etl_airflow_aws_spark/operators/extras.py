@@ -1140,3 +1140,296 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: 5 segment rows, driver hash order-insensitive
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (DPP): the partition-elimination Catalyst can
+# only do at RUNTIME - the pruning predicate is the result of another
+# query (here: the 5 purchase-heaviest days), so no static filter exists
+# at plan time. Spark injects a dynamicpruning subquery into the fact
+# scan's PartitionFilters; at 100 TB this is the difference between
+# scanning 5 partitions and scanning all of them. The fact is a
+# day-partitioned copy of events written once per data generation
+# (fixture setup, same contract as the bucketed join tables; bench.py
+# pre-warms it), because the raw fixture is a single unpartitioned file.
+# Plan assertion (tests/test_storage.py): "dynamicpruningexpression"
+# inside the fact scan's partition filters.
+_DPP_ROOT = "/tmp/spark_graft_dpp"
+_DPP_HOT_DAYS = 5
+
+
+def ensure_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    gen = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    dest = Path(_DPP_ROOT) / gen
+    if not (dest / "_SUCCESS").exists():
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value", F.to_date("ts").alias("day"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(str(dest))
+        )
+    return str(dest)
+
+
+@query(
+    "dynamic_partition_pruned_join",
+    oracle=f"""
+    WITH hot AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY n_purchases DESC, day LIMIT {_DPP_HOT_DAYS}
+    )
+    SELECT h.day, e.event_type,
+           count(*) AS n_events,
+           {oracle_dsum('e.value', 6)} AS sum_value
+    FROM events e JOIN hot h ON CAST(e.ts AS DATE) = h.day
+    GROUP BY h.day, e.event_type
+    ORDER BY h.day, e.event_type
+    """,
+)
+def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(
+        ensure_day_partitioned_events(spark, sf_dir)
+    ).withColumn("day", F.col("day").cast("date"))
+    hot = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy(F.desc("n_purchases"), "day")
+        .limit(_DPP_HOT_DAYS)
+    )
+    return (
+        fact.join(F.broadcast(hot), "day")  # bounded: LIMIT 5 rows
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        # no output sort: 25 rows, driver hash order-insensitive
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (the dbt-tests / Deequ shape): declared
+# expectations evaluated in bulk, one result row per constraint with its
+# violation count - the gate a warehouse load runs before publishing a
+# batch. Each check is a partial-agg scan or a keyed anti-join/groupBy;
+# the suite is a UNION of 1-row aggregates, so the output is bounded by
+# the number of declared constraints no matter the data size.
+#
+# Scale notes (100 TB): not_null / accepted_values / range checks are
+# map-side partial counts (no shuffle beyond the final 1-row combine);
+# uniqueness is one shuffle on the key (sum of per-key excess); FK
+# integrity is a left-anti join - broadcast when the parent fits, keyed
+# shuffle otherwise (no hint pinned here).
+@query(
+    "dq_constraint_violations",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders' AS table_name, 'o_orderkey_not_null' AS constraint_name,
+               count(*) FILTER (o_orderkey IS NULL) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderkey_unique',
+               CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'orders', 'o_custkey_fk_customer', count(*)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus_accepted', 
+               count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_totalprice_positive',
+               count(*) FILTER (o_totalprice <= 0)
+        FROM orders
+        UNION ALL
+        SELECT 'customer', 'c_acctbal_not_null',
+               count(*) FILTER (c_acctbal IS NULL)
+        FROM customer
+    ) ORDER BY table_name, constraint_name
+    """,
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(df: DataFrame, table: str, name: str, violation) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("constraint_name"),
+            F.count(F.when(violation, 1)).alias("n_violations"),
+        )
+
+    unique = (
+        orders.groupBy("o_orderkey")
+        .agg((F.count("*") - 1).alias("excess"))
+        .agg(
+            F.lit("orders").alias("table_name"),
+            F.lit("o_orderkey_unique").alias("constraint_name"),
+            F.coalesce(F.sum("excess"), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    fk = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").agg(
+            F.lit("orders").alias("table_name"),
+            F.lit("o_custkey_fk_customer").alias("constraint_name"),
+            F.count("*").alias("n_violations"),
+        )
+    )
+    checks = [
+        check(orders, "orders", "o_orderkey_not_null", F.col("o_orderkey").isNull()),
+        unique,
+        fk,
+        check(
+            orders,
+            "orders",
+            "o_orderstatus_accepted",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        check(orders, "orders", "o_totalprice_positive", F.col("o_totalprice") <= 0),
+        check(cust, "customer", "c_acctbal_not_null", F.col("c_acctbal").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("table_name", "constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between table versions): given yesterday's and
+# today's snapshot of the same keyed table, emit the change feed -
+# inserted / deleted / updated keys - the audit primitive behind CDC
+# replication, reverse ETL, and "what changed in this load?" debugging.
+# Deterministic fixture versions: old = keys % 10 != 0 (today's %10==0
+# rows are the inserts), new drops keys % 13 == 0 (the deletes) and
+# bumps o_totalprice by +1.0 on keys % 7 == 0 (the updates; +1.0 is
+# exact in double, so the inequality compare is bit-deterministic).
+#
+# Scale notes (100 TB): ONE full-outer sort-merge join on the key
+# (both sides co-partition on it; Spark cannot broadcast full-outer, and
+# neither side is small anyway), a stateless column-compare residual,
+# output O(changes) not O(table).
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+    )
+    return joined.where(changed).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+        .alias("change_type"),
+        # no output sort: O(changes) rows, driver hash order-insensitive
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (the column-stats pass every catalog/discovery tool
+# runs): per column, row count, null count, exact distinct count. One
+# bounded output row per column; each check is an independent 1-row agg
+# over a SINGLE column - columnar scans prune to exactly that column, so
+# the pass reads each byte once and the unioned plan parallelizes
+# per-column rather than multiplying rows through an Expand.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + """
+    ) ORDER BY column_name
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        orders.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

@@ -421,3 +421,17 @@ def test_salted_join_spreads_hot_key_and_matches_plain_semantics(spark):
     assert "SortMergeJoin" in p, p[:1500]
     smj_line = [ln for ln in p.splitlines() if "SortMergeJoin" in ln][0]
     assert "salt" in smj_line, smj_line
+
+
+def test_dynamic_partition_pruning_reaches_the_fact_scan(spark):
+    """The DPP query's fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters - the runtime partition elimination that is the
+    operator's whole point (static pruning is impossible: the day list is
+    itself a query result)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["dynamic_partition_pruned_join"](spark, SF_CORRECT)
+    p = plans.executed_plan(df)
+    assert "dynamicpruningexpression" in p, p[:2000]

@@ -521,3 +521,41 @@ def test_interactive_example_end_to_end(spark):
     assert out["q1_rows"] >= 0
     assert out["n_active_pipes"] >= 1
     assert out["pipe_active"] is True
+
+
+def test_foreachbatch_upsert_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must merge against the same base version it
+    read the first time and overwrite its own output - state after the
+    replay is byte-identical, never double-counted."""
+    from pathlib import Path
+
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.upsert_sink import (
+        _versions,
+        upsert_batch,
+    )
+
+    state = Path(tmp_path) / "state"
+    state.mkdir()
+    b0 = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00"), (2, 10, "2024-01-01 00:01:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = spark.createDataFrame(
+        [(3, 10, "2024-01-01 00:02:00"), (4, 11, "2024-01-01 00:03:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    upsert_batch(spark, state, b0, 0)
+    upsert_batch(spark, state, b1, 1)
+
+    def snap():
+        latest = _versions(state)[-1][1]
+        return sorted(
+            (r.user_id, r.n_events, r.last_ts_us)
+            for r in spark.read.parquet(str(latest)).collect()
+        )
+
+    first = snap()
+    assert first == [(10, 3, first[0][2]), (11, 1, first[1][2])]
+    upsert_batch(spark, state, b1, 1)  # replay
+    assert snap() == first
