@@ -68,8 +68,13 @@ def main() -> int:
             dup_event_feed,
         )
 
+        from data_engineering_spotify_etl_airflow_aws_spark.streaming.joins import (
+            outer_event_feed,
+        )
+
         plain_event_feed(spark, sf_dir)
         dup_event_feed(spark, sf_dir)
+        outer_event_feed(spark, sf_dir)
     except Exception:
         pass
     # Same setup-vs-operator split for the bucketed join tables: the

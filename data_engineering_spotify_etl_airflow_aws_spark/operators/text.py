@@ -277,3 +277,53 @@ def token_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (term -> posting list): the IR-pipeline primitive
+# behind keyword search and BM25 retrieval - per qualifying term, its
+# document frequency and the SORTED doc_id posting list. The df floor
+# bounds output to corpus-common terms (a production build shards the
+# long tail by term instead - same plan, no floor). Posting arrays are
+# sorted so the result is a pure function of the data, not of partition
+# order (collect_list alone is nondeterministic; array_sort makes the
+# driver hash stable - doc_ids within a term are distinct, so the sort
+# is a total order).
+#
+# Scale notes (100 TB): one explode -> ONE shuffle on the term key with
+# map-side partial aggregation; posting lists are bounded per shard by
+# the df floor (or by term-sharding at the tail). No driver collection,
+# no cross join.
+_POSTING_MIN_DF = 20
+
+
+@query(
+    "term_posting_lists",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({_OT}) AS term FROM documents
+        )
+    )
+    SELECT term,
+           count(*) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tok GROUP BY term
+    HAVING count(*) >= {_POSTING_MIN_DF}
+    ORDER BY term
+    """,
+)
+def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= _POSTING_MIN_DF)
+        # no output sort: driver hash is order-insensitive
+    )

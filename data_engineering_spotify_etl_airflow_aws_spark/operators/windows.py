@@ -432,3 +432,102 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase): for each user, the
+# first view, the first click strictly AFTER that view, and the first
+# purchase strictly after that click - the product-analytics primitive
+# sessionized dashboards are built on. Strict event-time ordering is the
+# point: a purchase before any view does not count, so this is NOT three
+# independent mins.
+#
+# Plan: three whole-partition window passes over ONE user_id shuffle
+# (each stage's min is conditioned on the previous stage's column), then
+# a same-key collapse that reuses the window partitioning - the fact
+# table shuffles once, no self-joins. Epoch-microsecond comparisons are
+# integer, so stage boundaries are exact in both engines.
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1_us
+        FROM e GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.t1_us,
+               min(CASE WHEN e.event_type = 'click' AND e.ts_us > s1.t1_us
+                        THEN e.ts_us END) AS t2_us
+        FROM s1 JOIN e USING (user_id) GROUP BY s1.user_id, s1.t1_us
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t1_us, s2.t2_us,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t2_us
+                        THEN e.ts_us END) AS t3_us
+        FROM s2 JOIN e USING (user_id) GROUP BY s2.user_id, s2.t1_us, s2.t2_us
+    )
+    SELECT user_id, t1_us, t2_us, t3_us,
+           CASE WHEN t3_us IS NOT NULL THEN 3
+                WHEN t2_us IS NOT NULL THEN 2
+                WHEN t1_us IS NOT NULL THEN 1
+                ELSE 0 END AS reached_stage
+    FROM s3 ORDER BY user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us().alias("ts_us")
+    )
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1_us",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts_us"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("t1_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t2_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("t1_us").alias("t1_us"),
+            F.first("t2_us").alias("t2_us"),
+            F.first("t3_us").alias("t3_us"),
+        )
+        .select(
+            "user_id",
+            "t1_us",
+            "t2_us",
+            "t3_us",
+            F.when(F.col("t3_us").isNotNull(), 3)
+            .when(F.col("t2_us").isNotNull(), 2)
+            .when(F.col("t1_us").isNotNull(), 1)
+            .otherwise(0)
+            .alias("reached_stage"),
+        )
+        # no output sort: one row per user, driver hash order-insensitive
+    )

@@ -132,3 +132,140 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         F.unix_micros("c_ts").alias("click_ts_us"),
     ).orderBy("purchase_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join: purchases keep a NULL-extended row when
+# no click preceded them in the attribution window. The semantic that
+# makes this hard in streaming: the engine may emit the NULL-extended row
+# only once the click-side watermark PROVES no match can still arrive, so
+# outer results trail the inner ones by the watermark horizon - and a
+# finite run would end with every trailing purchase's outer row stuck in
+# state. The feed therefore appends one far-future SENTINEL row per side
+# (event_id -1/-2, ts = 30 days past the fixture) in the last chunk:
+# after the final data batch the watermark jumps past every real row's
+# eviction horizon and Spark's watermark-only empty micro-batch flushes
+# the remaining outer state (the availableNow state-flush contract).
+# Sentinels are excluded from the returned rows by id.
+#
+# Scale notes (100 TB/day): state stays O(rate x (window + watermark))
+# per side exactly as the inner form; the outer flush adds no state, only
+# deferred emission. In production the stream never ends, so sentinels
+# are unnecessary - they are the finite-run equivalent of "time passes".
+_SENTINEL_DELTA = "INTERVAL 30 DAYS"
+
+
+def outer_event_feed(spark: SparkSession, sf_dir: str) -> str:
+    """events + one far-future sentinel per join side (single-builder-per-
+    tag contract, see chunks.plain_event_feed)."""
+    from ..tables import load_table
+    from .chunks import ensure_event_chunks
+
+    def build():
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        mx = ev.agg(F.max("ts").alias("m"))
+        sent = mx.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("bigint").alias("event_id"),
+                        F.lit(-1).cast("bigint").alias("user_id"),
+                        F.expr(f"m + {_SENTINEL_DELTA}").alias("ts"),
+                        F.lit("click").alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit(-2).cast("bigint").alias("event_id"),
+                        F.lit(-2).cast("bigint").alias("user_id"),
+                        F.expr(f"m + {_SENTINEL_DELTA}").alias("ts"),
+                        F.lit("purchase").alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+        return ev.unionByName(sent)
+
+    return ensure_event_chunks(spark, sf_dir, "events_outer", build)
+
+
+@query(
+    "stream_left_join_click_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_left_join_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = Path("/tmp/spark_graft_stream/click_purchase_left_join")
+    shutil.rmtree(base, ignore_errors=True)
+
+    chunks = outer_event_feed(spark, sf_dir)
+    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(chunks)
+    clicks = (
+        raw.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", _WATERMARK)
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND "
+            f"c_ts BETWEEN p_ts - INTERVAL {_JOIN_WINDOW} AND p_ts"
+        ),
+        "left_outer",
+    )
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(base / "data"))
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    back = spark.read.parquet(str(base / "data"))
+    return (
+        back.where(F.col("purchase_id") >= 0)  # drop the sentinel row
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
