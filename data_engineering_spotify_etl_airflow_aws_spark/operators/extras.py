@@ -1433,3 +1433,138 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation with EXACT moments: corr(daily purchase value,
+# daily click value) across days - the feature-correlation primitive,
+# computed so both engines agree to the bit. Built-in corr() accumulates
+# floating-point moments in partition order (nondeterministic across
+# engines AND partitionings); here every moment (n, sums, sums of
+# squares/products) is an exact integer in micro-units (decimal(38,0) /
+# HUGEINT - daily-total squares overflow int64), converted to double
+# ONCE, and the textbook formula is the same IEEE op sequence both
+# sides, so even round(6) boundaries cannot diverge.
+#
+# Scale notes (100 TB): one day-keyed agg with map-side partials, then a
+# single-row global moment agg (partial-combined) - the classic
+# two-level parallel-moments plan; nothing wide ever shuffles.
+@query(
+    "daily_value_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(value * 1000000) AS BIGINT) END) AS BIGINT),
+                   0) AS px,
+               coalesce(CAST(sum(CASE WHEN event_type = 'click'
+                   THEN CAST(floor(value * 1000000) AS BIGINT) END) AS BIGINT),
+                   0) AS py
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(sum(px) AS BIGINT) AS sx,
+               CAST(sum(py) AS BIGINT) AS sy,
+               CAST(sum(CAST(px AS HUGEINT) * px) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(py AS HUGEINT) * py) AS DOUBLE) AS syy,
+               CAST(sum(CAST(px AS HUGEINT) * py) AS DOUBLE) AS sxy
+        FROM daily
+    )
+    SELECT n AS n_days,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_value
+    FROM m
+    """,
+)
+def daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("u6"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("px"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("u6"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("py"),
+    )
+    pxd = F.col("px").cast("decimal(38,0)")
+    pyd = F.col("py").cast("decimal(38,0)")
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("px").cast("bigint").alias("sx"),
+        F.sum("py").cast("bigint").alias("sy"),
+        F.sum(pxd * F.col("px")).cast("double").alias("sxx"),
+        F.sum(pyd * F.col("py")).cast("double").alias("syy"),
+        F.sum(pxd * F.col("py")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        n.alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - sxd * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - sxd * F.col("sx"))
+                * (n * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum: the replica-reconciliation primitive
+# ("is the copy byte-equal to the source?") as one number - count plus
+# the sum of a per-row 32-bit content hash over a CANONICAL row
+# rendering. Canonicalization is what makes it cross-engine: doubles
+# render via DECIMAL(30,2) (shortest-double printing differs between
+# engines in e-notation thresholds; decimal strings do not), dates via
+# ISO cast, all joined with a field separator that cannot appear in the
+# values. Any single-row difference moves the sum (mod-2^32-per-row
+# collisions aside - the same tradeoff every checksum reconciler makes).
+#
+# Scale notes (100 TB): stateless per-row hash + a 1-row partial-agg
+# combine; no shuffle beyond the final combine, no row ever leaves its
+# partition.
+from .dedup import _DUCK_H32 as _CK_DUCK_H32  # noqa: E402
+from .dedup import _SPARK_H32 as _CK_SPARK_H32  # noqa: E402
+
+_CK_SPARK_ROW = (
+    "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string), "
+    "o_orderstatus, cast(cast(o_totalprice as decimal(30,2)) as string), "
+    "cast(to_date(o_orderdate) as string), o_orderpriority)"
+)
+_CK_DUCK_ROW = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR), "
+    "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+)
+
+
+@query(
+    "orders_table_checksum",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(__H32__) AS BIGINT) AS content_checksum
+    FROM orders
+    """.replace("__H32__", _CK_DUCK_H32.format(s=_CK_DUCK_ROW)),
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW)))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
