@@ -202,3 +202,28 @@ def test_read_raw_survives_malformed_inbox_file(spark, tmp_path):
     assert str(bad[0].scrape_date) == "2025-07-23"
     ok = raw.where(F.col("tracks").isNotNull())
     assert explode_raw(ok).count() == n_good * 50
+
+
+def test_daily_pipeline_example_end_to_end(spark, tmp_path):
+    """examples/daily_pipeline.py - the reference's daily DAG as one
+    script - must ingest exactly-once, land the star schema, and emit
+    all four analytics outputs."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        import daily_pipeline
+    finally:
+        sys.path.pop(0)
+
+    out = daily_pipeline.main(spark, str(tmp_path / "run1"))
+    assert out["songs_ingested"] == 150
+    assert out["q1_top_trending"] == 10
+    assert out["q2_album_popularity"] > 0
+    assert out["q3_top_artist_presence"] == 10
+    assert out["q4_song_movement"] == 3
+    # idempotent daily re-run: streaming replays nothing, partitioned
+    # fact overwrites dynamically
+    again = daily_pipeline.main(spark, str(tmp_path / "run1"))
+    assert again["songs_ingested"] == 150
