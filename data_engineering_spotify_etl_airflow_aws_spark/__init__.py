@@ -52,7 +52,7 @@ AUDIT_FIRST: list[str] = [
     #    bounded query set instead of an O(N) projection.
     "topk_similar_per_query",
     "ivf_topk_similar",
-    # -- never driver-audited: the seventeen round-6 additions (registered
+    # -- never driver-audited: the twenty round-6 additions (registered
     #    this round, so they take slots ahead of rotation per the same
     #    rule that front-loaded the round-5 six above)
     "lang_temperature_resample",
@@ -72,6 +72,9 @@ AUDIT_FIRST: list[str] = [
     "stream_left_join_click_purchase",
     "daily_value_correlation",
     "orders_table_checksum",
+    "positional_csv_load",
+    "hard_negative_mining",
+    "vocab_oov_rate",
     # -- evidence rotation: the 11 queries whose latest green driver row
     #    is the r3 data generation (round-5 verdict "what's missing" #2;
     #    closes the r3-era debt entirely).
@@ -86,10 +89,12 @@ AUDIT_FIRST: list[str] = [
     "corpus_curation_stats",
     "scd2_user_value_history",
     "latest_order_per_segment",
-    # -- evidence rotation, r4 generation (14 of 35 fit this round
-    #    after the seventeen round-6 additions took their never-audited
-    #    slots; the reference-surface core first, then TPC-H, then the
-    #    LLM families; the 21 remaining - minhash_lsh_near_dup,
+    # -- evidence rotation, r4 generation (11 of 35 fit this round
+    #    after the twenty round-6 additions took their never-audited
+    #    slots; the reference-surface core keeps its slots; the 24
+    #    remaining - tpch_q3_shipping_priority,
+    #    tpch_q5_local_supplier_volume, ngram_jaccard_near_dup,
+    #    minhash_lsh_near_dup,
     #    embedding_near_dup_pairs, asof_join_purchase_click,
     #    promo_range_join, stratified_sample_docs, pack_token_sequences,
     #    pii_scrub_docs, doc_repetition_stats, ntile_price_deciles,
@@ -110,9 +115,6 @@ AUDIT_FIRST: list[str] = [
     "partitioned_roundtrip_prune",
     "song_added_tz_roundtrip",
     "star_join_agg",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "ngram_jaccard_near_dup",
 ]
 
 

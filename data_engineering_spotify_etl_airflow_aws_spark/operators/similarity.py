@@ -535,3 +535,86 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "vec_id", "l2_norm", F.posexplode(unit).alias("dim_idx", "unit_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the top-k most-similar
+# vectors with a DIFFERENT label - the training-pair builder for
+# retrieval/embedding models (contrastive learning needs negatives that
+# are hard, i.e. semantically close but wrong-class). Same fixed
+# 64-query set and scoring base as topk_similar_per_query; the label
+# inequality rides the join condition, so wrong-label candidates are
+# never scored at all.
+#
+# Scale notes (100 TB): identical shape to the brute-force top-k -
+# bounded query broadcast, one streaming pass over the corpus, per-query
+# top-k window on a 64-way key; the IVF path scales it the same way it
+# scales plain top-k.
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id, label, emb FROM v
+          ORDER BY {_Q_H_DUCK}, vec_id LIMIT {N_QUERIES}),
+    scored AS (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neg_id, b.label AS neg_label,
+               {_OCOS} AS score,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_OCOS} DESC, b.vec_id
+               ) AS rank
+        FROM q a JOIN v b ON b.vec_id != a.vec_id AND b.label != a.label
+    )
+    SELECT query_id, query_label, neg_id, neg_label, score, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import l2_norm
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", vec_double("embedding").alias("emb")
+        )
+    ).withColumn("nrm", l2_norm(F.col("emb")))
+    queries = (
+        v.orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cands = v.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            cands,
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("query_label")),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            _pair_cos("q_emb", "q_nrm", "c_emb", "c_nrm").alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import tokens, ORACLE_TOKENS
+from ..functions import ORACLE_TOKENS, davg, oracle_davg, tokens
 from ..registry import query
 from ..tables import load_table
 
@@ -326,4 +326,82 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= _POSTING_MIN_DF)
         # no output sort: driver hash is order-insensitive
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: build the corpus top-K vocabulary (by
+# doc frequency) and measure, per language, the average fraction of
+# token OCCURRENCES falling outside it - the tokenizer-QA number that
+# decides whether a vocab needs retraining for a new data mixture. The
+# vocab is a FIXED-COUNT top-K (df desc, term tiebreak), so the
+# broadcast is bounded at any corpus size - the same rule as the
+# similarity query/centroid picks.
+#
+# Scale notes (100 TB): explode -> term-keyed df agg (map-side partials)
+# -> bounded top-K (TakeOrderedAndProject) -> broadcast membership join
+# back onto the exploded stream -> doc-keyed then lang-keyed aggs. The
+# corpus shuffles once (doc_id agg); the OOV ratio means ride the
+# decimal contract.
+_VOCAB_K = 500
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_OT}) AS term FROM documents
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    vocab AS (
+        SELECT term FROM df ORDER BY df DESC, term LIMIT {_VOCAB_K}
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_tok,
+               count(v.term) AS n_in
+        FROM tok t LEFT JOIN vocab v USING (term)
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           {oracle_davg("1.0 - CAST(n_in AS DOUBLE) / n_tok", 9)} AS avg_oov_ratio
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    vocab = (
+        tok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("in_v").alias("n_in"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg(
+                F.lit(1.0)
+                - F.col("n_in").cast("double") / F.col("n_tok"),
+                scale=9,
+                alias="avg_oov_ratio",
+            ),
+        )
+        .orderBy("lang")
     )

@@ -93,3 +93,55 @@ def csv_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tracks").cast("bigint").alias("total_tracks"),
         "url",
     ).orderBy("album_id")
+
+
+# ---------------------------------------------------------------------------
+# Positional load: the Snowflake COPY INTO semantic the reference relies
+# on (S:61-62 loads CSV into the DDL with NO column list, which is why
+# the CSV header `name` lands in DDL column `name_` (S:29) without
+# error - SURVEY §1.3). Spark reproduces it exactly: with an explicit
+# schema and enforceSchema (default true), the header row is only
+# SKIPPED, never matched - columns map by POSITION. The declared schema
+# below uses the warehouse DDL's names, deliberately different from the
+# file's header, and the oracle loads the same file positionally via
+# read_csv's explicit columns.
+WAREHOUSE_DDL_SCHEMA = T.StructType(
+    [
+        T.StructField("album_id", T.StringType()),
+        T.StructField("name_", T.StringType()),  # header says album_name
+        T.StructField("release_date", T.StringType()),
+        T.StructField("total_tracks", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+@query(
+    "positional_csv_load",
+    # EMPTY_FIELD_AS_NULL applied explicitly on BOTH sides: Spark's csv
+    # reader nulls empty fields where DuckDB keeps '' - the Snowflake
+    # option the reference's format declares (S:18) pins the semantic.
+    oracle=f"""
+    SELECT album_id, nullif(name_, '') AS name_, nullif(url, '') AS url
+    FROM read_csv('{CSV_DIR}/warehouse_feed.csv', header=true,
+                  nullstr='NULL', quote='"', escape='"',
+                  columns={{'album_id': 'VARCHAR', 'name_': 'VARCHAR',
+                           'release_date': 'VARCHAR',
+                           'total_tracks': 'VARCHAR', 'url': 'VARCHAR'}})
+    ORDER BY album_id
+    """,
+)
+def positional_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.read.schema(WAREHOUSE_DDL_SCHEMA)
+        .option("header", "true")  # skip the row; names are NOT matched
+        .option("nullValue", "NULL")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(str(CSV_DIR / "warehouse_feed.csv"))
+    )
+    return raw.select(
+        "album_id",
+        F.nullif(F.col("name_"), F.lit("")).alias("name_"),
+        F.nullif(F.col("url"), F.lit("")).alias("url"),
+    ).orderBy("album_id")
