@@ -559,3 +559,73 @@ def test_foreachbatch_upsert_replay_is_idempotent(spark, tmp_path):
     assert first == [(10, 3, first[0][2]), (11, 1, first[1][2])]
     upsert_batch(spark, state, b1, 1)  # replay
     assert snap() == first
+
+
+def test_foreachbatch_upsert_random_splits_match_global_agg(spark, tmp_path):
+    """Property-based check: for ANY partition of the rows into ordered
+    micro-batches (including empty batches and a replay of the final
+    batch), folding them through upsert_batch must land exactly the
+    global groupBy aggregate - the partial-merge associativity the sink
+    depends on."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.upsert_sink import (
+        _versions,
+        upsert_batch,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)),  # (user, minute)
+        min_size=1,
+        max_size=30,
+    )
+    cuts_strategy = st.lists(st.integers(0, 29), max_size=3)
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(rows=rows_strategy, cuts=cuts_strategy)
+    def check(rows, cuts):
+        state = Path(tmp_path) / f"state_{abs(hash((tuple(rows), tuple(cuts))))}"
+        shutil.rmtree(state, ignore_errors=True)
+        state.mkdir(parents=True)
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (i, u, base + dt.timedelta(minutes=m))
+            for i, (u, m) in enumerate(rows)
+        ]
+        bounds = sorted({c for c in cuts if c < len(data)} | {len(data)})
+        batches, lo = [], 0
+        for hi in bounds:
+            batches.append(data[lo:hi])
+            lo = hi
+        batches.append(data[lo:])
+        schema = "event_id bigint, user_id bigint, ts timestamp"
+        for bid, batch in enumerate(batches):
+            df = spark.createDataFrame(batch or [], schema)
+            upsert_batch(spark, state, df, bid)
+        # replay the last batch: state must not change
+        upsert_batch(
+            spark,
+            state,
+            spark.createDataFrame(batches[-1] or [], schema),
+            len(batches) - 1,
+        )
+        latest = _versions(state)[-1][1]
+        got = {
+            r.user_id: (r.n_events, r.last_ts_us)
+            for r in spark.read.parquet(str(latest)).collect()
+        }
+        want = {}
+        for _, u, ts in data:
+            n, last = want.get(u, (0, 0))
+            want[u] = (n + 1, max(last, int(ts.timestamp() * 1_000_000)))
+        assert got == want
+        shutil.rmtree(state, ignore_errors=True)
+
+    check()
