@@ -335,6 +335,8 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift check (r6): warm sf0.1 = 1.14s (min of 3), matching the r5
+    # narrow-scan measurement below - bench deltas are cold-run jitter.
     # narrow scan on purpose: the widen repartition was measured (round 5,
     # sf0.1 warm, min of 3) at 1.49s vs 1.19s narrow - the tokenize stage
     # here is one cheap regex pass, so fanning the 1-split fixture out
