@@ -50,6 +50,11 @@ def main() -> int:
         "doc_repetition_stats",  # tokenize + zip_with n-gram codegen
         "ngram_jaccard_near_dup",  # shingle index / PPJoin join path
         "promo_range_join",  # bucketed interval-join codegen path
+        "kmeans_embedding_clusters",  # d2/decimal-mean codegen (9.6s cold
+        #   vs 2.6s warm at sf0.1, measured r6 - first-run codegen, not work)
+        "ivf_topk_similar",  # centroid-pick + cosine-score codegen path
+        "dedup_clusters",  # CC fixpoint loop machinery + jaccard codegen
+        "stream_left_join_click_purchase",  # outer-join state + flush path
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()
