@@ -1,0 +1,83 @@
+"""Opt-in oracle parity at sf0.1 - ten times the driver's correctness
+scale - for the queries most exposed to scale-dependent divergence
+(decimal overflow, hash-order flips, threshold boundary effects,
+fixed-count picks interacting with a larger corpus).
+
+Off by default (several minutes of Spark+DuckDB work); enable with
+    SPARK_GRAFT_SF01_PARITY=1 python -m pytest tests/test_parity_sf01.py
+Round-6 run: all 23 green (also recorded in the commit message).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+from data_engineering_spotify_etl_airflow_aws_spark import registry
+
+from .conftest import TESTDATA, make_duckdb
+from .test_oracle_parity import normalize
+
+engine.load_all_operators()
+
+SF01 = f"{TESTDATA}/sf0.1"
+
+AT_RISK = [
+    "time_weighted_avg_value",
+    "value_zscore_outliers",
+    "daily_value_correlation",
+    "orders_table_checksum",
+    "incremental_agg_refresh",
+    "kmeans_embedding_clusters",
+    "sample_exact_k_per_lang",
+    "lang_temperature_resample",
+    "max_concurrent_per_user",
+    "topk_similar_per_query",
+    "ivf_topk_similar",
+    "hard_negative_mining",
+    "vocab_oov_rate",
+    "cohort_daily_retention",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "dq_constraint_violations",
+    "table_profile_orders",
+    "funnel_view_click_purchase",
+    "term_posting_lists",
+    "skew_salted_join_agg",
+    "bucketed_colocated_join",
+    "dynamic_partition_pruned_join",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01_PARITY"),
+    reason="sf0.1 parity is opt-in (SPARK_GRAFT_SF01_PARITY=1); "
+    "the default suite runs the full registry at sf0.01",
+)
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = make_duckdb(SF01)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", AT_RISK)
+def test_parity_at_sf01(name, spark, duck01):
+    sdf = registry.QUERIES[name](spark, SF01)
+    scols = sorted(sdf.columns)
+    sidx = [sdf.columns.index(c) for c in scols]
+    srows = sorted(
+        tuple(normalize(r[i]) for i in sidx) for r in sdf.collect()
+    )
+    drel = duck01.sql(registry.ORACLES[name])
+    dcols = sorted(drel.columns)
+    didx = [drel.columns.index(c) for c in dcols]
+    drows = sorted(
+        tuple(normalize(r[i]) for i in didx) for r in drel.fetchall()
+    )
+    assert scols == dcols
+    assert len(srows) == len(drows)
+    assert srows == drows
