@@ -29,7 +29,18 @@ def dsum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
     carries 6 -> callers pass scale=6). Precision 30 leaves >=24 integral
     digits, unreachable by any realistic sum of the fixtures' magnitudes; on
     overflow Spark (non-ANSI) yields NULL while DuckDB errors, surfacing as a
-    loud parity break rather than silent corruption."""
+    loud parity break rather than silent corruption.
+
+    TIE WARNING (round-6 finding): the double->decimal cast is NOT
+    cross-engine deterministic for inputs that land EXACTLY on a decimal
+    half-tie - dyadic rationals with denominator <= 2^(scale+1), which
+    float32-derived values (embeddings) hit routinely (0.1494140625 at
+    scale 9 -> DuckDB 0.149414062, Spark 0.149414063). Safe for the
+    fixtures' money/value doubles (decimal-generated, never exactly
+    dyadic-tied); for float32-derived inputs use integer micro-units
+    instead: floor(x * 10^s + 0.5) summed as decimal(38,0)/HUGEINT -
+    pure IEEE ops both engines compute identically (see
+    curation.label_centroids / _km_update / text.vocab_oov_rate)."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
     return out.alias(alias) if alias else out

@@ -18,8 +18,11 @@ data pipeline (sits on top of the text/dedup/similarity operators).
 Determinism: sampling uses the md5-derived 32-bit hash shared with the
 dedup operators (identical in DuckDB), so the sample is a pure function of
 doc_id - reproducible across engines, partitionings, and reruns, which is
-exactly what a training-data pipeline needs from its sampler. Float means
-go through the decimal-sum contract (functions.dsum).
+exactly what a training-data pipeline needs from its sampler. Embedding
+means use the integer micro-unit contract (floor(val*1e9+0.5), exact
+integer sums): the decimal-cast contract is UNSAFE for float32-derived
+values - dyadic rationals land exactly on decimal half-ties, where Spark
+and DuckDB round differently (round-6 finding; see label_centroids).
 
 Scale notes (100 TB):
   * sampling: stateless per-row predicate, no shuffle at all; fractions
@@ -37,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import ORACLE_TOKENS, davg, oracle_davg, tokens
+from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
 from ..tables import load_table
 from .dedup import _DUCK_H32, _SPARK_H32
@@ -109,14 +112,26 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Per-label centroid, one row per (label, dim). Element sums ride the
-# decimal contract at scale 9 (binary fractions can never land on a
-# decimal half-ulp tie, so the quantization is rounding-mode-agnostic).
+# Per-label centroid, one row per (label, dim). Element means use INTEGER
+# MICRO-UNITS, not the decimal contract: float32 embedding values are
+# dyadic rationals, and dyadic values with denominator up to 2^(scale+1)
+# land EXACTLY on decimal half-ulp ties, where the engines' double->
+# decimal casts disagree (found round 6 at sf0.1: 0.1494140625 -> DuckDB
+# 0.149414062, Spark 0.149414063 - the old "binary fractions never tie"
+# claim was wrong). floor(val*1e9 + 0.5) is pure IEEE arithmetic - both
+# engines compute the identical double product, sum, and floor - so the
+# quantization (round-half-toward-+inf at 9 fractional digits, part of
+# the query contract) is bit-deterministic by construction. Sums ride
+# decimal(38,0)/HUGEINT (exact integers: no fractional rounding exists).
+_U9 = "CAST(floor({v} * 1000000000.0 + 0.5) AS HUGEINT)"
+
+
 @query(
     "label_centroids",
     oracle=f"""
     SELECT label, dim,
-           {oracle_davg('CAST(val AS DOUBLE)', 9)} AS centroid,
+           CAST(sum({_U9.format(v='CAST(val AS DOUBLE)')}) AS DOUBLE)
+               / (1000000000.0 * count(*)) AS centroid,
            count(*) AS n_vecs
     FROM (
         SELECT label,
@@ -130,6 +145,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    u9 = F.floor(F.col("val") * F.lit(1_000_000_000.0) + F.lit(0.5))
     return (
         emb.select(
             "label",
@@ -139,7 +155,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(
-            davg("val", scale=9, alias="centroid"),
+            (
+                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                / (F.lit(1_000_000_000.0) * F.count("*"))
+            ).alias("centroid"),
             F.count("*").alias("n_vecs"),
         )
         .orderBy("label", "dim")
@@ -413,9 +432,12 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * assignment minimizes squared L2 distance composed EXACTLY as
 #     (v.v + c.c) - 2*(v.c) with the shared sequential-fold dot product,
 #     tie-broken on centroid id via the same row_number pattern as IVF;
-#   * centroid means use the decimal-sum contract at scale 9. float32
-#     inputs are dyadic rationals, so no value sits on a half-ulp decimal
-#     rounding boundary and both engines quantize identically.
+#   * centroid means use the INTEGER MICRO-UNIT contract (see
+#     label_centroids above): floor(val*1e9 + 0.5) - pure IEEE ops both
+#     engines compute identically - then exact decimal(38,0)/HUGEINT
+#     sums. NOT the double->decimal cast: dyadic float32 values land
+#     exactly on decimal half-ties, where the engines' cast rounding
+#     DIFFERS (round-6 finding at sf0.1).
 #
 # Scale notes (100 TB): per iteration, assignment is a broadcast of the
 # BOUNDED 256-row centroid table against the corpus (no corpus shuffle)
@@ -424,7 +446,6 @@ def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial-agg shuffle on the uniform (cid, dim) key - no vector crosses
 # the wire whole, and rounds compose by chaining the same two plans.
 _KM_K = 256  # fixed centroid count: broadcast stays bounded at any N
-_KM_SCALE = 9
 _KM_H_SPARK = _SPARK_H32.format(s="concat('km-', cast(vec_id as string))")
 _KM_H_DUCK = _DUCK_H32.format(s="concat('km-', CAST(vec_id AS VARCHAR))")
 
@@ -465,14 +486,19 @@ def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _km_update(assigned: DataFrame) -> DataFrame:
-    """(vec_id, emb, cid) -> (cid, cemb) decimal-exact per-dim means."""
+    """(vec_id, emb, cid) -> (cid, cemb) exact per-dim means in integer
+    micro-units (floor(val*1e9+0.5), summed as decimal(38,0)) - the
+    label_centroids tie-safe contract; a double->decimal(30,9) cast here
+    would hit the engines' divergent half-tie rounding on dyadic float32
+    values (round-6 finding)."""
+    u9 = F.floor(F.col("val") * F.lit(1_000_000_000.0) + F.lit(0.5))
     sums = (
         assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
         .groupBy("cid", "dim")
         .agg(
             (
-                F.sum(F.col("val").cast(f"decimal(30,{_KM_SCALE})")).cast("double")
-                / F.count("*")
+                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                / (F.lit(1_000_000_000.0) * F.count("*"))
             ).alias("mv")
         )
     )
@@ -517,8 +543,8 @@ def _km_oracle_assign(vtab: str, ctab: str, out: str) -> str:
     ),
     m1 AS (
         SELECT cid, dim,
-               CAST(sum(CAST(val AS DECIMAL(30,{_KM_SCALE}))) AS DOUBLE)
-                   / count(*) AS mv
+               CAST(sum({_U9.format(v='val')}) AS DOUBLE)
+                   / (1000000000.0 * count(*)) AS mv
         FROM pe1 GROUP BY 1, 2
     ),
     c1 AS (SELECT cid, list(mv ORDER BY dim) AS cemb FROM m1 GROUP BY cid),

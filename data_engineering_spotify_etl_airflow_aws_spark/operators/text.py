@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import ORACLE_TOKENS, davg, oracle_davg, tokens
+from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
 from ..tables import load_table
 
@@ -366,7 +366,9 @@ _VOCAB_K = 500
         GROUP BY t.doc_id, t.lang
     )
     SELECT lang, count(*) AS n_docs,
-           {oracle_davg("1.0 - CAST(n_in AS DOUBLE) / n_tok", 9)} AS avg_oov_ratio
+           CAST(sum(CAST(floor((1.0 - CAST(n_in AS DOUBLE) / n_tok)
+                          * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (1000000000.0 * count(*)) AS avg_oov_ratio
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
 )
@@ -392,16 +394,22 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("in_v").alias("n_in"),
         )
     )
+    # integer micro-unit mean (floor(ratio*1e9+0.5), exact integer sums):
+    # the decimal-cast contract is tie-unsafe when a ratio lands exactly
+    # on a dyadic half-tie (round-6 finding, see curation.label_centroids)
+    u9 = F.floor(
+        (F.lit(1.0) - F.col("n_in").cast("double") / F.col("n_tok"))
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    )
     return (
         per_doc.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            davg(
-                F.lit(1.0)
-                - F.col("n_in").cast("double") / F.col("n_tok"),
-                scale=9,
-                alias="avg_oov_ratio",
-            ),
+            (
+                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                / (F.lit(1_000_000_000.0) * F.count("*"))
+            ).alias("avg_oov_ratio"),
         )
         .orderBy("lang")
     )

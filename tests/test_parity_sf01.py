@@ -25,6 +25,7 @@ engine.load_all_operators()
 SF01 = f"{TESTDATA}/sf0.1"
 
 AT_RISK = [
+    "label_centroids",  # the query that EXPOSED the decimal-tie bug (r6)
     "time_weighted_avg_value",
     "value_zscore_outliers",
     "daily_value_correlation",
