@@ -26,7 +26,7 @@ import data_engineering_spotify_etl_airflow_aws_spark as engine
 from data_engineering_spotify_etl_airflow_aws_spark import registry
 
 from .conftest import TESTDATA, make_duckdb
-from .test_oracle_parity import normalize
+from .test_oracle_parity import rows_to_multiset
 
 engine.load_all_operators()
 
@@ -76,17 +76,10 @@ def duck01():
 @pytest.mark.parametrize("name", AT_RISK)
 def test_parity_at_sf01(name, spark, duck01):
     sdf = registry.QUERIES[name](spark, SF01)
-    scols = sorted(sdf.columns)
-    sidx = [sdf.columns.index(c) for c in scols]
-    srows = sorted(
-        tuple(normalize(r[i]) for i in sidx) for r in sdf.collect()
-    )
     drel = duck01.sql(registry.ORACLES[name])
-    dcols = sorted(drel.columns)
-    didx = [drel.columns.index(c) for c in dcols]
-    drows = sorted(
-        tuple(normalize(r[i]) for i in didx) for r in drel.fetchall()
-    )
-    assert scols == dcols
-    assert len(srows) == len(drows)
-    assert srows == drows
+    assert sorted(sdf.columns) == sorted(drel.columns)
+    # the main suite's None-safe order-insensitive multiset comparator
+    s = rows_to_multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d = rows_to_multiset(drel.columns, drel.fetchall())
+    assert len(s) == len(d) and len(s) > 0
+    assert s == d
