@@ -479,3 +479,374 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(dsum(disc_price, scale=4, alias="revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 forecast-revenue analog: the pure scan-filter-aggregate shape.
+# Every predicate (ship-year range, discount band, quantity cap) is a
+# plain comparison on a scanned column, so all three reach the parquet
+# reader as PushedFilters and row-group min/max stats skip non-matching
+# stripes before decode; the agg is a 1-row partial->final sum with no
+# grouping shuffle at all. At 100 TB with date-partitioned lineitem the
+# year range becomes static partition pruning and the query touches ~1/7
+# of the table's files. The discount band compares doubles the fixtures
+# generate at 2 decimal digits (0.00..0.10 step 0.01) - both engines
+# read identical parquet bits and compare against identical literals.
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                scale=4,
+                alias="revenue",
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 returned-items analog: quarter of orders x returned lines,
+# grouped per customer, top-20 by lost revenue. Join strategy is chosen
+# for 100 TB: customer GROWS with the data (TPC-H: 2.5% of lineitem
+# rows), so it is NOT broadcast - the orders->customer join shuffles on
+# custkey and that same hash partitioning is reused by the groupBy
+# (custkey, ...) with no additional exchange (one shuffle serves both).
+# nation is a fixed 25-row table - broadcast. The date filter prunes
+# orders at the scan; l_returnflag='R' prunes lineitem to a third.
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c, orders o, lineitem l, nation n
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+      AND c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)  # shuffle: O(N) side
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(disc_price, scale=4, alias="revenue"))
+        .select("custkey", "cust_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 promo-effect analog: a market-share ratio - conditional
+# aggregate over a fact x part join, one output row. Both the promo
+# numerator and total denominator accumulate as exact decimals in the
+# SAME single aggregation (one pass, no self-join); the only double op
+# is the final divide, identical in both engines. part grows with the
+# data (TPC-H: 3% of lineitem) so no broadcast hint - Catalyst picks BHJ
+# from stats at small SF and falls back to a partkey-shuffle SMJ at
+# scale, either of which is correct; only 2 narrow part columns ship.
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT 100.00 * {oracle_dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+        " ELSE 0 END", 4)}
+           / {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)}
+           AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo, scale=4).alias("_promo"),
+            dsum(disc_price, scale=4).alias("_total"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            (F.lit(100.00) * F.col("_promo") / F.col("_total")).alias(
+                "promo_revenue_pct"
+            ),
+            "n_lines",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 top-supplier analog: the "view + scalar max" shape. The
+# quarterly per-supplier revenue aggregates once; the global max is NOT a
+# window over an unpartitioned frame (which would funnel the whole agg
+# through one task) but a 1-row agg broadcast back over the revenue
+# relation - the same scale-safe scalar-subquery pattern as recent_topk.
+# The revenue relation is |suppliers| rows (O(N) but ~1e-4 of lineitem);
+# it is computed once and reused for both sides via a self-contained
+# two-branch plan Catalyst collapses into one exchange reuse.
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)}
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dsum(disc_price, scale=4, alias="total_rev"))
+    top = rev.agg(F.max("total_rev").alias("_max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))  # 1-row scalar, BNLJ costs nothing
+        .where(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_rev",
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 large-volume-customer analog: HAVING on a grouped fact feeds
+# a join back to orders/customer. The lineitem agg shuffles on orderkey;
+# the HAVING filter cuts it to a handful of rows BEFORE the orders join,
+# and that join reuses the orderkey hash partitioning (agg output is
+# already clustered on the join key - no extra exchange on the big
+# side). customer attaches by a custkey shuffle (O(N) relation, not
+# broadcast). Top-100 rides TakeOrderedAndProject.
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice AS totalprice, q.sum_qty
+    FROM customer c, orders o,
+         (SELECT l_orderkey, {oracle_dsum('l_quantity', 2)} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(30,2))) > 300) q
+    WHERE o.o_orderkey = q.l_orderkey
+      AND c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", scale=2, alias="sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 discounted-revenue analog: disjunctive (OR-of-ANDs) mixed
+# fact/dim predicates. Catalyst CNF-converts the disjunction and pushes
+# the derivable conjuncts to each scan: every branch requires
+# l_quantity <= 30 and p_size >= 1 / p_brand IN (...), so both scans
+# prune before the join; the residual OR evaluates post-join inside
+# whole-stage codegen. (Adapted to the fixture schema - the reference
+# columns shipmode/shipinstruct don't exist - brand x size x quantity
+# bands carry the same plan shape.) part is O(N): no broadcast hint.
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND (
+        (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30)
+      )
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#11") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#22") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#33") & sz.between(1, 15) & q.between(20, 30))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            dsum(disc_price, scale=4, alias="revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 global-sales-opportunity analog: dormant high-balance
+# customers - a scalar-subquery threshold plus an anti-join. (Adapted:
+# the fixtures have no phone country codes and every customer has SOME
+# order, so "never ordered" is scoped to "no order since 2000-01-01" -
+# same NOT EXISTS plan shape, non-empty answer.) The positive-balance
+# average is a 1-row agg broadcast as a cross join (no driver
+# round-trip); the anti-join shuffles on custkey against the
+# date-pruned orders slice, which at 100 TB is the recent partitions
+# only. Output is bounded by |nations|.
+@query(
+    "tpch_q22_dormant_balance",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT {oracle_davg('c_acctbal')} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.00
+    )
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_custs,
+           {oracle_dsum('c.c_acctbal')} AS total_acctbal
+    FROM customer c, thresh t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = cust.where(F.col("c_acctbal") > 0.00).agg(
+        davg("c_acctbal", alias="avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thresh))  # 1-row scalar threshold
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal", alias="total_acctbal"),
+        )
+        .orderBy("nationkey")
+    )
