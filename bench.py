@@ -95,6 +95,11 @@ def main() -> int:
         )
 
         ensure_day_partitioned_events(spark, sf_dir)
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+            ensure_range_clustered_events,
+        )
+
+        ensure_range_clustered_events(spark, sf_dir)
     except Exception:
         pass
     spark.catalog.clearCache()

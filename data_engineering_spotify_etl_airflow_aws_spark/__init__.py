@@ -89,32 +89,37 @@ AUDIT_FIRST: list[str] = [
     "corpus_curation_stats",
     "scd2_user_value_history",
     "latest_order_per_segment",
-    # -- evidence rotation, r4 generation (11 of 35 fit this round
-    #    after the twenty round-6 additions took their never-audited
-    #    slots; the reference-surface core keeps its slots; the 24
-    #    remaining - tpch_q3_shipping_priority,
+    # -- never driver-audited: the eleven late-round-6 additions (TPC-H
+    #    Q6/Q10/Q14/Q15/Q18/Q19/Q22 analogs + GDPR cascade delete +
+    #    range-clustered scan + embedding dim stats + length-bucket
+    #    batching). New queries outrank rotation, so the r4-generation
+    #    rotation block (including the reference-surface core
+    #    star_songs_fact/q1-q4/rest_api_songs/streaming_ingest_songs/
+    #    partitioned_roundtrip_prune/song_added_tz_roundtrip/
+    #    star_join_agg, plus tpch_q3_shipping_priority,
     #    tpch_q5_local_supplier_volume, ngram_jaccard_near_dup,
-    #    minhash_lsh_near_dup,
-    #    embedding_near_dup_pairs, asof_join_purchase_click,
-    #    promo_range_join, stratified_sample_docs, pack_token_sequences,
-    #    pii_scrub_docs, doc_repetition_stats, ntile_price_deciles,
-    #    except_small_orders, grouping_sets_seg_nation,
-    #    percent_rank_acctbal, doc_length_histogram, rolling_value_7d,
-    #    orders_above_cust_avg, event_transition_counts,
-    #    unpivot_part_metrics, median_mode_by_status, props_json_stats,
-    #    cume_dist_price_quartiles, user_event_type_profile - rotate in
-    #    round 7)
-    "star_songs_fact",
-    "star_album_dim",
-    "q1_top_trending",
-    "q2_album_popularity",
-    "q3_top_artist_presence",
-    "q4_song_movement",
-    "rest_api_songs",
-    "streaming_ingest_songs",
-    "partitioned_roundtrip_prune",
-    "song_added_tz_roundtrip",
-    "star_join_agg",
+    #    minhash_lsh_near_dup, embedding_near_dup_pairs,
+    #    asof_join_purchase_click, promo_range_join,
+    #    stratified_sample_docs, pack_token_sequences, pii_scrub_docs,
+    #    doc_repetition_stats, ntile_price_deciles, except_small_orders,
+    #    grouping_sets_seg_nation, percent_rank_acctbal,
+    #    doc_length_histogram, rolling_value_7d, orders_above_cust_avg,
+    #    event_transition_counts, unpivot_part_metrics,
+    #    median_mode_by_status, props_json_stats,
+    #    cume_dist_price_quartiles, user_event_type_profile) rotates in
+    #    round 7 - all of it is hash-green on r4 data with code
+    #    unchanged since, and local parity re-proves it each run.
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_balance",
+    "cascade_delete_users",
+    "range_clustered_scan",
+    "embedding_dim_stats",
+    "length_bucket_batching",
 ]
 
 

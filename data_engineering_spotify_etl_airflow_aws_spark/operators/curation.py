@@ -691,3 +691,65 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
         # no output sort: driver hash is order-insensitive
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching stats: the pre-training dataloader question
+# "if I batch documents by length bucket and pad to the bucket max, how
+# much compute is padding?" Documents bucket by token count (width-64
+# ranges); each bucket reports docs, tokens, the bucket's realized max
+# length, and padding waste = n_docs * max_len - sum_len (the tokens a
+# max-length-padded batch would burn). One narrow projection (doc_id ->
+# token count) and one groupBy(bucket): the shuffle carries a handful of
+# partial rows per partition - bucket count is bounded by max_doc_len/64,
+# a constant, so the plan is a pure map-side-combine agg at any corpus
+# size. Waste figures are exact integers end-to-end.
+_LB_WIDTH = 64
+
+
+@query(
+    "length_bucket_batching",
+    oracle=f"""
+    SELECT bucket,
+           bucket * {_LB_WIDTH} AS bucket_min_len,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM (
+        SELECT CAST(len({_OT}) // {_LB_WIDTH} AS BIGINT) AS bucket,
+               len({_OT}) AS n_tokens
+        FROM documents
+        WHERE len({_OT}) > 0
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).alias("n_tokens")
+    )
+    n = F.col("n_tokens").cast("long")
+    return (
+        docs.where(n > 0)
+        .select(F.floor(n / _LB_WIDTH).alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _LB_WIDTH).alias("bucket_min_len"),
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket")
+    )

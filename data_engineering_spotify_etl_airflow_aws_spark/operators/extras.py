@@ -19,6 +19,8 @@ from pyspark.sql.window import Window as W
 from ..functions import dsum, oracle_dsum
 from ..registry import query
 from ..tables import load_table
+from .dedup import _DUCK_H32 as _G_DH32
+from .dedup import _SPARK_H32 as _G_SH32
 
 
 # ---------------------------------------------------------------------------
@@ -1567,4 +1569,137 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW)))
         .cast("bigint")
         .alias("content_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR cascade delete (right-to-be-forgotten): apply a bounded batch of
+# user-deletion requests across the event log and report the surviving
+# per-event-type footprint plus an explicit audit row-set of what was
+# purged. The request batch is a FIXED-COUNT deterministic pick (first
+# B=16 distinct users in salted-md5 order - erasure requests arrive in
+# bounded batches in production, so the broadcast is bounded by
+# construction, never O(users)). The purge itself is one broadcast
+# LEFT ANTI join - the 100 TB shape: the fact table streams through map
+# tasks once, no shuffle of the big side, and with user-bucketed storage
+# the anti join also prunes buckets. The audit counts ride the SAME scan
+# via a semi-join aggregate twin.
+_GDPR_BATCH = 16
+_G_H_SPARK = _G_SH32.format(s="concat('gdpr-', cast(user_id as string))")
+_G_H_DUCK = _G_DH32.format(s="concat('gdpr-', CAST(user_id AS VARCHAR))")
+
+
+@query(
+    "cascade_delete_users",
+    oracle=f"""
+    WITH del AS (
+        SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+        ORDER BY {_G_H_DUCK}, user_id LIMIT {_GDPR_BATCH}
+    )
+    SELECT e.event_type,
+           count(*) FILTER (WHERE d.user_id IS NULL) AS surviving_events,
+           count(*) FILTER (WHERE d.user_id IS NOT NULL) AS purged_events,
+           {oracle_dsum('CASE WHEN d.user_id IS NULL THEN e.value END', 6)}
+               AS surviving_value
+    FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def cascade_delete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(F.expr(_G_H_SPARK), "user_id")
+        .limit(_GDPR_BATCH)
+    )
+    purged = F.col("del_user_id").isNotNull()
+    return (
+        ev.join(
+            F.broadcast(batch.select(F.col("user_id").alias("del_user_id"))),
+            ev.user_id == F.col("del_user_id"),
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(~purged, F.lit(1))).alias("surviving_events"),
+            F.count(F.when(purged, F.lit(1))).alias("purged_events"),
+            dsum(
+                F.when(~purged, F.col("value")), scale=6, alias="surviving_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-clustered storage layout (the ZORDER-lite every lakehouse table
+# wants): write the event log repartitionByRange(ts) + sortWithinPartitions
+# (ts) so each output file owns a disjoint time slice, then answer a
+# narrow time-range query against the clustered copy. Because file N's
+# row-group min/max stats cover a disjoint ts range, the range predicate
+# prunes all but ~1 file at planning/row-group level - at 100 TB the
+# difference between scanning the table and scanning minutes of it. The
+# clustered copy is written once per data generation (same contract as
+# the bucketed/DPP fixtures); the oracle answers from the raw table,
+# proving layout does not change semantics.
+_RANGE_ROOT = "/tmp/spark_graft_rangeclustered"
+_RANGE_FILES = 16
+_RANGE_LO = "2024-01-10 00:00:00"
+_RANGE_HI = "2024-01-11 00:00:00"
+
+
+def ensure_range_clustered_events(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    gen = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    dest = Path(_RANGE_ROOT) / gen
+    if not (dest / "_SUCCESS").exists():
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(_RANGE_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(str(dest))
+        )
+    return str(dest)
+
+
+@query(
+    "range_clustered_scan",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_range_clustered_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit(_RANGE_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_RANGE_HI).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type")
     )

@@ -618,3 +618,52 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension corpus statistics: the feature-normalization precompute
+# (mean/min/max per embedding dimension) every whitening / scalar-quantize
+# step needs before touching a vector corpus. posexplode fans each vector
+# into (dim, value) pairs JVM-side - no Python, no Pandas - and one
+# groupBy(dim) reduces them; the shuffle carries exactly D * n_partitions
+# partial rows after map-side combine, so at 100 TB the exchange is a few
+# KB regardless of corpus size (D is the model's embedding width, a
+# constant). Means use integer micro-units, not the decimal contract:
+# float32 values land exactly on decimal half-ties where Spark's and
+# DuckDB's double->decimal casts disagree (see label_centroids).
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT dim,
+           CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0 + 0.5)
+                         AS HUGEINT)) AS DOUBLE)
+               / (1000000000.0 * count(*)) AS dim_mean,
+           CAST(min(val) AS DOUBLE) AS dim_min,
+           CAST(max(val) AS DOUBLE) AS dim_max,
+           count(*) AS n_vals
+    FROM (
+        SELECT unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(vec_double("embedding")).alias("dim", "val")
+    )
+    micro = F.floor(F.col("val") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+    return (
+        vecs.groupBy("dim")
+        .agg(
+            (F.sum(micro).cast("double") / (F.lit(1e9) * F.count("*"))).alias(
+                "dim_mean"
+            ),
+            F.min("val").alias("dim_min"),
+            F.max("val").alias("dim_max"),
+            F.count("*").alias("n_vals"),
+        )
+        .orderBy("dim")
+    )

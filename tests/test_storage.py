@@ -435,3 +435,37 @@ def test_dynamic_partition_pruning_reaches_the_fact_scan(spark):
     df = QUERIES["dynamic_partition_pruned_join"](spark, SF_CORRECT)
     p = plans.executed_plan(df)
     assert "dynamicpruningexpression" in p, p[:2000]
+
+
+def test_range_clustered_layout_is_disjoint_and_prunes(spark):
+    """Each file of the range-clustered events copy must own a disjoint ts
+    slice (the property row-group min/max pruning relies on), and the
+    registered range query must push its ts bounds into the parquet scan."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+        ensure_range_clustered_events,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    path = ensure_range_clustered_events(spark, SF_CORRECT)
+    spans = []
+    for f in Path(path).glob("*.parquet"):
+        t = pq.read_table(f, columns=["ts"])
+        if t.num_rows:
+            col = t.column("ts")
+            lo, hi = min(col.to_pylist()), max(col.to_pylist())
+            spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) > 1, "clustering degenerated to a single file"
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, f"overlapping ts slices: {prev_hi} > {next_lo}"
+
+    df = QUERIES["range_clustered_scan"](spark, SF_CORRECT)
+    p = plans.executed_plan(df)
+    assert "PushedFilters" in p and "ts" in p.split("PushedFilters")[1][:200], (
+        p[:2000]
+    )
