@@ -753,3 +753,83 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split with a content-leakage audit: every
+# doc lands in exactly one split by salted md5 of its id (90/5/5) -
+# reproducible on any cluster size, no RNG state, resharding-proof - and
+# the audit joins the split assignment against exact-content groups
+# (md5 of text) to count contents that leak across split boundaries,
+# the eval-contamination question every pretraining split must answer.
+# Plan shape: one narrow projection derives (split, content hash) per
+# doc; the leak check is a groupBy(content) counting distinct splits -
+# one shuffle on the content hash, partial-agg'd map-side; the per-split
+# rollup reuses the same scan via a second branch. The leak count is a
+# 1-row aggregate broadcast onto the 3-row result (BNLJ of one row).
+_SPLIT_SALT = "split-v1-"
+
+
+def _split_col(id_col: str) -> "Column":
+    h = F.expr(_SPARK_H32.format(s=f"concat('{_SPLIT_SALT}', cast({id_col} as string))"))
+    bucket = h % 100
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_H_DUCK = _DUCK_H32.format(
+    s="concat('" + _SPLIT_SALT + "', CAST(doc_id AS VARCHAR))"
+)
+_SPLIT_DUCK = (
+    f"CASE WHEN ({_SPLIT_H_DUCK}) % 100 < 90 THEN 'train' "
+    f"WHEN ({_SPLIT_H_DUCK}) % 100 < 95 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "hash_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars, md5(text) AS content_h,
+               {_SPLIT_DUCK} AS split
+        FROM documents
+    ),
+    leaks AS (
+        SELECT count(*) AS n_leaked_contents FROM (
+            SELECT content_h FROM assigned
+            GROUP BY content_h HAVING count(DISTINCT split) > 1
+        )
+    )
+    SELECT a.split, count(*) AS n_docs,
+           CAST(sum(a.n_chars) AS BIGINT) AS sum_chars,
+           l.n_leaked_contents
+    FROM assigned a CROSS JOIN leaks l
+    GROUP BY a.split, l.n_leaked_contents
+    ORDER BY a.split
+    """,
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("content_h")
+    )
+    assigned = docs.withColumn("split", _split_col("doc_id"))
+    leaks = (
+        assigned.groupBy("content_h")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .agg(F.count("*").alias("n_leaked_contents"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .join(F.broadcast(leaks))  # 1-row audit scalar
+        .select("split", "n_docs", "sum_chars", "n_leaked_contents")
+        .orderBy("split")
+    )

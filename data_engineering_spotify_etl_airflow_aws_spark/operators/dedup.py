@@ -544,3 +544,62 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_b",
         F.levenshtein("name_a", "name_b").alias("edit_dist"),
     )  # no output sort: driver hash is order-insensitive (r5 rule)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window dedup with re-arm: suppress repeats of a (user, event
+# type) signal, but let it fire again once the signal has been QUIET for
+# a full re-arm gap - the alerting/notification dedup semantic (send at
+# most one alert per quiet period, not one per lifetime). Episodes are
+# gap-based sessions: a new episode starts when the gap from the
+# PREVIOUS OCCURRENCE exceeds the re-arm window; the episode's first
+# event is kept, the rest are suppressed. One window spec (partition by
+# the dedup key, order by ts) serves lag + the running episode counter,
+# so the whole operator is a single shuffle on the dedup key - at 100 TB
+# the state per key is one row of lag context, never a buffer, and the
+# same shuffle feeds the final per-key rollup with no extra exchange.
+_REARM_DAYS = 3
+
+
+@query(
+    "dedup_rolling_window",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {_REARM_DAYS} DAY
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(sum(is_first) AS BIGINT) AS n_kept,
+           count(*) - CAST(sum(is_first) AS BIGINT) AS n_suppressed
+    FROM seq
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_new = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            > _REARM_DAYS * 86400
+        )
+    )
+    return (
+        ev.withColumn("is_first", gap_new.cast("int"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_first").alias("n_kept"),
+            (F.count("*") - F.sum("is_first")).alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type")
+    )

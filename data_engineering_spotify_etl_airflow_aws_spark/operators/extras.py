@@ -1703,3 +1703,80 @@ def range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across table snapshots: a v1 batch written before a
+# column existed and a v2 batch written after must read back as ONE
+# relation (mergeSchema), legacy rows surfacing NULL for the new column
+# - the lakehouse schema-drift semantic (Snowflake/Glue schema evolution
+# analog). The two snapshots are fixture setup written once per data
+# generation; the query reads the union with parquet footer merging and
+# rolls up by the evolved column, COALESCE-ing legacy NULLs into an
+# 'unknown' bucket. At 100 TB footer merging is per-file metadata work
+# only (no data rewrite - the entire point vs a backfill); the rollup is
+# one map-side-combined agg. The oracle reconstructs the same union from
+# the raw table, proving the storage-level evolution changed nothing.
+_EVO_ROOT = "/tmp/spark_graft_schemaevo"
+_EVO_CUTOFF = "2024-01-15 00:00:00"
+
+
+def ensure_schema_evolution_snapshots(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    gen = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    dest = Path(_EVO_ROOT) / gen
+    if not (dest / "_DONE").exists():
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        cutoff = F.lit(_EVO_CUTOFF).cast("timestamp")
+        (
+            ev.where(F.col("ts") < cutoff)
+            .select("event_id", "ts", "user_id", "value")  # pre-evolution
+            .write.mode("overwrite")
+            .parquet(str(dest / "v1"))
+        )
+        (
+            ev.where(F.col("ts") >= cutoff)
+            .select("event_id", "ts", "user_id", "value", "event_type")
+            .write.mode("overwrite")
+            .parquet(str(dest / "v2"))
+        )
+        (dest / "_DONE").touch()
+    return str(dest)
+
+
+@query(
+    "schema_evolution_union",
+    oracle=f"""
+    SELECT CASE WHEN ts < TIMESTAMP '{_EVO_CUTOFF}' THEN 'unknown'
+                ELSE event_type END AS event_type,
+           count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_schema_evolution_snapshots(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v1", f"{root}/v2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -667,3 +667,69 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF path against the exact
+# brute-force baseline, per query vector. This is the harness that
+# answers "is nprobe/C tuned right?" before a 100 TB index build - run
+# it on a sampled slice, read avg recall, adjust. Composes the two
+# registered pipelines (both deterministic) and joins their top-k sets:
+# the join keys are (query_id, cand_id) pairs from two bounded results
+# (<= N_QUERIES * TOP_K rows each), so the comparison itself costs
+# nothing next to the searches. recall denominator is TOP_K even when
+# IVF's probed cells surface fewer candidates - missing rows are
+# misses, the standard definition.
+_RECALL_DEN = float(TOP_K)
+
+
+@query(
+    "ann_recall_eval",
+    oracle=None,  # assigned immediately below from the composed CTEs
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = topk_similar_per_query(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("bf_cand")
+    )
+    ivf = ivf_topk_similar(spark, sf_dir).select(
+        F.col("query_id").alias("i_query_id"), F.col("cand_id").alias("ivf_cand")
+    )
+    hits = bf.join(
+        ivf,
+        (bf.query_id == ivf.i_query_id) & (bf.bf_cand == ivf.ivf_cand),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("bf_cand").alias("n_exact"),
+            F.count("ivf_cand").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(_RECALL_DEN)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# The oracle reuses the two registered oracle texts verbatim as CTEs, so
+# the eval's ground truth can never drift from the searches it grades.
+from ..registry import ORACLES as _OR  # noqa: E402
+
+_OR["ann_recall_eval"] = f"""
+WITH bf AS ({_OR["topk_similar_per_query"]}),
+     ivf AS ({_OR["ivf_topk_similar"]})
+SELECT bf.query_id,
+       count(bf.cand_id) AS n_exact,
+       count(ivf.cand_id) AS n_hits,
+       CAST(count(ivf.cand_id) AS DOUBLE) / {_RECALL_DEN} AS recall_at_k
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.cand_id = ivf.cand_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""
