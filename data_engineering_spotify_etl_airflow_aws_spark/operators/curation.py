@@ -751,7 +751,7 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "padding_waste"
             ),
         )
-        .orderBy("bucket")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
 
 
@@ -831,5 +831,5 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(leaks))  # 1-row audit scalar
         .select("split", "n_docs", "sum_chars", "n_leaked_contents")
-        .orderBy("split")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )

@@ -601,5 +601,5 @@ def dedup_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").alias("n_kept"),
             (F.count("*") - F.sum("is_first")).alias("n_suppressed"),
         )
-        .orderBy("user_id", "event_type")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )

@@ -1629,7 +1629,7 @@ def cascade_delete_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(~purged, F.col("value")), scale=6, alias="surviving_value"
             ),
         )
-        .orderBy("event_type")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
 
 
@@ -1701,7 +1701,7 @@ def range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", scale=6, alias="sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
-        .orderBy("event_type")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
 
 
@@ -1778,5 +1778,5 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             dsum("value", scale=6, alias="sum_value"),
         )
-        .orderBy("event_type")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )

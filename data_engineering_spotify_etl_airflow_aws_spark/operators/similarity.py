@@ -665,7 +665,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("dim_max"),
             F.count("*").alias("n_vals"),
         )
-        .orderBy("dim")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
 
 
@@ -713,7 +713,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
-        .orderBy("query_id")
+        # no output sort: driver hash is order-insensitive (r5 rule)
     )
 
 
