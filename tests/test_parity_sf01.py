@@ -8,12 +8,14 @@ Off by default (several minutes of Spark+DuckDB work); enable with
 
 Round-6 coverage: this list caught a REAL bug (label_centroids decimal
 half-tie divergence, fixed in the same round), and a one-off sweep then
-verified 121 of the 123 registered queries green at sf0.1. The two not
-swept - ngram_jaccard_near_dup and dedup_clusters - are bounded by
-ORACLE cost, not engine cost (DuckDB's all-pairs Jaccard over 5000 docs
-runs >10 min; Spark's prefix-filtered side finishes in ~13 s); their
-values are exact integer/string set operations outside the float-tie
-risk class, and both hold green sf0.01 driver audits.
+verified 121 of the 123 registered queries green at sf0.1; the 15
+late-round-6 additions were all swept green at sf0.1 the same way (8 of
+them kept here as standing at-risk entries). The two never swept -
+ngram_jaccard_near_dup and dedup_clusters - are bounded by ORACLE cost,
+not engine cost (DuckDB's all-pairs Jaccard over 5000 docs runs
+>10 min; Spark's prefix-filtered side finishes in ~13 s); their values
+are exact integer/string set operations outside the float-tie risk
+class, and both hold green sf0.01 driver audits.
 """
 
 from __future__ import annotations
@@ -57,6 +59,18 @@ AT_RISK = [
     "skew_salted_join_agg",
     "bucketed_colocated_join",
     "dynamic_partition_pruned_join",
+    # late-round-6 additions with scale-exposed ingredients: fixed-count
+    # hash-order picks against a 10x corpus (recall eval, GDPR batch),
+    # float micro-unit means (dim stats), md5 bucket assignment (split),
+    # decimal-exact max ties (Q15) and scalar thresholds (Q22/Q6).
+    "ann_recall_eval",
+    "embedding_dim_stats",
+    "cascade_delete_users",
+    "hash_split_assignment",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q22_dormant_balance",
+    "dedup_rolling_window",
 ]
 
 pytestmark = pytest.mark.skipif(
