@@ -1780,3 +1780,53 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# Denormalized nested export: collapse the orders->lineitem one-to-many
+# into one row per order carrying its line set as a SORTED array - the
+# document-store / API-export shape (and the write side of the
+# reference's raw-JSON sink, K1, at entity granularity). collect_list
+# inside a groupBy(orderkey) is safe here by CONSTRUCTION, not luck: the
+# per-group array is bounded by lines-per-order (TPC-H max 7), so state
+# per key is O(1) - the unbounded-collect_list OOM trap applies to
+# power-law keys, not fixed-fanout FK groups. sort_array makes the
+# array content deterministic regardless of shuffle arrival order. The
+# join shuffles lineitem once on orderkey; the agg reuses that
+# partitioning (no second exchange of the big side).
+@query(
+    "orders_nested_export",
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey,
+           any_value(o.o_orderstatus) AS orderstatus,
+           list_sort(list(l.l_linenumber)) AS line_numbers,
+           count(*) AS n_lines,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+               AS order_revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '2001-06-01'
+    GROUP BY o.o_orderkey
+    ORDER BY orderkey
+    """,
+)
+def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-06-01").cast("date"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.any_value(F.col("o_orderstatus")).alias("orderstatus"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count("*").alias("n_lines"),
+            dsum(disc_price, scale=4, alias="order_revenue"),
+        )
+        # no output sort: driver hash is order-insensitive (r5 rule)
+    )

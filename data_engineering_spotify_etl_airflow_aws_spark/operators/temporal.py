@@ -409,3 +409,68 @@ def max_concurrent_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: one row per user, driver hash order-insensitive
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (the TSDB first/last/min/max rollup: candlesticks,
+# sensor dailies, metric compaction): collapse each (user, day) series
+# to open/high/low/close + volume. Open/close are ORDER-DEFINED - the
+# value at the earliest/latest (ts, event_id) - so they ride
+# row_number over one hash partitioning of (user_id, day); the ascending
+# and descending rank share that single exchange (two sorts, one
+# shuffle), and the final groupBy reuses the same partitioning - the
+# whole operator moves each row across the cluster exactly once. The
+# deterministic (ts, event_id) tiebreak makes both engines pick the
+# same row when timestamps collide, which at 100 TB they routinely do.
+@query(
+    "ohlc_downsample",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, day,
+           {oracle_dsum('CASE WHEN rn_a = 1 THEN value END', 6)} AS open,
+           max(value) AS high,
+           min(value) AS low,
+           {oracle_dsum('CASE WHEN rn_d = 1 THEN value END', 6)} AS close,
+           count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value
+    FROM seq
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+    )
+    wa = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        seq.groupBy("user_id", "day")
+        .agg(
+            dsum(F.when(F.col("rn_a") == 1, F.col("value")), 6, "open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            dsum(F.when(F.col("rn_d") == 1, F.col("value")), 6, "close"),
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        # no output sort: driver hash is order-insensitive (r5 rule)
+    )
