@@ -87,6 +87,9 @@ def main(spark, out_dir: str | None = None) -> dict:
 
 
 if __name__ == "__main__":
+    # running as `python examples/<script>.py` puts examples/ (not the
+    # repo root) on sys.path - add the root so the package resolves
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from data_engineering_spotify_etl_airflow_aws_spark.session import get_spark
 
     dest = sys.argv[1] if len(sys.argv) > 1 else None

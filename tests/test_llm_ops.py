@@ -317,3 +317,29 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         assert got == union_find_labels(edges)
 
     check()
+
+
+def test_corpus_prep_example_end_to_end(spark):
+    """examples/corpus_prep.py - the LLM corpus-preparation chain as one
+    script - must run every stage and report internally-consistent
+    numbers (splits partition the corpus, no content leaks, packing
+    emits rows)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        import corpus_prep
+    finally:
+        sys.path.pop(0)
+
+    from .conftest import SF_CORRECT
+
+    out = corpus_prep.main(spark, SF_CORRECT)
+    assert out["quality_total"] > 0
+    assert 0 < out["quality_pass"] <= out["quality_total"]
+    assert sum(out["split_docs"].values()) == out["quality_total"]
+    assert set(out["split_docs"]) == {"train", "val", "test"}
+    assert out["leaked_contents"] == 0
+    assert out["packed_rows"] > 0
+    assert out["exact_survivors"] <= out["quality_total"]
