@@ -31,8 +31,9 @@ __version__ = "0.1.0"
 # CORRECTNESS_r04.json or CORRECTNESS_r05.json and is unchanged since
 # (local oracle parity re-checks them each run regardless); they take
 # the tail in their original registration order. After this round the
-# only stale evidence left is a handful of r4-generation rows (listed
-# at the bottom comment) - they rotate in round 7.
+# stale evidence left is the r4-generation block plus seven r3-evidence
+# queries displaced by this round's 22 new operators (both sets listed
+# in the comments below) - they rotate oldest-first in round 7.
 AUDIT_FIRST: list[str] = [
     # -- never driver-audited: the six round-5 operators (round-5
     #    verdict #1 - these take the first slots, before anything else).
@@ -87,17 +88,17 @@ AUDIT_FIRST: list[str] = [
     "schema_evolution_union",
     "ohlc_downsample",
     "orders_nested_export",
-    # -- evidence rotation: 5 of the 11 queries whose latest green
+    "sketch_rollup_users",
+    # -- evidence rotation: 4 of the 11 queries whose latest green
     #    driver row is the r3 data generation (round-5 verdict "what's
-    #    missing" #2), oldest-evidence-first. The six displaced by the
-    #    new ops above (token_ngram_vocab, ts_gap_fill, label_centroids,
-    #    corpus_curation_stats, scd2_user_value_history,
+    #    missing" #2), oldest-evidence-first. The seven displaced by the
+    #    new ops above (doc_fingerprints, token_ngram_vocab, ts_gap_fill,
+    #    label_centroids, corpus_curation_stats, scd2_user_value_history,
     #    latest_order_per_segment) rotate first in round 7.
     "session_window_agg",
     "point_lookup_series",
     "dedup_earliest_survivor",
     "lang_id_stopword",
-    "doc_fingerprints",
     # -- never driver-audited: the eleven late-round-6 additions (TPC-H
     #    Q6/Q10/Q14/Q15/Q18/Q19/Q22 analogs + GDPR cascade delete +
     #    range-clustered scan + embedding dim stats + length-bucket

@@ -531,3 +531,65 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: one row per user, driver hash order-insensitive
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (the incremental distinct-count maintenance
+# pattern): per-(event_type, day) HLL sketches built once, then UNIONED
+# up to event_type level - at 100 TB this is how a daily pipeline keeps
+# monthly/all-time distinct users without ever rescanning history (new
+# day => one new partial sketch + cheap re-union; Datasketches HLL,
+# F.hll_sketch_agg/hll_union_agg). The verification harness computes
+# (a) the exact distinct count and (b) a DIRECT single-level sketch over
+# the same rows; the emitted flags assert the merged estimate is within
+# the HLL error envelope of exact AND bit-identical to the direct
+# sketch's estimate (same lgK -> merge introduces no additional error) -
+# so a broken merge path hash-mismatches at the driver even though the
+# raw estimate never reaches the hashed output.
+_HLL_LGK = 14
+
+
+@query(
+    "sketch_rollup_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(DISTINCT user_id) AS exact_users,
+           1 AS within_bound,
+           1 AS merge_matches_direct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    partials = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("day_sketch")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("day_sketch", F.lit(False))
+        ).alias("merged_est"),
+        F.count("*").alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(_HLL_LGK))
+        ).alias("direct_est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    j = merged.join(direct, "event_type")
+    err = F.abs(F.col("merged_est") - F.col("exact_users")).cast("double")
+    # lgK=14 -> rse ~= 1.04/sqrt(2^14) ~= 0.8%; assert 4x that plus
+    # small-count slack
+    bound = F.greatest(F.col("exact_users").cast("double") * 0.033, F.lit(8.0))
+    return j.select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        F.when(err <= bound, 1).otherwise(0).alias("within_bound"),
+        F.when(F.col("merged_est") == F.col("direct_est"), 1)
+        .otherwise(0)
+        .alias("merge_matches_direct"),
+    ).orderBy("event_type")

@@ -71,6 +71,7 @@ AT_RISK = [
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_balance",
     "dedup_rolling_window",
+    "sketch_rollup_users",
 ]
 
 pytestmark = pytest.mark.skipif(
