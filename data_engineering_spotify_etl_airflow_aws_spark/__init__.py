@@ -76,12 +76,13 @@ AUDIT_FIRST: list[str] = [
     "positional_csv_load",
     "hard_negative_mining",
     "vocab_oov_rate",
-    # -- never driver-audited: six more round-6 additions (ANN recall
+    # -- never driver-audited: eight more round-6 additions (ANN recall
     #    eval, rolling re-arm dedup, train/val/test hash split, schema
-    #    evolution union, OHLC downsample, nested export). New queries
-    #    outrank rotation, so these take six of the r3-rotation slots;
-    #    the displaced six stay on their r3 driver evidence + per-round
-    #    local parity (see the rotation comment below).
+    #    evolution union, OHLC downsample, nested export, HLL sketch
+    #    rollup, PageRank). New queries outrank rotation, so these take
+    #    eight of the r3-rotation slots; the displaced queries stay on
+    #    their r3 driver evidence + per-round local parity (see the
+    #    rotation comment below).
     "ann_recall_eval",
     "dedup_rolling_window",
     "hash_split_assignment",
@@ -89,16 +90,17 @@ AUDIT_FIRST: list[str] = [
     "ohlc_downsample",
     "orders_nested_export",
     "sketch_rollup_users",
-    # -- evidence rotation: 4 of the 11 queries whose latest green
+    "pagerank_trade_graph",
+    # -- evidence rotation: 3 of the 11 queries whose latest green
     #    driver row is the r3 data generation (round-5 verdict "what's
-    #    missing" #2), oldest-evidence-first. The seven displaced by the
-    #    new ops above (doc_fingerprints, token_ngram_vocab, ts_gap_fill,
-    #    label_centroids, corpus_curation_stats, scd2_user_value_history,
+    #    missing" #2), oldest-evidence-first. The eight displaced by the
+    #    new ops above (lang_id_stopword, doc_fingerprints,
+    #    token_ngram_vocab, ts_gap_fill, label_centroids,
+    #    corpus_curation_stats, scd2_user_value_history,
     #    latest_order_per_segment) rotate first in round 7.
     "session_window_agg",
     "point_lookup_series",
     "dedup_earliest_survivor",
-    "lang_id_stopword",
     # -- never driver-audited: the eleven late-round-6 additions (TPC-H
     #    Q6/Q10/Q14/Q15/Q18/Q19/Q22 analogs + GDPR cascade delete +
     #    range-clustered scan + embedding dim stats + length-bucket

@@ -217,3 +217,149 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is order-insensitive; the cluster_id window partitioning is the
         # plan's last required exchange
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power iteration over the customer<->supplier trade graph -
+# the general iterative-numeric-algorithm shape (beyond the min-label CC
+# above): a rank VECTOR refined by repeated sparse matrix-vector
+# products. Each iteration is contributions = rank/outdeg joined to
+# edges on src + one groupBy(dst) - both shuffles keyed by high-entropy
+# node ids, nothing O(nodes) is ever broadcast or collected, so the
+# per-iteration cost is exactly one pass over the edge list (the 100 TB
+# shape; GraphX's Pregel does the same joins under the hood). Fixed
+# ITERS=3 keeps the registered query deterministic and lets the oracle
+# unroll the recurrence as chained CTEs.
+#
+# Cross-engine determinism: each iteration's sum quantizes contributions
+# to integer micro-units (floor(x*1e12+0.5), exact HUGEINT/decimal(38,0)
+# sums - see label_centroids for why decimal-cast sums are NOT safe on
+# arbitrary doubles), and the resulting integer, cast back, is an exact
+# double (< 2^53), so every engine enters iteration k+1 with identical
+# IEEE inputs. The damping update is pure elementwise IEEE arithmetic.
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_SUPP_OFFSET = 10_000_000  # namespace suppliers away from customers
+
+
+def _pr_spark_micro(c: "F.Column") -> "F.Column":
+    return F.floor(c * 1e12 + F.lit(0.5)).cast("decimal(38,0)")
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src,
+               l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes),
+    it1 AS (
+        SELECT d.node,
+               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+                     (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
+                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+        FROM nodes d
+        LEFT JOIN und e ON e.dst = d.node
+        LEFT JOIN r0 r ON r.node = e.src
+        LEFT JOIN deg g ON g.src = e.src
+        GROUP BY d.node
+    ),
+    it2 AS (
+        SELECT d.node,
+               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+                     (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
+                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+        FROM nodes d
+        LEFT JOIN und e ON e.dst = d.node
+        LEFT JOIN it1 r ON r.node = e.src
+        LEFT JOIN deg g ON g.src = e.src
+        GROUP BY d.node
+    ),
+    it3 AS (
+        SELECT d.node,
+               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+                     (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
+                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+        FROM nodes d
+        LEFT JOIN und e ON e.dst = d.node
+        LEFT JOIN it2 r ON r.node = e.src
+        LEFT JOIN deg g ON g.src = e.src
+        GROUP BY d.node
+    )
+    SELECT node - {_PR_SUPP_OFFSET} AS suppkey, rank
+    FROM it3 WHERE node >= {_PR_SUPP_OFFSET}
+    ORDER BY rank DESC, suppkey
+    LIMIT 25
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # Truncate lineage once at the edge relation (same rationale as
+    # connected_components): the loop references it 2x per iteration.
+    und = und.localCheckpoint()
+    deg = und.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()  # one scalar to the driver, O(1) bytes
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - _PR_DAMP) / n_nodes
+    for _ in range(_PR_ITERS):
+        contribs = (
+            und.join(ranks, und.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                _pr_spark_micro(F.col("rank") / F.col("outdeg")).alias("c_u"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c_u").alias("s_u"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(_PR_DAMP)
+                    * (
+                        F.coalesce(F.col("s_u"), F.lit(0).cast("decimal(38,0)"))
+                        .cast("double")
+                        / F.lit(1e12)
+                    )
+                ).alias("rank"),
+            )
+            # each iteration's result is small (O(nodes)); checkpoint to
+            # keep the loop's analyzed plan linear, as in CC above
+            .localCheckpoint()
+        )
+    return (
+        ranks.where(F.col("node") >= _PR_SUPP_OFFSET)
+        .select((F.col("node") - _PR_SUPP_OFFSET).alias("suppkey"), "rank")
+        .orderBy(F.desc("rank"), "suppkey")
+        .limit(25)
+    )

@@ -72,6 +72,7 @@ AT_RISK = [
     "tpch_q22_dormant_balance",
     "dedup_rolling_window",
     "sketch_rollup_users",
+    "pagerank_trade_graph",
 ]
 
 pytestmark = pytest.mark.skipif(
