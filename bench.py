@@ -105,6 +105,11 @@ def main() -> int:
         )
 
         ensure_schema_evolution_snapshots(spark, sf_dir)
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+            ensure_zorder_clustered_events,
+        )
+
+        ensure_zorder_clustered_events(spark, sf_dir)
     except Exception:
         pass
     spark.catalog.clearCache()

@@ -1830,3 +1830,104 @@ def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional layout): interleave the bits of
+# (user_id, day-index) into one Morton code and range-cluster the
+# storage on it, so rows close in EITHER dimension land in few files -
+# the Delta OPTIMIZE ZORDER BY semantic, built from primitives: a pure
+# JVM bit-twiddle projection, repartitionByRange + sortWithinPartitions,
+# one write. A box query (user range x day range) then prunes on BOTH
+# columns' per-file min/max stats, where single-column range clustering
+# (range_clustered_scan above) prunes on only one. The registered query
+# answers a box predicate from the z-clustered copy; the oracle answers
+# from the raw table - layout invariance, same contract as the other
+# storage-layout fixtures. The pruning effectiveness itself is asserted
+# by tests/test_storage.py on file-level bounding boxes.
+_Z_ROOT = "/tmp/spark_graft_zorder"
+_Z_FILES = 16
+_Z_BITS = 16
+_Z_EPOCH = "2024-01-01"
+
+
+def _morton(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Interleave the low _Z_BITS bits of two non-negative ints: bit i of
+    `a` -> position 2i, bit i of `b` -> position 2i+1. Pure shifts/adds -
+    codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def ensure_zorder_clustered_events(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = src.stat()
+    gen = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:10]
+    dest = Path(_Z_ROOT) / gen
+    if not (dest / "_SUCCESS").exists():
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day_idx",
+            F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")),
+        )
+        (
+            ev.withColumn("zval", _morton(F.col("user_id"), F.col("day_idx")))
+            .repartitionByRange(_Z_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(str(dest))
+        )
+    return str(dest)
+
+
+_Z_U_LO, _Z_U_HI = 40, 80
+_Z_D_LO, _Z_D_HI = 10, 17
+
+
+@query(
+    "zorder_box_scan",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {oracle_dsum('value', 6)} AS sum_value
+    FROM events
+    WHERE user_id BETWEEN {_Z_U_LO} AND {_Z_U_HI}
+      AND CAST(ts AS DATE) BETWEEN DATE '{_Z_EPOCH}' + {_Z_D_LO}
+                               AND DATE '{_Z_EPOCH}' + {_Z_D_HI}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_zorder_clustered_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    lo = F.lit(_Z_EPOCH).cast("date")
+    return (
+        ev.where(
+            F.col("user_id").between(_Z_U_LO, _Z_U_HI)
+            & F.to_date("ts").between(
+                F.date_add(lo, _Z_D_LO), F.date_add(lo, _Z_D_HI)
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        # no output sort: driver hash is order-insensitive (r5 rule)
+    )

@@ -73,6 +73,7 @@ AT_RISK = [
     "dedup_rolling_window",
     "sketch_rollup_users",
     "pagerank_trade_graph",
+    "zorder_box_scan",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -469,3 +469,67 @@ def test_range_clustered_layout_is_disjoint_and_prunes(spark):
     assert "PushedFilters" in p and "ts" in p.split("PushedFilters")[1][:200], (
         p[:2000]
     )
+
+
+def test_zorder_layout_localizes_both_dimensions(spark):
+    """Z-ordering must make the box query skippable on per-file min/max
+    stats of BOTH user_id and day: for the registered box predicate, a
+    majority of files' bounding boxes must miss the box entirely (the
+    stats-pruning win single-column clustering cannot give on the
+    second dimension)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+        _Z_D_HI,
+        _Z_D_LO,
+        _Z_EPOCH,
+        _Z_U_HI,
+        _Z_U_LO,
+        ensure_zorder_clustered_events,
+    )
+
+    from .conftest import SF_CORRECT
+
+    path = ensure_zorder_clustered_events(spark, SF_CORRECT)
+    epoch = datetime.date.fromisoformat(_Z_EPOCH)
+    d_lo = epoch + datetime.timedelta(days=_Z_D_LO)
+    d_hi = epoch + datetime.timedelta(days=_Z_D_HI)
+    total, skippable, areas = 0, 0, []
+    g_users, g_days = set(), set()
+    for f in Path(path).glob("*.parquet"):
+        t = pq.read_table(f, columns=["user_id", "ts"])
+        if not t.num_rows:
+            continue
+        total += 1
+        users = t.column("user_id").to_pylist()
+        days = [x.date() for x in t.column("ts").to_pylist()]
+        g_users.update((min(users), max(users)))
+        g_days.update((min(days), max(days)))
+        areas.append(
+            (max(users) - min(users) + 1)
+            * ((max(days) - min(days)).days + 1)
+        )
+        skippable += (
+            max(users) < _Z_U_LO
+            or min(users) > _Z_U_HI
+            or max(days) < d_lo
+            or min(days) > d_hi
+        )
+    assert total >= 8, f"clustering degenerated to {total} files"
+    # clustering quality: mean per-file bounding box must cover a small
+    # fraction of the global (user x day) area - an unclustered layout
+    # scores ~1.0, ideal 16-file z-tiling ~1/16; 0.25 leaves slack for
+    # curve boundary crossings
+    g_area = (max(g_users) - min(g_users) + 1) * (
+        (max(g_days) - min(g_days)).days + 1
+    )
+    ratio = sum(areas) / len(areas) / g_area
+    assert ratio < 0.25, f"per-file boxes too wide: mean ratio {ratio:.3f}"
+    # and the registered box predicate must be stats-skippable on at
+    # least half the files (both-dimension pruning)
+    assert skippable >= total / 2, (
+        f"z-order should let stats skip files: {skippable}/{total}"
+    )
