@@ -31,8 +31,8 @@ __version__ = "0.1.0"
 # CORRECTNESS_r04.json or CORRECTNESS_r05.json and is unchanged since
 # (local oracle parity re-checks them each run regardless); they take
 # the tail in their original registration order. After this round the
-# stale evidence left is the r4-generation block plus nine r3-evidence
-# queries displaced by this round's 40 new operators (both sets listed
+# stale evidence left is the r4-generation block plus ten r3-evidence
+# queries displaced by this round's 41 new operators (both sets listed
 # in the comments below) - they rotate oldest-first in round 7.
 AUDIT_FIRST: list[str] = [
     # -- never driver-audited: the six round-5 operators (round-5
@@ -76,14 +76,14 @@ AUDIT_FIRST: list[str] = [
     "positional_csv_load",
     "hard_negative_mining",
     "vocab_oov_rate",
-    # -- never driver-audited: nine more round-6 additions (ANN recall
+    # -- never driver-audited: ten more round-6 additions (ANN recall
     #    eval, rolling re-arm dedup, train/val/test hash split, schema
     #    evolution union, OHLC downsample, nested export, HLL sketch
-    #    rollup, PageRank, Z-order box scan). New queries outrank
-    #    rotation, so these take nine of the r3-rotation slots; the
-    #    displaced queries stay on
-    #    their r3 driver evidence + per-round local parity (see the
-    #    rotation comment below).
+    #    rollup, PageRank, Z-order box scan, SCD2 point-in-time join).
+    #    New queries outrank rotation, so these take ten of the
+    #    r3-rotation slots; the displaced queries stay on their r3
+    #    driver evidence + per-round local parity (see the rotation
+    #    comment below).
     "ann_recall_eval",
     "dedup_rolling_window",
     "hash_split_assignment",
@@ -93,15 +93,16 @@ AUDIT_FIRST: list[str] = [
     "sketch_rollup_users",
     "pagerank_trade_graph",
     "zorder_box_scan",
-    # -- evidence rotation: 2 of the 11 queries whose latest green
+    "scd2_point_in_time_join",
+    # -- evidence rotation: 1 of the 11 queries whose latest green
     #    driver row is the r3 data generation (round-5 verdict "what's
-    #    missing" #2), oldest-evidence-first. The nine displaced by the
-    #    new ops above (dedup_earliest_survivor, lang_id_stopword,
-    #    doc_fingerprints, token_ngram_vocab, ts_gap_fill,
-    #    label_centroids, corpus_curation_stats, scd2_user_value_history,
-    #    latest_order_per_segment) rotate first in round 7.
+    #    missing" #2), oldest-evidence-first. The ten displaced by the
+    #    new ops above (point_lookup_series, dedup_earliest_survivor,
+    #    lang_id_stopword, doc_fingerprints, token_ngram_vocab,
+    #    ts_gap_fill, label_centroids, corpus_curation_stats,
+    #    scd2_user_value_history, latest_order_per_segment) rotate
+    #    first in round 7.
     "session_window_agg",
-    "point_lookup_series",
     # -- never driver-audited: the eleven late-round-6 additions (TPC-H
     #    Q6/Q10/Q14/Q15/Q18/Q19/Q22 analogs + GDPR cascade delete +
     #    range-clustered scan + embedding dim stats + length-bucket

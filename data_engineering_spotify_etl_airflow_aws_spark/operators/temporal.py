@@ -474,3 +474,110 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: attach to each fact row the dimension VERSION
+# that was valid at the fact's event time - the correctness core of any
+# versioned-dimension warehouse (a fact joined to today's dim row is
+# silently wrong history). Dimension = SCD2 value history derived from
+# 'click' events (change points open versions, merge.py shape); facts =
+# 'purchase' events; validity is [valid_from, valid_to) with the open
+# version unbounded.
+#
+# The plan deliberately avoids a range join: version-start rows and fact
+# rows UNION into one stream, one window per user ordered by
+# (ts, kind, event_id) carries the last-seen version forward
+# (last_value ignore-nulls), and facts read their version off the
+# running state - ONE shuffle on user_id, one sort, zero joins, O(1)
+# state per row. kind orders version starts before same-instant facts,
+# giving the inclusive-start / exclusive-end semantics the oracle's
+# explicit range join states. At 100 TB this is the asof pattern that
+# keeps PIT joins linear (a naive theta-join explodes on hot users).
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+               lag(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_value
+        FROM events WHERE event_type = 'click'
+    ),
+    versions AS (
+        SELECT user_id, value AS dim_value, ts_us AS valid_from_us,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS version_no,
+               lead(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS valid_to_us
+        FROM ordered
+        WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+           v.version_no, v.dim_value
+    FROM events f LEFT JOIN versions v
+      ON v.user_id = f.user_id
+     AND v.valid_from_us <= epoch_us(f.ts)
+     AND (v.valid_to_us IS NULL OR epoch_us(f.ts) < v.valid_to_us)
+    WHERE f.event_type = 'purchase'
+    ORDER BY f.event_id
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_click = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    versions = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("prev_value", F.lag("value").over(w_click))
+        .where(
+            F.col("prev_value").isNull()
+            | (F.col("value") != F.col("prev_value"))
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.row_number().over(w_click).alias("version_no"),
+            F.col("value").alias("dim_value"),
+        )
+    )
+    tagged = versions.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.lit(0).alias("kind"),
+        "version_no",
+        "dim_value",
+    ).unionByName(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("version_no"),
+            F.lit(None).cast("double").alias("dim_value"),
+        )
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            "kind",
+            F.last("version_no", ignorenulls=True).over(w_run).alias("version_no"),
+            F.last("dim_value", ignorenulls=True).over(w_run).alias("dim_value"),
+        )
+        .where(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts_us", "version_no", "dim_value")
+        # no output sort: driver hash is order-insensitive (r5 rule)
+    )

@@ -74,6 +74,7 @@ AT_RISK = [
     "sketch_rollup_users",
     "pagerank_trade_graph",
     "zorder_box_scan",
+    "scd2_point_in_time_join",
 ]
 
 pytestmark = pytest.mark.skipif(
