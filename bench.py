@@ -54,6 +54,7 @@ def main() -> int:
         #   vs 2.6s warm at sf0.1, measured r6 - first-run codegen, not work)
         "ivf_topk_similar",  # centroid-pick + cosine-score codegen path
         "dedup_clusters",  # CC fixpoint loop machinery + jaccard codegen
+        "pagerank_trade_graph",  # power-iteration loop + checkpoint path
         "stream_left_join_click_purchase",  # outer-join state + flush path
     ):
         try:

@@ -316,12 +316,34 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No distinct on the undirected union: `edges` is already distinct
+    # and the supplier-offset namespacing makes a forward row collide
+    # with a reversed row never (src < offset <= dst on every forward
+    # edge), so the union is duplicate-free by construction - one full
+    # edge-list shuffle saved. (The oracle's UNION dedups the same
+    # already-unique set.) Lineage truncates once at the edge relation
+    # (same rationale as connected_components).
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # Truncate lineage once at the edge relation (same rationale as
-    # connected_components): the loop references it 2x per iteration.
-    und = und.localCheckpoint()
+    ).localCheckpoint()
+    # Size the iteration shuffles by the edge frame, not the session
+    # default (same rationale + floor as connected_components above):
+    # every loop relation is O(edges) or O(nodes), tiny next to the
+    # session width tuned for full-table scans; a 100 TB edge list
+    # still gets session width via the min().
+    spark = edges.sparkSession
+    n_edges = und.count()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    narrowed = min(int(prev_sp), max(8, n_edges // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(narrowed))
+    try:
+        result = _pr_iterate(und)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return result
+
+
+def _pr_iterate(und: DataFrame) -> DataFrame:
     deg = und.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.count()  # one scalar to the driver, O(1) bytes
@@ -329,13 +351,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - _PR_DAMP) / n_nodes
     for _ in range(_PR_ITERS):
+        # per-node outgoing weight first (|nodes|-row join of two
+        # node-keyed relations), THEN one edge-sized join - not two: the
+        # edge list is the big relation, it should be traversed once per
+        # iteration, not once per joined attribute
+        weights = ranks.join(deg, ranks.node == deg.src).select(
+            F.col("node"),
+            _pr_spark_micro(F.col("rank") / F.col("outdeg")).alias("c_u"),
+        )
         contribs = (
-            und.join(ranks, und.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                F.col("dst"),
-                _pr_spark_micro(F.col("rank") / F.col("outdeg")).alias("c_u"),
-            )
+            und.join(weights, und.src == weights.node)
             .groupBy("dst")
             .agg(F.sum("c_u").alias("s_u"))
         )
