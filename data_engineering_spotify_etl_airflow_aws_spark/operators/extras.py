@@ -1579,11 +1579,12 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purged. The request batch is a FIXED-COUNT deterministic pick (first
 # B=16 distinct users in salted-md5 order - erasure requests arrive in
 # bounded batches in production, so the broadcast is bounded by
-# construction, never O(users)). The purge itself is one broadcast
-# LEFT ANTI join - the 100 TB shape: the fact table streams through map
-# tasks once, no shuffle of the big side, and with user-bucketed storage
-# the anti join also prunes buckets. The audit counts ride the SAME scan
-# via a semi-join aggregate twin.
+# construction, never O(users)). The purge itself is the broadcast
+# anti-join shape - the 100 TB plan: the fact table streams through map
+# tasks once, no shuffle of the big side - realized here as a broadcast
+# LEFT OUTER join plus kept/purged flags so the audit can count BOTH
+# sides of the same single scan (a pure purge would filter where the
+# probe misses, i.e. exactly the anti join).
 _GDPR_BATCH = 16
 _G_H_SPARK = _G_SH32.format(s="concat('gdpr-', cast(user_id as string))")
 _G_H_DUCK = _G_DH32.format(s="concat('gdpr-', CAST(user_id AS VARCHAR))")
@@ -1792,8 +1793,9 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per key is O(1) - the unbounded-collect_list OOM trap applies to
 # power-law keys, not fixed-fanout FK groups. sort_array makes the
 # array content deterministic regardless of shuffle arrival order. The
-# join shuffles lineitem once on orderkey; the agg reuses that
-# partitioning (no second exchange of the big side).
+# orders side is date-pruned and unhinted (broadcast at fixture scale
+# per stats; an orderkey-shuffle join at scale, whose partitioning the
+# orderkey agg then reuses) - one exchange total in the executed plan.
 @query(
     "orders_nested_export",
     oracle=f"""

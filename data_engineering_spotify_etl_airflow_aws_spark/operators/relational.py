@@ -527,13 +527,15 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-H Q10 returned-items analog: quarter of orders x returned lines,
-# grouped per customer, top-20 by lost revenue. Join strategy is chosen
-# for 100 TB: customer GROWS with the data (TPC-H: 2.5% of lineitem
-# rows), so it is NOT broadcast - the orders->customer join shuffles on
-# custkey and that same hash partitioning is reused by the groupBy
-# (custkey, ...) with no additional exchange (one shuffle serves both).
-# nation is a fixed 25-row table - broadcast. The date filter prunes
-# orders at the scan; l_returnflag='R' prunes lineitem to a third.
+# grouped per customer, top-20 by lost revenue. Join strategy: customer
+# GROWS with the data (TPC-H: 2.5% of lineitem rows), so it carries NO
+# broadcast hint - at fixture scale Catalyst still picks BHJ from stats
+# (executed-plan: 3 BHJ at sf0.01, correct there), and at TPC-H
+# proportions customer exceeds any broadcast threshold so the join plans
+# as a custkey-shuffle SMJ whose hash partitioning the groupBy
+# (custkey, ...) reuses with no additional exchange. nation is a fixed
+# 25-row table - broadcast explicitly. The date filter prunes orders at
+# the scan; l_returnflag='R' prunes lineitem to a third.
 @query(
     "tpch_q10_returned_items",
     oracle=f"""
@@ -573,7 +575,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)  # shuffle: O(N) side
+        .join(cust, orders.o_custkey == cust.c_custkey)  # no hint: O(N) side
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -647,8 +649,11 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through one task) but a 1-row agg broadcast back over the revenue
 # relation - the same scale-safe scalar-subquery pattern as recent_topk.
 # The revenue relation is |suppliers| rows (O(N) but ~1e-4 of lineitem);
-# it is computed once and reused for both sides via a self-contained
-# two-branch plan Catalyst collapses into one exchange reuse.
+# it is MATERIALIZED once (localCheckpoint) before fanning into the max
+# and join branches - without that, each branch re-runs the full
+# lineitem scan+agg (Catalyst does not auto-reuse the exchange across
+# these branch shapes; verified executed-plan, 0 ReusedExchange), so the
+# checkpoint halves the scans and caps the second branch at O(suppliers).
 @query(
     "tpch_q15_top_supplier",
     oracle=f"""
@@ -677,7 +682,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev = li.groupBy("l_suppkey").agg(dsum(disc_price, scale=4, alias="total_rev"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(disc_price, scale=4, alias="total_rev"))
+        .localCheckpoint()  # one lineitem scan serves both branches
+    )
     top = rev.agg(F.max("total_rev").alias("_max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -699,8 +708,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the HAVING filter cuts it to a handful of rows BEFORE the orders join,
 # and that join reuses the orderkey hash partitioning (agg output is
 # already clustered on the join key - no extra exchange on the big
-# side). customer attaches by a custkey shuffle (O(N) relation, not
-# broadcast). Top-100 rides TakeOrderedAndProject.
+# side). customer carries no broadcast hint (O(N) relation: Catalyst
+# broadcasts from stats at fixture scale, shuffles on custkey at TPC-H
+# proportions). Top-100 rides TakeOrderedAndProject.
 @query(
     "tpch_q18_large_volume_customer",
     oracle=f"""
@@ -803,9 +813,12 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so "never ordered" is scoped to "no order since 2000-01-01" -
 # same NOT EXISTS plan shape, non-empty answer.) The positive-balance
 # average is a 1-row agg broadcast as a cross join (no driver
-# round-trip); the anti-join shuffles on custkey against the
-# date-pruned orders slice, which at 100 TB is the recent partitions
-# only. Output is bounded by |nations|.
+# round-trip); the anti join carries no hint - Catalyst broadcasts the
+# date-pruned orders slice at fixture scale (executed-plan: BHJ
+# LeftAnti) and shuffles on custkey when the slice outgrows the
+# threshold; either way the probe side streams once. At 100 TB the date
+# filter touches only the recent partitions. Output is bounded by
+# |nations|.
 @query(
     "tpch_q22_dormant_balance",
     oracle=f"""
