@@ -224,8 +224,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the general iterative-numeric-algorithm shape (beyond the min-label CC
 # above): a rank VECTOR refined by repeated sparse matrix-vector
 # products. Each iteration is contributions = rank/outdeg joined to
-# edges on src + one groupBy(dst) - both shuffles keyed by high-entropy
-# node ids, nothing O(nodes) is ever broadcast or collected, so the
+# edges on src + one groupBy(dst) - both keyed by high-entropy node
+# ids, no broadcast HINTS and no driver collection of anything O(nodes)
+# (stats may still broadcast the |nodes|-row weight relation at small
+# scale; at 100 TB every loop join is a node-id shuffle), so the
 # per-iteration cost is exactly one pass over the edge list (the 100 TB
 # shape; GraphX's Pregel does the same joins under the hood). Fixed
 # ITERS=3 keeps the registered query deterministic and lets the oracle

@@ -765,8 +765,10 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Plan shape: one narrow projection derives (split, content hash) per
 # doc; the leak check is a groupBy(content) counting distinct splits -
 # one shuffle on the content hash, partial-agg'd map-side; the per-split
-# rollup reuses the same scan via a second branch. The leak count is a
-# 1-row aggregate broadcast onto the 3-row result (BNLJ of one row).
+# rollup runs as a second branch over the same two parquet columns
+# (two cheap columnar scans - a shared-scan persist would cost more
+# than it saves at this width). The leak count is a 1-row aggregate
+# broadcast onto the 3-row result (BNLJ of one row).
 _SPLIT_SALT = "split-v1-"
 
 
