@@ -240,6 +240,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double (< 2^53), so every engine enters iteration k+1 with identical
 # IEEE inputs. The damping update is pure elementwise IEEE arithmetic.
 _PR_DAMP = 0.85
+# the residual factor is computed ONCE here and interpolated into the
+# oracle as its decimal repr: a SQL engine folding (1.0 - 0.85) in
+# exact decimal lands 1 ulp away from Python's IEEE subtraction
+# (review finding, this round), and the un-quantized base term reaches
+# the emitted rank
+_PR_RESID = 1.0 - _PR_DAMP
 _PR_ITERS = 3
 _PR_SUPP_OFFSET = 10_000_000  # namespace suppliers away from customers
 
@@ -267,7 +273,7 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes),
     it1 AS (
         SELECT d.node,
-               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               {_PR_RESID} / (SELECT n_nodes FROM n)
                + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
                      AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
@@ -279,7 +285,7 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     ),
     it2 AS (
         SELECT d.node,
-               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               {_PR_RESID} / (SELECT n_nodes FROM n)
                + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
                      AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
@@ -291,7 +297,7 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     ),
     it3 AS (
         SELECT d.node,
-               (1.0 - {_PR_DAMP}) / (SELECT n_nodes FROM n)
+               {_PR_RESID} / (SELECT n_nodes FROM n)
                + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
                      AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
@@ -351,7 +357,7 @@ def _pr_iterate(und: DataFrame) -> DataFrame:
     n_nodes = nodes.count()  # one scalar to the driver, O(1) bytes
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    base = (1.0 - _PR_DAMP) / n_nodes
+    base = _PR_RESID / n_nodes
     for _ in range(_PR_ITERS):
         # per-node outgoing weight first (|nodes|-row join of two
         # node-keyed relations), THEN one edge-sized join - not two: the

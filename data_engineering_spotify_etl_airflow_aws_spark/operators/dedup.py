@@ -582,15 +582,19 @@ _REARM_DAYS = 3
     """,
 )
 def dedup_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact microsecond gap arithmetic: the oracle compares full-
+    # precision timestamp intervals, so a whole-second cast here would
+    # diverge for gaps within 1s of the 72h boundary (review finding,
+    # this round - fixtures carry microseconds on every ts)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
     gap_new = (
-        F.lag("ts").over(w).isNull()
+        F.lag("ts_us").over(w).isNull()
         | (
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-            > _REARM_DAYS * 86400
+            F.col("ts_us") - F.lag("ts_us").over(w)
+            > _REARM_DAYS * 86400 * 1_000_000
         )
     )
     return (

@@ -1160,28 +1160,42 @@ _DPP_ROOT = "/tmp/spark_graft_dpp"
 _DPP_HOT_DAYS = 5
 
 
-def ensure_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_derived_copy(root, sf_dir, write_fn, version="v1", marker="_SUCCESS"):
+    """Shared scaffolding for the derived-storage fixtures (DPP copy,
+    range/Z-order clustering, schema-evolution snapshots): one write per
+    (source generation, writer version), keyed on the source file's
+    size+mtime plus `version` - bump `version` whenever the writer's
+    OUTPUT changes, or stale copies from older code survive the cache
+    check. write_fn(dest: str) performs the actual write; `marker` is
+    the file whose existence marks a completed write (parquet writers
+    leave _SUCCESS; multi-dir writers touch their own)."""
     import hashlib
+    import shutil
     from pathlib import Path
 
     src = Path(sf_dir) / "events.parquet"
     st = src.stat()
     gen = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{version}".encode()
     ).hexdigest()[:10]
-    dest = Path(_DPP_ROOT) / gen
-    if not (dest / "_SUCCESS").exists():
-        import shutil
-
+    dest = Path(root) / gen
+    if not (dest / marker).exists():
         shutil.rmtree(dest, ignore_errors=True)
+        write_fn(str(dest))
+    return str(dest)
+
+
+def ensure_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    def write(dest: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "event_type", "value", F.to_date("ts").alias("day"))
             .write.mode("overwrite")
             .partitionBy("day")
-            .parquet(str(dest))
+            .parquet(dest)
         )
-    return str(dest)
+
+    return _ensure_derived_copy(_DPP_ROOT, sf_dir, write)
 
 
 @query(
@@ -1652,27 +1666,16 @@ _RANGE_HI = "2024-01-11 00:00:00"
 
 
 def ensure_range_clustered_events(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    from pathlib import Path
-
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    gen = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:10]
-    dest = Path(_RANGE_ROOT) / gen
-    if not (dest / "_SUCCESS").exists():
-        import shutil
-
-        shutil.rmtree(dest, ignore_errors=True)
+    def write(dest: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .repartitionByRange(_RANGE_FILES, "ts")
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
-            .parquet(str(dest))
+            .parquet(dest)
         )
-    return str(dest)
+
+    return _ensure_derived_copy(_RANGE_ROOT, sf_dir, write)
 
 
 @query(
@@ -1723,35 +1726,26 @@ _EVO_CUTOFF = "2024-01-15 00:00:00"
 
 
 def ensure_schema_evolution_snapshots(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    from pathlib import Path
+    def write(dest: str) -> None:
+        from pathlib import Path
 
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    gen = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:10]
-    dest = Path(_EVO_ROOT) / gen
-    if not (dest / "_DONE").exists():
-        import shutil
-
-        shutil.rmtree(dest, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
         cutoff = F.lit(_EVO_CUTOFF).cast("timestamp")
         (
             ev.where(F.col("ts") < cutoff)
             .select("event_id", "ts", "user_id", "value")  # pre-evolution
             .write.mode("overwrite")
-            .parquet(str(dest / "v1"))
+            .parquet(f"{dest}/v1")
         )
         (
             ev.where(F.col("ts") >= cutoff)
             .select("event_id", "ts", "user_id", "value", "event_type")
             .write.mode("overwrite")
-            .parquet(str(dest / "v2"))
+            .parquet(f"{dest}/v2")
         )
-        (dest / "_DONE").touch()
-    return str(dest)
+        (Path(dest) / "_DONE").touch()
+
+    return _ensure_derived_copy(_EVO_ROOT, sf_dir, write, marker="_DONE")
 
 
 @query(
@@ -1869,19 +1863,7 @@ def _morton(a: "F.Column", b: "F.Column") -> "F.Column":
 
 
 def ensure_zorder_clustered_events(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    from pathlib import Path
-
-    src = Path(sf_dir) / "events.parquet"
-    st = src.stat()
-    gen = hashlib.md5(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:10]
-    dest = Path(_Z_ROOT) / gen
-    if not (dest / "_SUCCESS").exists():
-        import shutil
-
-        shutil.rmtree(dest, ignore_errors=True)
+    def write(dest: str) -> None:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "day_idx",
             F.datediff(F.to_date("ts"), F.lit(_Z_EPOCH).cast("date")),
@@ -1890,11 +1872,15 @@ def ensure_zorder_clustered_events(spark: SparkSession, sf_dir: str) -> str:
             ev.withColumn("zval", _morton(F.col("user_id"), F.col("day_idx")))
             .repartitionByRange(_Z_FILES, "zval")
             .sortWithinPartitions("zval")
-            .drop("zval")
+            # both derived sort columns dropped: the clustered copy must
+            # be the raw table reordered, nothing more
+            .drop("zval", "day_idx")
             .write.mode("overwrite")
-            .parquet(str(dest))
+            .parquet(dest)
         )
-    return str(dest)
+
+    # v2: v1 leaked the derived day_idx column into the copy's schema
+    return _ensure_derived_copy(_Z_ROOT, sf_dir, write, version="v2")
 
 
 _Z_U_LO, _Z_U_HI = 40, 80

@@ -689,10 +689,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = rev.agg(F.max("total_rev").alias("_max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
+    winners = (
         rev.join(F.broadcast(top))  # 1-row scalar, BNLJ costs nothing
         .where(F.col("total_rev") == F.col("_max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        # broadcast the BOUNDED side: winners is the max-filtered rev
+        # (ties only - typically 1 row); supplier is O(N) and streams.
+        # Hinting supplier here would be the growing-relation broadcast
+        # this module's other queries deliberately avoid (review
+        # finding, this round).
+        F.broadcast(winners)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),

@@ -541,11 +541,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # day => one new partial sketch + cheap re-union; Datasketches HLL,
 # F.hll_sketch_agg/hll_union_agg). The verification harness computes
 # (a) the exact distinct count and (b) a DIRECT single-level sketch over
-# the same rows; the emitted flags assert the merged estimate is within
-# the HLL error envelope of exact AND bit-identical to the direct
-# sketch's estimate (same lgK -> merge introduces no additional error) -
-# so a broken merge path hash-mismatches at the driver even though the
-# raw estimate never reaches the hashed output.
+# the same rows; the emitted flags assert BOTH the merged and the direct
+# estimate sit within the HLL error envelope of exact - so a broken
+# merge path hash-mismatches at the driver even though the raw estimates
+# never reach the hashed output. (The flags are deliberately NOT a
+# merged==direct bit-equality: past sparse mode the direct path's HIP
+# estimator and the union path's composite estimator legitimately
+# diverge within the envelope, and the direct aggregation's estimator
+# choice is even partitioning-dependent - review finding, this round.)
 _HLL_LGK = 14
 
 
@@ -556,7 +559,7 @@ _HLL_LGK = 14
            count(DISTINCT CAST(ts AS DATE)) AS n_days,
            count(DISTINCT user_id) AS exact_users,
            1 AS within_bound,
-           1 AS merge_matches_direct
+           1 AS direct_within_bound
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -580,16 +583,15 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
     )
     j = merged.join(direct, "event_type")
-    err = F.abs(F.col("merged_est") - F.col("exact_users")).cast("double")
     # lgK=14 -> rse ~= 1.04/sqrt(2^14) ~= 0.8%; assert 4x that plus
-    # small-count slack
+    # small-count slack, for each estimation path independently
     bound = F.greatest(F.col("exact_users").cast("double") * 0.033, F.lit(8.0))
+    merged_err = F.abs(F.col("merged_est") - F.col("exact_users")).cast("double")
+    direct_err = F.abs(F.col("direct_est") - F.col("exact_users")).cast("double")
     return j.select(
         "event_type",
         "n_days",
         "exact_users",
-        F.when(err <= bound, 1).otherwise(0).alias("within_bound"),
-        F.when(F.col("merged_est") == F.col("direct_est"), 1)
-        .otherwise(0)
-        .alias("merge_matches_direct"),
+        F.when(merged_err <= bound, 1).otherwise(0).alias("within_bound"),
+        F.when(direct_err <= bound, 1).otherwise(0).alias("direct_within_bound"),
     ).orderBy("event_type")

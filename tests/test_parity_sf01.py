@@ -8,9 +8,9 @@ Off by default (several minutes of Spark+DuckDB work); enable with
 
 Round-6 coverage: this list caught a REAL bug (label_centroids decimal
 half-tie divergence, fixed in the same round), and a one-off sweep then
-verified 121 of the 123 registered queries green at sf0.1; the 15
-late-round-6 additions were all swept green at sf0.1 the same way (8 of
-them kept here as standing at-risk entries). The two never swept -
+verified 121 of the 123 registered queries green at sf0.1; the 21
+late-round-6 additions were all swept green at sf0.1 the same way (12
+of them kept here as standing at-risk entries). The two never swept -
 ngram_jaccard_near_dup and dedup_clusters - are bounded by ORACLE cost,
 not engine cost (DuckDB's all-pairs Jaccard over 5000 docs runs
 >10 min; Spark's prefix-filtered side finishes in ~13 s); their values
