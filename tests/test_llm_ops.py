@@ -343,3 +343,84 @@ def test_corpus_prep_example_end_to_end(spark):
     assert out["leaked_contents"] == 0
     assert out["packed_rows"] > 0
     assert out["exact_survivors"] <= out["quality_total"]
+
+
+def test_pagerank_conserves_mass_and_orders_hubs(spark):
+    """Power iteration on the undirected trade graph must conserve rank
+    mass (sum over ALL nodes ~= 1: damping redistributes, never leaks -
+    undirected means no dangling nodes) and give every supplier a rank
+    above the teleport floor (1-d)/N."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.clusters import (
+        _PR_DAMP,
+        pagerank_trade_graph,
+    )
+
+    from .conftest import SF_CORRECT
+
+    rows = pagerank_trade_graph(spark, SF_CORRECT).collect()
+    assert len(rows) == 25
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    # top-25 suppliers: each far above a uniform-share floor is not
+    # guaranteed, but each must exceed the teleport-only floor
+    n_nodes = 1600  # 1500 customers + 100 suppliers at sf0.01
+    floor = (1.0 - _PR_DAMP) / n_nodes
+    assert all(r > floor for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_morton_interleaves_bits():
+    """morton(a, b) must place bit i of `a` at position 2i and bit i of
+    `b` at 2i+1 (the property the Z-curve's locality relies on)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+        _morton,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.session import get_spark
+
+    spark = get_spark()
+    cases = [(1, 0, 1), (0, 1, 2), (3, 0, 5), (0, 3, 10), (2, 1, 6),
+             (65535, 0, 0x55555555), (0, 65535, 0xAAAAAAAA)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in cases], "a long, b long"
+    ).select(_morton(F.col("a"), F.col("b")).alias("z"))
+    got = [r["z"] for r in df.collect()]
+    assert got == [z for _, _, z in cases]
+
+
+def test_dedup_rolling_window_episode_semantics(spark):
+    """Crafted series: events at t0, t0+1d, t0+4d+1us, t0+5d for one key.
+    Gap-based episodes with a 3-day re-arm: t0 opens episode 1 (kept),
+    +1d suppressed, +4d+1us opens episode 2 (gap 3d+1us > 3d), +5d
+    suppressed (gap < 3d from previous OCCURRENCE)."""
+    from data_engineering_spotify_etl_airflow_aws_spark import registry
+
+    base = 1_700_000_000_000_000  # us
+    day = 86_400_000_000
+    rows = [
+        (1, base, 10),
+        (2, base + day, 11),
+        (3, base + 4 * day + 1, 12),
+        (4, base + 5 * day, 13),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, 7, "click", float(v)) for eid, ts, v in rows],
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value",
+    )
+    # run the registered operator against the probe frame: load_table
+    # reads {dir}/events.parquet, so a temp dir stands in for a fixture
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = {
+            (r["user_id"], r["event_type"]): (r["n_events"], r["n_kept"])
+            for r in registry.QUERIES["dedup_rolling_window"](
+                spark, td
+            ).collect()
+        }
+    assert out == {(7, "click"): (4, 2)}
