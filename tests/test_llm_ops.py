@@ -424,3 +424,74 @@ def test_dedup_rolling_window_episode_semantics(spark):
             ).collect()
         }
     assert out == {(7, "click"): (4, 2)}
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """The split assignment must be a pure function of doc_id: identical
+    across partition layouts (resharding-proof) and roughly 90/5/5 on
+    random id sets (hypothesis drives the id distribution)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.curation import (
+        _split_col,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        ids=st.lists(
+            st.integers(0, 10**9), min_size=20, max_size=200, unique=True
+        )
+    )
+    def check(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        a = dict(
+            df.repartition(1)
+            .select("doc_id", _split_col("doc_id").alias("s"))
+            .collect()
+        )
+        b = dict(
+            df.repartition(7, "doc_id")
+            .select("doc_id", _split_col("doc_id").alias("s"))
+            .collect()
+        )
+        assert a == b
+        assert set(a.values()) <= {"train", "val", "test"}
+        # 90% expected train share; wide tolerance for small samples
+        train_frac = sum(v == "train" for v in a.values()) / len(a)
+        assert train_frac > 0.6
+
+    check()
+
+
+def test_ohlc_open_close_are_true_extremes(spark):
+    """open/close must be the values at the true order-extremes of each
+    (user, day) series - cross-checked against a driver-side sort of the
+    same rows, including timestamp ties broken by event_id."""
+    import tempfile
+
+    from data_engineering_spotify_etl_airflow_aws_spark import registry
+
+    base = 1_700_000_000_000_000
+    rows = [
+        # one user, one day, with a ts TIE at the open (event_id breaks it)
+        (1, base, 5.0), (2, base, 4.0), (3, base + 9, 9.0), (4, base + 5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, 3, "click", v) for eid, ts, v in rows],
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = registry.QUERIES["ohlc_downsample"](spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["close"]) == (5.0, 9.0)  # tie -> lower event_id
+    assert (r["high"], r["low"], r["n_events"]) == (9.0, 1.0, 4)
