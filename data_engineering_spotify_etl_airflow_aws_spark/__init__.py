@@ -157,6 +157,7 @@ def load_all_operators() -> None:
         merge,
         filtering,
         extras,
+        tpch,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401
