@@ -383,3 +383,90 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: for every pair of document sources,
+# how many distinct 5-gram shingles they share, plus the shingle-set
+# Jaccard — the corpus-level generalization of benchmark_decontam_overlap
+# above (that query scores docs against ONE benchmark; this audits every
+# source against every other, the "is my crawl re-ingesting itself?"
+# question asked before training-set mixing).
+#
+# Scale shape: the only corpus-sized steps are the shingle explode and
+# one distinct on (source, gram) — both map-side combinable. The pair
+# join is gram-keyed self-equi-join of the DISTINCT relation, so each
+# gram fans out to at most S^2 pairs where S = #sources, a catalog-sized
+# constant (a pipeline mixes tens of sources, not millions) — at 100 TB
+# the join input is |distinct grams x sources|, far below the corpus,
+# and nothing is broadcast. Jaccard = shared / (|A| + |B| - shared) is
+# one IEEE divide over exact integers.
+@query(
+    "cross_source_ngram_overlap",
+    oracle=f"""
+    WITH g0 AS (
+        SELECT source, unnest(list_distinct({_duck_ngrams('t', 5)})) AS gram
+        FROM (SELECT source, {_OT} AS t FROM documents)
+    ),
+    g AS (SELECT DISTINCT source, gram FROM g0),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+           CAST(n_shared AS DOUBLE)
+               / (pa.n_grams + pb.n_grams - n_shared) AS jaccard
+    FROM shared
+    JOIN per_src pa ON pa.source = shared.source_a
+    JOIN per_src pb ON pb.source = shared.source_b
+    """,
+)
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    g = (
+        docs.select("source", tokens("text").alias("t"))
+        .select(
+            "source",
+            F.explode(F.array_distinct(F.expr(_spark_ngrams("t", 5)))).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    per_src = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "grams_a",
+            "grams_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

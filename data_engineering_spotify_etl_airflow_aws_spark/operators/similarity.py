@@ -733,3 +733,138 @@ FROM bf LEFT JOIN ivf
 GROUP BY bf.query_id
 ORDER BY bf.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress each vector to M subspace codes —
+# the memory-side half of a production ANN index (IVF above is the
+# compute-side half; IVF-PQ composes the two). Each 64-dim vector splits
+# into M=8 contiguous 8-dim subvectors; each subvector is assigned to
+# the nearest of K=16 codebook entries by squared L2 distance, giving an
+# 8-byte code per vector plus a reconstruction-error diagnostic.
+#
+# Codebooks are FIXED-COUNT md5-hash-order sample picks (the kmeans/IVF
+# seed rule): K vectors chosen by hash of a salted vec_id, code = rank
+# in that order — a pure function of the ids, constant size at any
+# corpus N, so the codebook broadcast is bounded. (Production would
+# Lloyd-refine each subspace codebook; the assignment plan — the scale
+# path — is identical, and sampled codebooks keep the operator
+# deterministic and oracle-mirrored end to end.)
+#
+# Scale shape: one broadcast of K rows, N*K distance rows reduced by a
+# map-side-combinable min-struct agg keyed vec_id — no shuffle of the
+# corpus itself, total work O(N*K*D). Distances and the error sum are
+# fixed-order IEEE folds (bit-identical to DuckDB's sequential
+# list_sum); the error is quantized to integer micro-units ONCE at
+# output (float32-derived values sit exactly on decimal half-ties, so
+# the decimal-cast contract would diverge — see functions.dsum).
+_PQ_M = 8  # subspaces
+_PQ_SUB = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace
+_PQ_H_SPARK = _SPARK_H32.format(s="concat('pqc-', cast(vec_id as string))")
+_PQ_H_DUCK = _DUCK_H32.format(s="concat('pqc-', CAST(vec_id AS VARCHAR))")
+
+
+def _pq_sq_dist_spark(m: int) -> Column:
+    """Squared L2 distance between subspace m of emb and cb_emb:
+    zip_with + sequential left-fold, the functions.dot shape."""
+    lo = m * _PQ_SUB + 1
+    a = F.slice("emb", lo, _PQ_SUB)
+    b = F.slice("cb_emb", lo, _PQ_SUB)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_sq_dist_duck(m: int) -> str:
+    lo = m * _PQ_SUB
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> (a.emb[{lo} + i] - c.emb[{lo} + i])"
+        f" * (a.emb[{lo} + i] - c.emb[{lo} + i])))"
+    )
+
+
+def _pq_oracle() -> str:
+    dist_cols = ",\n               ".join(
+        f"{_pq_sq_dist_duck(m)} AS d{m}" for m in range(_PQ_M)
+    )
+    min_cols = ",\n               ".join(
+        f"min(struct_pack(d := d{m}, c := code)) AS m{m}" for m in range(_PQ_M)
+    )
+    code_list = ", ".join(f"struct_extract(m{m}, 'c')" for m in range(_PQ_M))
+    err_sum = " + ".join(f"struct_extract(m{m}, 'd')" for m in range(_PQ_M))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    picked AS (
+        SELECT vec_id, emb, {_PQ_H_DUCK} AS h FROM v
+        ORDER BY h, vec_id LIMIT {_PQ_K}
+    ),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+                   AS code,
+               emb
+        FROM picked
+    ),
+    pairs AS (
+        SELECT a.vec_id, c.code,
+               {dist_cols}
+        FROM v a CROSS JOIN cb c
+    ),
+    mins AS (
+        SELECT vec_id,
+               {min_cols}
+        FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id,
+           [{code_list}] AS pq_code,
+           CAST(floor(({err_sum}) * 1000000 + 0.5) AS BIGINT) AS err_micro
+    FROM mins
+    """
+
+
+@query("pq_encode_embeddings", oracle=_pq_oracle())
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(_emb(spark, sf_dir))
+    codebook = (
+        _emb(spark, sf_dir)
+        .withColumn("h", F.expr(_PQ_H_SPARK))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        # rank over the K-row post-limit relation (not the corpus): the
+        # global window is safe because its input is already bounded
+        .withColumn(
+            "code",
+            (F.row_number().over(W.orderBy("h", "vec_id")) - 1).cast("int"),
+        )
+        .select("code", F.col("emb").alias("cb_emb"))
+    )
+    pairs = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "code",
+        *[_pq_sq_dist_spark(m).alias(f"d{m}") for m in range(_PQ_M)],
+    )
+    mins = pairs.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{m}").alias("d"), F.col("code").alias("c"))
+            ).alias(f"m{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    err = sum(
+        (F.col(f"m{m}").getField("d") for m in range(_PQ_M)), start=F.lit(0.0)
+    )
+    return mins.select(
+        "vec_id",
+        F.array(
+            *[F.col(f"m{m}").getField("c") for m in range(_PQ_M)]
+        ).alias("pq_code"),
+        F.floor(err * F.lit(1_000_000) + F.lit(0.5)).cast("bigint").alias(
+            "err_micro"
+        ),
+    )

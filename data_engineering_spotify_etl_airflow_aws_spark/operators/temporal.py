@@ -581,3 +581,53 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts_us", "version_no", "dim_value")
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user exponential moving average (alpha = 0.5): the linear
+# recurrence s_i = (s_{i-1} + x_i) / 2 over each user's time-ordered
+# values — a stateful fold no window frame expresses (each output
+# depends on ALL predecessors with geometric weights). Implemented as
+# collect-sort-fold per key: one shuffle on user_id, then array_sort +
+# a sequential left fold (F.aggregate), all JVM-side.
+#
+# Determinism: the fold order is pinned by the unique (ts_us, event_id)
+# sort key, and DuckDB's list_reduce performs the same left fold over
+# the same list(... ORDER BY) order, so the IEEE add/halve sequence is
+# bit-identical cross-engine. alpha = 0.5 keeps every weight dyadic.
+#
+# Scale note: per-user state is the user's event list — same bounded-
+# per-key contract as sequence packing (curation.py); a key whose
+# history can't fit an executor needs chunked prefix folds (carry the
+# (ema, weight) pair per chunk), which this operator would compose from.
+@query(
+    "ema_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+                       (acc, x) -> (acc + x) * 0.5) AS ema_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "value"))
+        ).alias("seq"),
+    )
+    return seq.withColumn(
+        "vals", F.expr("transform(seq, s -> s.value)")
+    ).select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+            " element_at(vals, 1), (acc, x) -> (acc + x) * 0.5D)"
+        ).alias("ema_value"),
+    )

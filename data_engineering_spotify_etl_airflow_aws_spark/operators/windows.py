@@ -595,3 +595,132 @@ def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(merged_err <= bound, 1).otherwise(0).alias("within_bound"),
         F.when(direct_err <= bound, 1).otherwise(0).alias("direct_within_bound"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters: token frequency estimation over the
+# document corpus with a d x w counter matrix — the streaming/mergeable
+# answer to "which vocabulary items dominate?" when the exact token
+# count table is too wide to keep. Unlike the HLL rollup above, CM is
+# fully deterministic given its hash family, so the oracle rebuilds the
+# SAME sketch in SQL and the driver hash-checks the ESTIMATES themselves,
+# not just error flags (the hash family is the cross-engine md5 h32).
+#
+# Scale shape: one token-count aggregation (map-side combinable), then
+# the sketch is a groupBy over (row, bucket) — at most d*w = 1024 cells
+# regardless of corpus size, the definition of a mergeable sketch
+# (per-partition partial matrices sum cell-wise). The candidate set is
+# the exact top-20 (TakeOrderedAndProject, needed anyway to verify), and
+# the probe joins candidates x d rows against the broadcast 1024-cell
+# matrix. Guarantees checked per candidate: CM never undercounts, and
+# overcount <= (e/w) * N with probability 1 - e^-d (emitted as flags,
+# expected all-1 at this corpus/width).
+_CM_D = 4  # hash rows
+_CM_W = 256  # buckets per row
+_CM_TOP = 20  # candidate heavy hitters = exact top-K tokens
+
+# previous invocation's persisted token-count base (released on next call
+# or via caches.release_all())
+from ..caches import register_cache as _register_cache  # noqa: E402
+
+_CM_COUNT_CACHE: list[DataFrame] = _register_cache([])
+
+
+def _cm_bucket_spark(r: str, tok: str) -> str:
+    from .dedup import _SPARK_H32
+
+    h = _SPARK_H32.format(
+        s=f"concat('cm', cast({r} as string), '-', {tok})"
+    )
+    return f"({h}) % {_CM_W}"
+
+
+def _cm_bucket_duck(r: str, tok: str) -> str:
+    from .dedup import _DUCK_H32
+
+    h = _DUCK_H32.format(s=f"concat('cm', CAST({r} AS VARCHAR), '-', {tok})")
+    return f"({h}) % {_CM_W}"
+
+
+def _cm_oracle() -> str:
+    from ..functions import ORACLE_TOKENS
+
+    ot = ORACLE_TOKENS.format(col="text")
+    return f"""
+    WITH toks AS (SELECT unnest({ot}) AS tok FROM documents),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+    hrows AS (SELECT unnest(range({_CM_D})) AS r),
+    cells AS (
+        SELECT r, {_cm_bucket_duck('r', 'tok')} AS b,
+               CAST(sum(cnt) AS BIGINT) AS cell
+        FROM counts CROSS JOIN hrows
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {_CM_TOP}),
+    est AS (
+        SELECT t.tok, t.cnt, min(c.cell) AS cm_est
+        FROM top t
+        CROSS JOIN hrows rr
+        JOIN cells c
+          ON c.r = rr.r AND c.b = {_cm_bucket_duck('rr.r', 't.tok')}
+        GROUP BY t.tok, t.cnt
+    )
+    SELECT tok, cnt AS exact_cnt, cm_est,
+           CASE WHEN cm_est >= cnt THEN 1 ELSE 0 END AS never_undercount,
+           CASE WHEN CAST(cm_est - cnt AS DOUBLE)
+                     <= 2.718281828459045 * CAST(n AS DOUBLE) / {_CM_W}
+                THEN 1 ELSE 0 END AS within_bound
+    FROM est CROSS JOIN total
+    """
+
+
+@query("cm_heavy_hitters", oracle=_cm_oracle())
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import tokens
+    from ..tables import widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    # the token-count base feeds both the sketch build and the candidate
+    # top-K; persisted so the tokenize+count pass (the corpus-sized cost)
+    # runs once — same lifecycle as the decontam gram base (filtering.py)
+    while _CM_COUNT_CACHE:
+        _CM_COUNT_CACHE.pop().unpersist()
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    _CM_COUNT_CACHE.append(counts)
+    hrows = spark.range(_CM_D).select(F.col("id").alias("r"))
+    cells = (
+        counts.crossJoin(F.broadcast(hrows))
+        .select("r", "cnt", F.expr(_cm_bucket_spark("r", "tok")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "tok").limit(_CM_TOP)
+    # total token mass = sum of any single sketch row (each token lands in
+    # exactly one bucket per row) — read from the 1024-cell matrix, not a
+    # third pass over counts
+    total = cells.where(F.col("r") == 0).agg(F.sum("cell").alias("n"))
+    est = (
+        top.crossJoin(F.broadcast(hrows))
+        .withColumn("b", F.expr(_cm_bucket_spark("r", "tok")))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+    overcount = (F.col("cm_est") - F.col("cnt")).cast("double")
+    bound = F.lit(2.718281828459045) * F.col("n").cast("double") / F.lit(_CM_W)
+    return est.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        "cm_est",
+        F.when(F.col("cm_est") >= F.col("cnt"), 1).otherwise(0).alias(
+            "never_undercount"
+        ),
+        F.when(overcount <= bound, 1).otherwise(0).alias("within_bound"),
+    )

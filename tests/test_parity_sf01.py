@@ -89,6 +89,14 @@ AT_RISK = [
     "tpch_q11_important_stock",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_suppliers",
+    # sketch/fold batch: PQ argmin over IEEE distance folds + micro-unit
+    # error quantization, the EMA sequential fold, the CM estimate matrix
+    # (integer-exact but its top-20 candidate cut rides a count boundary),
+    # and the cross-source Jaccard divide.
+    "pq_encode_embeddings",
+    "cm_heavy_hitters",
+    "cross_source_ngram_overlap",
+    "ema_user_value",
 ]
 
 pytestmark = pytest.mark.skipif(
