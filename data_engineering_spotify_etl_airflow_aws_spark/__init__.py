@@ -134,6 +134,14 @@ AUDIT_FIRST: list[str] = [
     "range_clustered_scan",
     "embedding_dim_stats",
     "length_bucket_batching",
+    # -- registered AFTER this 50-slot window was already full of
+    #    never-audited round-6 queries: the TPC-H completion batch
+    #    (tpch.py: q2/q4/q7/q8/q9/q11/q12/q13/q16/q17/q20/q21) and the
+    #    sketch/fold batch (pq_encode_embeddings, cm_heavy_hitters,
+    #    cross_source_ngram_overlap, ema_user_value). All 16 hold green
+    #    local parity at sf0.01 AND sf0.1; they take round 7's first
+    #    slots (never-audited outranks rotation), ahead of the r3/r4
+    #    rotation blocks listed above.
 ]
 
 
