@@ -495,3 +495,97 @@ def test_ohlc_open_close_are_true_extremes(spark):
     r = out[0]
     assert (r["open"], r["close"]) == (5.0, 9.0)  # tie -> lower event_id
     assert (r["high"], r["low"], r["n_events"]) == (9.0, 1.0, 4)
+
+
+def test_pq_codes_in_range_and_codebook_reconstructs_exactly(spark):
+    """Every PQ code must be a valid codebook index, and the K codebook
+    vectors themselves must reconstruct with zero error (each of their
+    subvectors is at squared distance 0 from its own codebook entry, and
+    no other entry can beat 0)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+    )
+
+    df = registry.QUERIES["pq_encode_embeddings"](spark, SF_CORRECT)
+    stats = df.select(
+        F.count("*").alias("n"),
+        F.min(F.array_min("pq_code")).alias("cmin"),
+        F.max(F.array_max("pq_code")).alias("cmax"),
+        F.min(F.size("pq_code")).alias("lmin"),
+        F.max(F.size("pq_code")).alias("lmax"),
+        F.min("err_micro").alias("emin"),
+        F.sum((F.col("err_micro") == 0).cast("int")).alias("n_exact"),
+    ).first()
+    assert stats.n > 0
+    assert 0 <= stats.cmin and stats.cmax < _PQ_K
+    assert stats.lmin == stats.lmax == _PQ_M
+    assert stats.emin >= 0, "squared-distance reconstruction error is >= 0"
+    assert stats.n_exact >= _PQ_K, (
+        f"only {stats.n_exact} zero-error rows; the {_PQ_K} codebook "
+        "vectors must all reconstruct exactly"
+    )
+
+
+def test_cm_sketch_guarantees_hold(spark):
+    """Count-Min structural guarantees on the fixture corpus: the sketch
+    NEVER undercounts (min over d rows each >= true count), and at
+    w=256 the overcount bound flag holds for every candidate."""
+    df = registry.QUERIES["cm_heavy_hitters"](spark, SF_CORRECT)
+    rows = df.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cm_est >= r.exact_cnt, f"CM undercounted {r.tok}"
+        assert r.never_undercount == 1
+        assert r.within_bound == 1, f"{r.tok} overcount outside (e/w)*N"
+
+
+def test_ema_is_convex_combination_and_counts_match(spark):
+    """The alpha=0.5 EMA is a convex combination of the user's values, so
+    it must lie within [min, max] of those values; n_events must match
+    the raw event count per user."""
+    ema = registry.QUERIES["ema_user_value"](spark, SF_CORRECT)
+    ev = engine.tables.load_table(spark, SF_CORRECT, "events").groupBy(
+        "user_id"
+    ).agg(
+        F.count("*").alias("raw_n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    bad = (
+        ema.join(ev, "user_id")
+        .where(
+            (F.col("n_events") != F.col("raw_n"))
+            | (F.col("ema_value") < F.col("vmin"))
+            | (F.col("ema_value") > F.col("vmax"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cross_source_overlap_contract(spark):
+    """Pair matrix invariants: canonical ordering (a < b), shared count
+    bounded by the smaller side's gram set, and Jaccard consistent with
+    the emitted integers."""
+    df = registry.QUERIES["cross_source_ngram_overlap"](spark, SF_CORRECT)
+    rows = df.collect()
+    assert rows, "fixture sources share 5-grams"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_shared <= min(r.grams_a, r.grams_b)
+        denom = r.grams_a + r.grams_b - r.n_shared
+        assert abs(r.jaccard - r.n_shared / denom) < 1e-12
+        assert 0 < r.jaccard <= 1
+
+
+def test_tpch_q13_histogram_accounts_for_every_customer(spark):
+    """The order-count histogram must partition the customer table: the
+    custdist column sums to exactly |customer| (left join keeps the
+    zero-order customers in the c_count=0 bucket)."""
+    hist = registry.QUERIES["tpch_q13_customer_distribution"](
+        spark, SF_CORRECT
+    )
+    total = hist.agg(F.sum("custdist").alias("s")).first().s
+    n_cust = engine.tables.load_table(spark, SF_CORRECT, "customer").count()
+    assert total == n_cust
