@@ -31,9 +31,10 @@ hint — they are fixed-cardinality. supplier/customer/part GROW with the
 data (TPC-H scales them at SF x 10k/150k/200k), so their joins carry no
 hint: at bench scale AQE picks broadcast, on a 1000-executor cluster
 they degrade gracefully to shuffle joins co-partitioned on the join key.
-All EXISTS/NOT-EXISTS subqueries are semi/anti hash joins on l_orderkey
-(never a cartesian), and every LIMIT rides a unique total order so
-Catalyst plans TakeOrderedAndProject instead of a global sort.
+All EXISTS/NOT-EXISTS subqueries are equality-keyed semi/anti joins on
+l_orderkey (hash or sort-merge per stats — never a cartesian), and every
+LIMIT rides a unique total order so Catalyst plans TakeOrderedAndProject
+instead of a global sort.
 """
 
 from __future__ import annotations
@@ -42,9 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import davg, dsum, oracle_davg, oracle_dsum
 from ..registry import query
 from ..tables import load_table
+
+# previous invocation's persisted Q11 per-part value relation
+_Q11_VAL_CACHE: list[DataFrame] = register_cache([])
 
 # Derived-partsupp CTE, shared verbatim by every partsupp-analog oracle.
 # min() of an IEEE division is order-independent; the floor quantization
@@ -90,9 +95,11 @@ def _nations_named(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q2 minimum-cost-supplier analog: for each EUROPE-sourced part of
 # one size/type, the supplier(s) offering the groupwise-minimum supply
 # cost. The correlated-min subquery becomes a window min over
-# ps_partkey computed AFTER the region prune — the window's partition
-# key equals the preceding join key, so it reuses that exchange rather
-# than adding one. Top-100 on a unique total order.
+# ps_partkey computed AFTER the part/region prunes, so only the few
+# surviving candidate rows (not the whole ps relation) pay the window's
+# p_partkey exchange — one extra shuffle of the pruned set, vs the
+# self-join-with-min-agg form's two. Top-100 on a unique total order
+# rides TakeOrderedAndProject (verified), never a global sort.
 @query(
     "tpch_q2_min_cost_supplier",
     oracle=f"""
@@ -368,9 +375,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation and order year, with supply cost taken from the derived
 # partsupp. Per-line profit is integer micro-units (revenue quantized by
 # the same floor rule as the cost), summed as DECIMAL(38,0)/HUGEINT —
-# exact at any scale — and converted to double once. The ps join keys
-# (l_partkey, l_suppkey) match ps's own grouping key, so the aggregation
-# shuffle and the join shuffle share a partitioning.
+# exact at any scale — and converted to double once. At fixture scale
+# AQE broadcasts the aggregated ps (verified: BroadcastHashJoin); when
+# ps outgrows a broadcast the join keys (l_partkey, l_suppkey) equal
+# ps's own grouping key, so the SMJ reuses the aggregation exchange's
+# partitioning on the ps side rather than adding one.
 @query(
     "tpch_q9_product_profit",
     oracle=f"""
@@ -447,11 +456,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H Q11 important-stock analog: per-part inventory value held by one
 # nation's suppliers (cost x shipped qty, integer-exact), keeping parts
-# whose value exceeds a fixed fraction of the nation total. The global
-# total is a 1-row aggregate of the SAME grouped relation broadcast back
-# via a nested-loop join with one row — Catalyst reuses the grouped
-# exchange for both branches. The threshold comparison converts each
-# exact integer to double once (deterministic both engines).
+# whose value exceeds a fixed fraction of the nation total. The per-part
+# value relation feeds two branches (the filter and the 1-row total that
+# broadcasts back); Catalyst does NOT unify them (verified — the alias
+# sets differ), so the relation is persisted: the lineitem-sized ps
+# derivation runs once and both branches read the |parts|-row cache.
+# The threshold comparison converts each exact integer to double once
+# (deterministic both engines).
 @query(
     "tpch_q11_important_stock",
     oracle=f"""
@@ -481,6 +492,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     ps = _derived_partsupp(spark, sf_dir)
+    # released on the next call or via caches.release_all() (the lazy
+    # plan forbids an in-function unpersist — filtering.py lifecycle)
+    while _Q11_VAL_CACHE:
+        _Q11_VAL_CACHE.pop().unpersist()
     val = (
         ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .groupBy("ps_partkey")
@@ -493,7 +508,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
             .alias("value_micro")
         )
+        .persist()
     )
+    _Q11_VAL_CACHE.append(val)
     total = val.agg(
         (F.sum("value_micro").cast("double") * F.lit(0.0001)).alias("threshold")
     )
@@ -645,7 +662,8 @@ def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFram
 # TPC-H Q17 small-quantity-revenue analog: revenue from Brand#3 small
 # parts ordered below 20% of the part's average quantity. The
 # correlated per-part AVG becomes a grouped aggregate joined back on
-# l_partkey — same key both sides, one co-partitioned shuffle pair. The
+# l_partkey — broadcast at fixture stats; at scale both sides shuffle
+# on the same key, so the join co-partitions with the aggregate. The
 # average is decimal-exact (davg); the 0.2x threshold is one IEEE
 # multiply per part.
 @query(
@@ -763,9 +781,12 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line was the ONLY late line (>60 days after order date) on a
 # finished multi-supplier order. EXISTS -> LEFT SEMI join (another
 # supplier has any line on the order), NOT EXISTS -> LEFT ANTI join
-# (another supplier also late) — both hash joins on l_orderkey with the
-# supplier-inequality as residual condition. Top-20 on (numwait DESC,
-# s_name) — s_name is unique, so the order is total.
+# (another supplier also late) — both equi-joins on l_orderkey with the
+# supplier-inequality as residual condition (executed: broadcast-hash
+# semi + sort-merge anti at fixture stats; at scale both degrade to
+# co-partitioned sort-merge on the same key — never a cartesian).
+# Top-20 on (numwait DESC, s_name) — s_name is unique, so the order is
+# total.
 @query(
     "tpch_q21_waiting_suppliers",
     oracle="""
