@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import dsum, oracle_dsum
 from ..registry import query
 from ..tables import load_table
@@ -1918,4 +1919,216 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", scale=6, alias="sum_value"),
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: the top part pairs ordered together, with
+# lift against each part's independent order frequency — the assortment/
+# recommendation primitive. The pair generator is a self-equi-join of
+# the DISTINCT (order, part) relation on l_orderkey, so fanout per order
+# is bounded by (basket size choose 2) — basket size is a per-order
+# business constant (<= 13 in the fixtures), never O(N), which is what
+# separates this from a cartesian. The distinct relation feeds four
+# branches (both join sides, per-part order counts, the order total), so
+# it is persisted once. Lift joins part frequencies onto the 20-row
+# result AFTER the top-k cut — dimension-sized state never crosses the
+# limit. All lift arithmetic is exact-integer-to-double then IEEE
+# multiply/divide, identically parenthesized in the oracle.
+_BASKET_TOP = 20
+
+# previous invocation's persisted distinct (order, part) relation
+_BASKET_ITEMS_CACHE: list[DataFrame] = register_cache([])
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM items),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+             FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT part_a, part_b, support FROM pairs
+            ORDER BY support DESC, part_a, part_b LIMIT {_BASKET_TOP})
+    SELECT t.part_a, t.part_b, t.support,
+           fa.n_part AS n_a, fb.n_part AS n_b,
+           (CAST(t.support AS DOUBLE) * CAST(n_ord.n_orders AS DOUBLE))
+               / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE))
+               AS lift
+    FROM top t
+    JOIN freq fa ON fa.l_partkey = t.part_a
+    JOIN freq fb ON fb.l_partkey = t.part_b
+    CROSS JOIN n_ord
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _BASKET_ITEMS_CACHE:
+        _BASKET_ITEMS_CACHE.pop().unpersist()
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    _BASKET_ITEMS_CACHE.append(items)
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    top = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_ord = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    lift = (F.col("support").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        top.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(n_ord))
+        .select("part_a", "part_b", "support", "n_a", "n_b", lift.alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: users assigned to control/treatment by salted
+# hash (the hash_split_assignment rule at 50/50), conversion = the user
+# reached >= 15 purchase events (every fixture user purchases at least
+# once, so presence alone is degenerate — pooled variance 0 and the z
+# divide traps under ANSI; the threshold sits near the median at every
+# SF), and the two-proportion pooled z-score — the number an
+# experimentation platform prints next to every metric. One shuffle on
+# user_id (the per-user conversion rollup), then a 2-row conditional
+# collapse to a single output row; the z arithmetic is pure IEEE
+# (+,-,*,/ and correctly-rounded sqrt), identically parenthesized in
+# the oracle, so the statistic itself is hash-checked bit-exactly. A
+# CASE guard returns NULL z when the pooled variance is 0 instead of
+# trapping.
+_AB_CONV_MIN = 15
+_AB_SALT = "ab-v1-"
+_AB_H_SPARK = _G_SH32.format(
+    s=f"concat('{_AB_SALT}', cast(user_id as string))"
+)
+_AB_H_DUCK = _G_DH32.format(
+    s="concat('" + _AB_SALT + "', CAST(user_id AS VARCHAR))"
+)
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN ({_AB_H_DUCK}) % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= {_AB_CONV_MIN}
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_control,
+               CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treatment,
+               CAST(sum(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_control,
+               CAST(sum(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_treatment
+        FROM assigned
+    ),
+    denom AS (
+        SELECT *,
+               sqrt(
+                   ((CAST(conv_control + conv_treatment AS DOUBLE)
+                       / (n_control + n_treatment))
+                    * (1 - (CAST(conv_control + conv_treatment AS DOUBLE)
+                            / (n_control + n_treatment))))
+                   * ((CAST(1 AS DOUBLE) / n_control)
+                      + (CAST(1 AS DOUBLE) / n_treatment))) AS se
+        FROM arms
+    )
+    SELECT n_control, n_treatment, conv_control, conv_treatment,
+           CAST(conv_control AS DOUBLE) / n_control AS rate_control,
+           CAST(conv_treatment AS DOUBLE) / n_treatment AS rate_treatment,
+           CASE WHEN se > 0 THEN
+               ((CAST(conv_treatment AS DOUBLE) / n_treatment)
+                 - (CAST(conv_control AS DOUBLE) / n_control)) / se
+           END AS z_score
+    FROM denom
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    arm = F.when(F.expr(_AB_H_SPARK) % 2 == 0, F.lit("control")).otherwise(
+        F.lit("treatment")
+    )
+    assigned = (
+        ev.groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= _AB_CONV_MIN,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias(
+            "n_control"
+        ),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias(
+            "n_treatment"
+        ),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("converted")).otherwise(0)
+        ).alias("conv_control"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("converted")).otherwise(0)
+        ).alias("conv_treatment"),
+    )
+    p_c = F.col("conv_control").cast("double") / F.col("n_control")
+    p_t = F.col("conv_treatment").cast("double") / F.col("n_treatment")
+    p_pool = (F.col("conv_control") + F.col("conv_treatment")).cast("double") / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    inv_n = (F.lit(1).cast("double") / F.col("n_control")) + (
+        F.lit(1).cast("double") / F.col("n_treatment")
+    )
+    se = F.sqrt((p_pool * (1 - p_pool)) * inv_n)
+    return arms.withColumn("se", se).select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        p_c.alias("rate_control"),
+        p_t.alias("rate_treatment"),
+        F.when(F.col("se") > 0, (p_t - p_c) / F.col("se")).alias("z_score"),
     )

@@ -589,3 +589,42 @@ def test_tpch_q13_histogram_accounts_for_every_customer(spark):
     total = hist.agg(F.sum("custdist").alias("s")).first().s
     n_cust = engine.tables.load_table(spark, SF_CORRECT, "customer").count()
     assert total == n_cust
+
+
+def test_market_basket_pair_contract(spark):
+    """Pair invariants: canonical ordering, support bounded by each
+    part's own order frequency, and lift consistent with the emitted
+    integers (lift = support * n_orders / (n_a * n_b))."""
+    df = registry.QUERIES["market_basket_part_pairs"](spark, SF_CORRECT)
+    rows = df.collect()
+    assert len(rows) == 20
+    n_orders = (
+        engine.tables.load_table(spark, SF_CORRECT, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 1 <= r.support <= min(r.n_a, r.n_b)
+        assert abs(r.lift - r.support * n_orders / (r.n_a * r.n_b)) < 1e-9
+        assert r.lift > 0
+
+
+def test_ab_ztest_accounts_for_all_users_and_sign(spark):
+    """The two arms must partition the user population; the z sign must
+    match the rate difference; rates stay inside [0, 1]."""
+    r = registry.QUERIES["ab_conversion_ztest"](spark, SF_CORRECT).first()
+    n_users = (
+        engine.tables.load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_control + r.n_treatment == n_users
+    assert r.n_control > 0 and r.n_treatment > 0
+    assert 0 <= r.rate_control <= 1 and 0 <= r.rate_treatment <= 1
+    assert r.conv_control <= r.n_control
+    assert r.conv_treatment <= r.n_treatment
+    if r.z_score is not None and r.rate_treatment != r.rate_control:
+        assert (r.z_score > 0) == (r.rate_treatment > r.rate_control)

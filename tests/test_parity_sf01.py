@@ -97,6 +97,11 @@ AT_RISK = [
     "cm_heavy_hitters",
     "cross_source_ngram_overlap",
     "ema_user_value",
+    # analytics batch: the basket top-20 rides a dense support-tie
+    # boundary at 10x pair density; the z-score is IEEE-composed and its
+    # conversion threshold sits near the per-user purchase median.
+    "market_basket_part_pairs",
+    "ab_conversion_ztest",
 ]
 
 pytestmark = pytest.mark.skipif(
