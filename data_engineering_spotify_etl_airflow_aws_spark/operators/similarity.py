@@ -868,3 +868,208 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) + recall eval: the query side of
+# product quantization. Each query vector precomputes a distance lookup
+# table — LUT[m][code] = squared L2 between the query's m-th subvector
+# and codebook entry `code` — and a candidate's approximate distance is
+# then just the SUM of 8 table lookups selected by its stored code,
+# never touching the original vector. Graded per query as recall@5
+# against the exact L2 top-5 computed inline (L2, not the cosine
+# baseline above — ADC approximates L2, so that is the fair yardstick).
+#
+# Scale shape: the LUT is |queries| x M x K = 64*8*16 = 8192 rows —
+# query-batch-sized, broadcast; the candidate side is the PQ code table
+# exploded to N*M rows (narrow ints, no vectors), hash-joined against
+# the LUT and reduced by a map-side-combinable sum keyed
+# (query, candidate). The corpus's float vectors are read by the exact
+# baseline only; a production index would store codes alone — this is
+# the memory win PQ exists for. ADC sums are integer micro-units
+# (a grouped float sum is partitioning-order-dependent; quantizing the
+# 8 LUT terms first makes the sum exact, so ranks can't flip
+# cross-engine), with (distance, cand_id) total-order tie-breaks.
+#
+# Expected numbers on THESE fixtures: avg recall ~0.08-0.12. The fixture
+# vectors are near-uniform on the sphere (module docstring) — the known
+# adversarial case for PQ, where 16-entry sampled codebooks capture
+# little variance. That is the measurement, not a defect: the harness
+# exists to read exactly this number before sizing K/M for a real
+# corpus, where clusterable structure pushes recall far higher.
+_ADC_K = 5
+
+
+def _adc_oracle() -> str:
+    from ..registry import ORACLES as _O
+
+    lut_dist = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (q.emb[m * 8 + i] - c.emb[m * 8 + i])"
+        " * (q.emb[m * 8 + i] - c.emb[m * 8 + i])))"
+    )
+    exact_dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (q.emb[i] - v.emb[i]) * (q.emb[i] - v.emb[i])))"
+    )
+    return f"""
+    WITH pq AS ({_O["pq_encode_embeddings"]}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb FROM v
+          ORDER BY {_Q_H_DUCK.replace("vec_id", "v.vec_id")}, v.vec_id
+          LIMIT {N_QUERIES}),
+    picked AS (
+        SELECT vec_id, emb, {_PQ_H_DUCK} AS h FROM v
+        ORDER BY h, vec_id LIMIT {_PQ_K}
+    ),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+                   AS code, emb
+        FROM picked
+    ),
+    lut AS (
+        SELECT q.query_id, mm.m, c.code,
+               CAST(floor({lut_dist} * 1000000000 + 0.5) AS BIGINT) AS d_micro
+        FROM q
+        CROSS JOIN (SELECT CAST(unnest(range(8)) AS INTEGER) AS m) mm
+        CROSS JOIN cb c
+    ),
+    cand_codes AS (
+        SELECT vec_id AS cand_id,
+               CAST(unnest(range(8)) AS INTEGER) AS m,
+               unnest(pq_code) AS code
+        FROM pq
+    ),
+    adc AS (
+        SELECT l.query_id, cc.cand_id,
+               CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+        FROM cand_codes cc
+        JOIN lut l ON l.m = cc.m AND l.code = cc.code
+        GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_micro, cand_id
+            ) AS rnk
+            FROM adc WHERE cand_id <> query_id
+        ) WHERE rnk <= {_ADC_K}
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, v.vec_id AS cand_id, row_number() OVER (
+                PARTITION BY q.query_id ORDER BY {exact_dist}, v.vec_id
+            ) AS rnk
+            FROM q JOIN v ON v.vec_id <> q.query_id
+        ) WHERE rnk <= {_ADC_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+           CAST(count(a.cand_id) AS DOUBLE) / {_ADC_K} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@query("pq_adc_recall_eval", oracle=_adc_oracle())
+def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(_emb(spark, sf_dir))
+    queries = (
+        _emb(spark, sf_dir)
+        .orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    )
+    codebook = (
+        _emb(spark, sf_dir)
+        .withColumn("h", F.expr(_PQ_H_SPARK))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .withColumn(
+            "code",
+            (F.row_number().over(W.orderBy("h", "vec_id")) - 1).cast("int"),
+        )
+        .select("code", F.col("emb").alias("cb_emb"))
+    )
+    # LUT: (query, m, code) -> micro-quantized subspace distance; the
+    # per-(query, code) row computes all 8 subspace distances, stacked
+    # to rows JVM-side
+    lut_rows = (
+        queries.withColumnRenamed("q_emb", "emb")
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.floor(
+                                _pq_sq_dist_spark(m) * F.lit(1_000_000_000)
+                                + F.lit(0.5)
+                            )
+                            .cast("bigint")
+                            .alias("d_micro"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("query_id", F.col("e.m").alias("m"), "code", "e.d_micro")
+    )
+    cand_codes = pq_encode_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"),
+        F.posexplode("pq_code").alias("m", "code"),
+    ).withColumn("m", F.col("m").cast("int"))
+    adc = (
+        cand_codes.join(F.broadcast(lut_rows), ["m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w_a = W.partitionBy("query_id").orderBy("adc_micro", "cand_id")
+    approx = (
+        adc.where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w_a))
+        .where(F.col("rnk") <= _ADC_K)
+        .select("query_id", F.col("cand_id").alias("a_cand"))
+    )
+    exact_dist = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("c_emb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, vv: acc + vv,
+    )
+    cands = v.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    w_e = W.partitionBy("query_id").orderBy("dist", "cand_id")
+    exact = (
+        F.broadcast(queries)
+        .join(cands, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", exact_dist.alias("dist"))
+        .withColumn("rnk", F.row_number().over(w_e))
+        .where(F.col("rnk") <= _ADC_K)
+        .select("query_id", "cand_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.cand_id == approx.a_cand),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_cand").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(_ADC_K))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

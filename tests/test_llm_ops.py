@@ -628,3 +628,21 @@ def test_ab_ztest_accounts_for_all_users_and_sign(spark):
     assert r.conv_treatment <= r.n_treatment
     if r.z_score is not None and r.rate_treatment != r.rate_control:
         assert (r.z_score > 0) == (r.rate_treatment > r.rate_control)
+
+
+def test_pq_adc_recall_eval_contract(spark):
+    """One row per query vector; hit counts bounded by k; recall is
+    exactly n_hits/k; and across the whole query set ADC must beat the
+    all-miss floor (some true neighbor survives 8-bit-per-subspace
+    compression even on the adversarial near-uniform fixture)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        _ADC_K,
+        N_QUERIES,
+    )
+
+    rows = registry.QUERIES["pq_adc_recall_eval"](spark, SF_CORRECT).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= _ADC_K
+        assert abs(r.recall_at_k - r.n_hits / _ADC_K) < 1e-12
+    assert sum(r.n_hits for r in rows) > 0, "ADC found no true neighbors at all"

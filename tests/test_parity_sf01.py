@@ -102,6 +102,8 @@ AT_RISK = [
     # conversion threshold sits near the per-user purchase median.
     "market_basket_part_pairs",
     "ab_conversion_ztest",
+    # ADC eval: micro-unit LUT sums rank 10x more candidates per query
+    "pq_adc_recall_eval",
 ]
 
 pytestmark = pytest.mark.skipif(
