@@ -56,6 +56,13 @@ def main() -> int:
         "dedup_clusters",  # CC fixpoint loop machinery + jaccard codegen
         "pagerank_trade_graph",  # power-iteration loop + checkpoint path
         "stream_left_join_click_purchase",  # outer-join state + flush path
+        "pq_adc_recall_eval",  # PQ assignment + ADC LUT fold codegen
+        #   (covers pq_encode_embeddings' 128 subspace-distance exprs too)
+        "cross_source_ngram_overlap",  # shingle-matrix self-join codegen
+        "tpch_q2_min_cost_supplier",  # derived-partsupp agg + window codegen
+        #   (shared with the q9/q11/q16/q20 partsupp analogs)
+        "cm_heavy_hitters",  # md5-bucket sketch codegen
+        "ema_user_value",  # collect-sort-fold codegen
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()

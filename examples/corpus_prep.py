@@ -10,6 +10,10 @@ way a data-curation pipeline actually chains them:
   split    -> deterministic train/val/test hash split with the
               content-leakage audit
   pack     -> token-sequence packing into fixed-length training rows
+  audit    -> cross-source contamination matrix (worst pair by shingle
+              Jaccard)
+  index    -> PQ codes for the retrieval index + the measured recall
+              cost of searching on codes alone (ADC eval)
 
 Every stage is the registered, oracle-verified operator - this script
 just wires them over one SparkSession and prints a run report. At
@@ -29,6 +33,7 @@ from pathlib import Path
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
     import data_engineering_spotify_etl_airflow_aws_spark as engine
+    from pyspark.sql import functions as F
     from data_engineering_spotify_etl_airflow_aws_spark.operators.curation import (
         hash_split_assignment,
         length_bucket_batching,
@@ -75,6 +80,38 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.01") -> dict:
     # 6. packing plan: training rows after packing to fixed-length
     #    sequences
     report["packed_rows"] = pack_token_sequences(spark, sf_dir).count()
+
+    # 7. cross-source contamination audit: the worst source pair by
+    #    shared-shingle Jaccard (is the crawl re-ingesting itself?)
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.filtering import (
+        cross_source_ngram_overlap,
+    )
+
+    worst = (
+        cross_source_ngram_overlap(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+        .first()
+    )
+    report["worst_source_overlap"] = (
+        f"{worst['source_a']}x{worst['source_b']} j={worst['jaccard']:.4f}"
+        if worst
+        else None
+    )
+
+    # 8. embedding compression plan: PQ codes for the retrieval index
+    #    plus the measured recall cost of searching on codes alone
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        pq_adc_recall_eval,
+        pq_encode_embeddings,
+    )
+
+    report["pq_encoded_vecs"] = pq_encode_embeddings(spark, sf_dir).count()
+    report["pq_adc_avg_recall"] = round(
+        pq_adc_recall_eval(spark, sf_dir)
+        .agg(F.avg("recall_at_k").alias("r"))
+        .first()["r"],
+        4,
+    )
 
     return report
 

@@ -343,6 +343,9 @@ def test_corpus_prep_example_end_to_end(spark):
     assert out["leaked_contents"] == 0
     assert out["packed_rows"] > 0
     assert out["exact_survivors"] <= out["quality_total"]
+    assert out["worst_source_overlap"] is not None
+    assert out["pq_encoded_vecs"] > 0
+    assert 0 <= out["pq_adc_avg_recall"] <= 1
 
 
 def test_pagerank_conserves_mass_and_orders_hubs(spark):
