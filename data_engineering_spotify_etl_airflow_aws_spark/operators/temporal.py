@@ -631,3 +631,64 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " element_at(vals, 1), (acc, x) -> (acc + x) * 0.5D)"
         ).alias("ema_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User-journey path mining: the 10 most common 3-step event-type paths
+# (consecutive triples in each user's time-ordered stream) — the
+# sequence-mining primitive behind "what do users do before X?". Same
+# collect-sort base as the EMA above (one user_id shuffle, per-user
+# state bounded by the user's event count), then trigram extraction is
+# the dedup.py shingle shape — chained zip_with over shifted slices,
+# O(1) per element — exploded into a count aggregate. The path alphabet
+# is |event_types|^3, so the count shuffle carries a bounded key domain;
+# top-10 on (count DESC, path) is a total order.
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_us(ts), event_id) AS et
+        FROM events GROUP BY user_id
+    ),
+    tri AS (
+        SELECT unnest(
+            CASE WHEN len(et) >= 3 THEN list_transform(
+                generate_series(1, len(et) - 2),
+                i -> concat_ws(' > ', et[i], et[i+1], et[i+2]))
+            ELSE [] END) AS path
+        FROM seqs
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tri GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 10
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts_us, event_id, event_type))), s -> s.event_type)"
+        ).alias("et")
+    )
+    trigrams = F.expr(
+        "CASE WHEN size(et) >= 3 THEN "
+        "zip_with(zip_with(slice(et, 1, size(et) - 2), "
+        "slice(et, 2, size(et) - 2), (x, y) -> concat(x, ' > ', y)), "
+        "slice(et, 3, size(et) - 2), (x, y) -> concat(x, ' > ', y)) "
+        "ELSE array() END"
+    )
+    return (
+        seqs.select(F.explode(trigrams).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(10)
+    )
