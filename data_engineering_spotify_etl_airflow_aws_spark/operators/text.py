@@ -413,3 +413,58 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics: the top adjacent character bigrams inside word
+# tokens, weighted by occurrence — the count a byte-pair-encoding
+# trainer computes every merge round (its argmax IS the next merge).
+# Bigrams come from substring enumeration over each word
+# (transform(sequence(1, len-1), i -> substr(w, i, 2)) — identical
+# byte semantics in both engines on the fixtures' ASCII tokens). The
+# corpus collapses to the VOCABULARY first (word -> occurrence count,
+# Heaps-law-sized, one map-combinable shuffle), and bigrams explode per
+# DISTINCT word weighted by its count — corpus-size-independent bigram
+# work, vs. the naive per-occurrence explode that ships
+# |corpus tokens| * avg_word_len rows (the oracle keeps the
+# per-occurrence form — identical counts by construction). The bigram
+# shuffle key domain is the character-pair alphabet (bounded); top-10
+# on (count DESC, pair) is a total order. A full BPE trainer is this
+# query in a loop with a symbol-table merge between rounds; the
+# per-round plan — the scale-relevant part — is exactly this shape.
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (SELECT unnest({_OT}) AS w FROM documents),
+    pairs AS (
+        SELECT unnest(
+            CASE WHEN len(w) >= 2 THEN list_transform(
+                generate_series(1, len(w) - 1), i -> substr(w, i, 2))
+            ELSE [] END) AS pair
+        FROM words
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 10
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("w_cnt"))
+    )
+    bigrams = F.expr(
+        "CASE WHEN length(w) >= 2 THEN "
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2)) "
+        "ELSE array() END"
+    )
+    return (
+        vocab.select(F.explode(bigrams).alias("pair"), "w_cnt")
+        .groupBy("pair")
+        .agg(F.sum("w_cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(10)
+    )

@@ -724,3 +724,75 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(overcount <= bound, 1).otherwise(0).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate by day: fraction of single-event sessions among
+# the sessions STARTING each day — the engagement metric read next to
+# every funnel. Reuses the session_windows gap sessionization verbatim
+# (lag-gap flag, running sum -> session_id: one user_id shuffle, two
+# window passes over it), then collapses sessions to their start day.
+# The daily key domain is bounded; the rate is one exact-integer-to-
+# double IEEE divide.
+@query(
+    "session_bounce_rate",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, count(*) AS n_events
+        FROM (
+            SELECT user_id, ts_us,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) > 1800000000 OR lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) IS NULL THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+    )
+    SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us().alias("ts_us")
+    )
+    w_lag = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w_lag) > gap_us)
+            | F.lag("ts_us").over(w_lag).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(w_run))
+    sessions = flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"), F.count("*").alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sessions.groupBy(
+            F.to_date(F.timestamp_micros(F.col("start_us"))).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            (bounce.cast("double") / F.count("*")).alias("bounce_rate"),
+        )
+    )
