@@ -138,12 +138,13 @@ AUDIT_FIRST: list[str] = [
     #    never-audited round-6 queries: the TPC-H completion batch
     #    (tpch.py: q2/q4/q7/q8/q9/q11/q12/q13/q16/q17/q20/q21), the
     #    sketch/fold batch (pq_encode_embeddings, cm_heavy_hitters,
-    #    cross_source_ngram_overlap, ema_user_value), and the analytics/
-    #    ADC batch (market_basket_part_pairs, ab_conversion_ztest,
-    #    pq_adc_recall_eval). All 19 hold green local parity at sf0.01
-    #    AND sf0.1; they take round 7's first slots (never-audited
-    #    outranks rotation), ahead of the r3/r4 rotation blocks listed
-    #    above.
+    #    cross_source_ngram_overlap, ema_user_value), the analytics/ADC
+    #    batch (market_basket_part_pairs, ab_conversion_ztest,
+    #    pq_adc_recall_eval), and the sequence/session batch
+    #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate).
+    #    All 22 hold green local parity at sf0.01 AND sf0.1; they take
+    #    round 7's first slots (never-audited outranks rotation), ahead
+    #    of the r3/r4 rotation blocks listed above.
 ]
 
 

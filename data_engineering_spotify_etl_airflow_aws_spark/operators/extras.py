@@ -1939,7 +1939,8 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set-defined integers, identical under either plan).
 _BASKET_TOP = 20
 
-# previous invocation's persisted distinct (order, part) relation
+# previous invocation's persisted per-order basket-array relation (one
+# row per order: sorted distinct l_partkey array)
 _BASKET_ITEMS_CACHE: list[DataFrame] = register_cache([])
 
 

@@ -825,24 +825,31 @@ def _pq_oracle() -> str:
     """
 
 
-@query("pq_encode_embeddings", oracle=_pq_oracle())
-def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import widen_small_scan
-
-    v = widen_small_scan(_emb(spark, sf_dir))
-    codebook = (
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-row (code, cb_emb) codebook — the single definition of the
+    salt/K/tie-break rule, shared by the encoder and the ADC LUT so the
+    two can never decode against different codebooks. The row_number
+    ranks the K-row post-limit relation (not the corpus), so the global
+    window is safe — its input is already bounded."""
+    return (
         _emb(spark, sf_dir)
         .withColumn("h", F.expr(_PQ_H_SPARK))
         .orderBy("h", "vec_id")
         .limit(_PQ_K)
-        # rank over the K-row post-limit relation (not the corpus): the
-        # global window is safe because its input is already bounded
         .withColumn(
             "code",
             (F.row_number().over(W.orderBy("h", "vec_id")) - 1).cast("int"),
         )
         .select("code", F.col("emb").alias("cb_emb"))
     )
+
+
+@query("pq_encode_embeddings", oracle=_pq_oracle())
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(_emb(spark, sf_dir))
+    codebook = _pq_codebook(spark, sf_dir)
     pairs = v.crossJoin(F.broadcast(codebook)).select(
         "vec_id",
         "code",
@@ -984,17 +991,7 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
     )
-    codebook = (
-        _emb(spark, sf_dir)
-        .withColumn("h", F.expr(_PQ_H_SPARK))
-        .orderBy("h", "vec_id")
-        .limit(_PQ_K)
-        .withColumn(
-            "code",
-            (F.row_number().over(W.orderBy("h", "vec_id")) - 1).cast("int"),
-        )
-        .select("code", F.col("emb").alias("cb_emb"))
-    )
+    codebook = _pq_codebook(spark, sf_dir)
     # LUT: (query, m, code) -> micro-quantized subspace distance; the
     # per-(query, code) row computes all 8 subspace distances, stacked
     # to rows JVM-side

@@ -91,6 +91,21 @@ def _nations_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
 
+def _region_nations(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """(n_nationkey, n_name) for one region — the shared region->nation
+    prune (Q2/Q8/Q20): both relations are fixed-cardinality, so the
+    region side broadcasts per the module policy."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == r_name)
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q2 minimum-cost-supplier analog: for each EUROPE-sourced part of
 # one size/type, the supplier(s) offering the groupwise-minimum supply
@@ -124,17 +139,9 @@ def _nations_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = (
-        load_table(spark, sf_dir, "region")
-        .where(F.col("r_name") == "EUROPE")
-        .select("r_regionkey")
-    )
-    nation = load_table(spark, sf_dir, "nation")
-    euro_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey", "n_name")
     supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(_region_nations(spark, sf_dir, "EUROPE")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
     )
     parts = (
         load_table(spark, sf_dir, "part")
@@ -314,15 +321,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = (
-        load_table(spark, sf_dir, "region")
-        .where(F.col("r_name") == "AMERICA")
-        .select("r_regionkey")
-    )
-    nation = load_table(spark, sf_dir, "nation")
-    amer_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey")
+    amer_nations = _region_nations(spark, sf_dir, "AMERICA").select("n_nationkey")
     cust = (
         load_table(spark, sf_dir, "customer")
         .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -759,17 +758,9 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qty") > 40)
         .select("l_suppkey")
     )
-    region = (
-        load_table(spark, sf_dir, "region")
-        .where(F.col("r_name") == "EUROPE")
-        .select("r_regionkey")
-    )
-    nation = load_table(spark, sf_dir, "nation")
-    euro_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey", "n_name")
     supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(_region_nations(spark, sf_dir, "EUROPE")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
     )
     return supp.join(
         movers, supp.s_suppkey == movers.l_suppkey, "leftsemi"

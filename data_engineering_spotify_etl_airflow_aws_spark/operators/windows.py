@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import dsum, oracle_dsum
 from ..registry import query
 from ..tables import load_table
@@ -142,10 +143,55 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization (gap-based): new session when >30 min since the previous
 # event of the same user. Implemented with lag + running sum so batch
 # semantics are explicit and engine-portable; the streaming path uses
-# F.session_window (streaming/aggregations.py) with the same gap.
+# F.session_window (streaming/aggregations.py) with the same gap. The
+# sessionizer is shared with session_bounce_rate below — one definition
+# of the gap and tie-break key on each engine side.
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# (user_id, session_id, start_us, n_events) per session — the shared
+# oracle-side sessionization, gap constant interpolated once
+_SESSIONS_CTE = f"""
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, count(*) AS n_events
+        FROM (
+            SELECT user_id, ts_us,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) > {SESSION_GAP_US} OR lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) IS NULL THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events tagged with a per-user gap-based session_id: one user_id
+    shuffle, two window passes (lag flag, running sum) over it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us().alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return ev.withColumn("session_id", F.sum(is_new).over(run))
+
+
 @query(
     "session_windows",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            min(ts_us) AS session_start_us,
            max(ts_us) AS session_end_us,
@@ -160,7 +206,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                   ) > 1800000000 OR lag(epoch_us(ts)) OVER (
+                   ) > {SESSION_GAP_US} OR lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) IS NULL THEN 1 ELSE 0 END AS is_new
             FROM events
@@ -171,18 +217,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gap_us = 30 * 60 * 1_000_000
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", _ts_us().alias("ts_us")
-    )
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev = F.lag("ts_us").over(w)
-    is_new = F.when(
-        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1
-    ).otherwise(0)
     return (
-        ev.withColumn("session_id", F.sum(is_new).over(run))
+        _sessionized(spark, sf_dir)
         .groupBy("user_id", "session_id")
         .agg(
             F.min("ts_us").alias("session_start_us"),
@@ -621,9 +657,7 @@ _CM_TOP = 20  # candidate heavy hitters = exact top-K tokens
 
 # previous invocation's persisted token-count base (released on next call
 # or via caches.release_all())
-from ..caches import register_cache as _register_cache  # noqa: E402
-
-_CM_COUNT_CACHE: list[DataFrame] = _register_cache([])
+_CM_COUNT_CACHE: list[DataFrame] = register_cache([])
 
 
 def _cm_bucket_spark(r: str, tok: str) -> str:
@@ -729,34 +763,16 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Session bounce rate by day: fraction of single-event sessions among
 # the sessions STARTING each day — the engagement metric read next to
-# every funnel. Reuses the session_windows gap sessionization verbatim
-# (lag-gap flag, running sum -> session_id: one user_id shuffle, two
-# window passes over it), then collapses sessions to their start day.
-# The daily key domain is bounded; the rate is one exact-integer-to-
-# double IEEE divide.
+# every funnel. Reuses the session_windows sessionizer (_sessionized /
+# _SESSIONS_CTE — one definition of the gap and tie-break key per
+# engine side), then collapses sessions to their start day. The daily
+# key domain is bounded; the rate is one exact-integer-to-double IEEE
+# divide.
 @query(
     "session_bounce_rate",
-    oracle="""
+    oracle=f"""
     WITH sessions AS (
-        SELECT user_id, session_id,
-               min(ts_us) AS start_us, count(*) AS n_events
-        FROM (
-            SELECT user_id, ts_us,
-                   sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
-            FROM (
-                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) > 1800000000 OR lag(epoch_us(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) IS NULL THEN 1 ELSE 0 END AS is_new
-                FROM events
-            )
-        )
-        GROUP BY user_id, session_id
+{_SESSIONS_CTE}
     )
     SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
            CAST(count(*) AS BIGINT) AS n_sessions,
@@ -768,22 +784,10 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gap_us = 30 * 60 * 1_000_000
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", _ts_us().alias("ts_us")
-    )
-    w_lag = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(
-            (F.col("ts_us") - F.lag("ts_us").over(w_lag) > gap_us)
-            | F.lag("ts_us").over(w_lag).isNull(),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_id", F.sum("is_new").over(w_run))
-    sessions = flagged.groupBy("user_id", "session_id").agg(
-        F.min("ts_us").alias("start_us"), F.count("*").alias("n_events")
+    sessions = (
+        _sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("start_us"), F.count("*").alias("n_events"))
     )
     bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
     return (
