@@ -140,9 +140,10 @@ AUDIT_FIRST: list[str] = [
     #    sketch/fold batch (pq_encode_embeddings, cm_heavy_hitters,
     #    cross_source_ngram_overlap, ema_user_value), the analytics/ADC
     #    batch (market_basket_part_pairs, ab_conversion_ztest,
-    #    pq_adc_recall_eval), and the sequence/session batch
-    #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate).
-    #    All 22 hold green local parity at sf0.01 AND sf0.1; they take
+    #    pq_adc_recall_eval), the sequence/session batch
+    #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate),
+    #    and the composed search (ivfpq_topk_similar).
+    #    All 23 hold green local parity at sf0.01 AND sf0.1; they take
     #    round 7's first slots (never-audited outranks rotation), ahead
     #    of the r3/r4 rotation blocks listed above.
 ]

