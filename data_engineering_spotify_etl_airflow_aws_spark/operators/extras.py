@@ -2150,3 +2150,79 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_t.alias("rate_treatment"),
         F.when(F.col("se") > 0, (p_t - p_c) / F.col("se")).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier gate (median / MAD): the heavy-tail-safe sibling of
+# value_zscore_outliers — mean/std break down when the outliers
+# themselves inflate the moments; median and median-absolute-deviation
+# do not. Values quantize to integer micro-units first, so both
+# percentile passes interpolate over exact integers (midpoints are
+# exact dyadic halves — the median_mode_by_status recipe) and every
+# deviation/threshold comparison is IEEE-exact cross-engine. Plan: two
+# grouped percentile passes and two broadcast-sized joins back, all
+# keyed event_type — a bounded key domain, so every shuffle carries
+# |groups|-scale aggregates except the first quantize projection.
+@query(
+    "mad_outlier_gate",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(vm, 0.5) AS med_m
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, abs(vm - med_m) AS dm, med_m
+        FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dm, 0.5) AS mad_m
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           med_m / 1000000 AS median_value,
+           mad_m / 1000000 AS mad_value,
+           CAST(sum(CASE WHEN dm > 3 * mad_m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type, med_m, mad_m
+    """,
+)
+def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vm, 0.5)").alias("med_m")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("vm") - F.col("med_m")).alias("dm"),
+        "med_m",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dm, 0.5)").alias("mad_m")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_m", "mad_m")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum(
+                F.when(F.col("dm") > 3 * F.col("mad_m"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            (F.col("med_m") / F.lit(1_000_000)).alias("median_value"),
+            (F.col("mad_m") / F.lit(1_000_000)).alias("mad_value"),
+            "n_outliers",
+        )
+    )

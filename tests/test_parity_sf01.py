@@ -106,6 +106,8 @@ AT_RISK = [
     "pq_adc_recall_eval",
     # composed IVF routing x ADC scoring at 10x cell occupancy
     "ivfpq_topk_similar",
+    # two chained interpolated-percentile passes at 10x group sizes
+    "mad_outlier_gate",
 ]
 
 pytestmark = pytest.mark.skipif(
