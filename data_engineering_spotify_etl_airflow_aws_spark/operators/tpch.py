@@ -847,3 +847,63 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency distribution: days from order placement to first
+# and last shipment, summarized per order priority — the SLA readout a
+# warehouse team watches (does URGENT actually ship faster?). One
+# equi-join on o_orderkey, a per-order min/max collapse keyed the same,
+# then interpolated percentiles over exact integer day counts
+# (midpoints are exact dyadic halves — the median_mode_by_status
+# recipe) grouped by the bounded priority domain.
+@query(
+    "fulfillment_latency_stats",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(date_diff('day', o_orderdate, min(l_shipdate)) AS BIGINT)
+                   AS first_ship_days,
+               CAST(date_diff('day', o_orderdate, max(l_shipdate)) AS BIGINT)
+                   AS last_ship_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderpriority, o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           quantile_cont(first_ship_days, 0.5) AS median_first_ship_days,
+           quantile_cont(last_ship_days, 0.95) AS p95_last_ship_days,
+           CAST(max(last_ship_days) AS BIGINT) AS max_last_ship_days
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def fulfillment_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("first_ship_days"),
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("last_ship_days"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(first_ship_days, 0.5)").alias(
+            "median_first_ship_days"
+        ),
+        F.expr("percentile(last_ship_days, 0.95)").alias("p95_last_ship_days"),
+        F.max("last_ship_days").alias("max_last_ship_days"),
+    )

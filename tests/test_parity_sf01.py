@@ -108,6 +108,8 @@ AT_RISK = [
     "ivfpq_topk_similar",
     # two chained interpolated-percentile passes at 10x group sizes
     "mad_outlier_gate",
+    # p95 interpolates at a fractional rank position over integer days
+    "fulfillment_latency_stats",
 ]
 
 pytestmark = pytest.mark.skipif(
