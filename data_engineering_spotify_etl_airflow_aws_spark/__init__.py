@@ -142,9 +142,10 @@ AUDIT_FIRST: list[str] = [
     #    batch (market_basket_part_pairs, ab_conversion_ztest,
     #    pq_adc_recall_eval), the sequence/session batch
     #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate),
-    #    the composed search (ivfpq_topk_similar), and the robust/SLA
-    #    stats (mad_outlier_gate, fulfillment_latency_stats).
-    #    All 25 hold green local parity at sf0.01 AND sf0.1; they take
+    #    the composed search (ivfpq_topk_similar), and the analytics
+    #    stats (mad_outlier_gate, fulfillment_latency_stats,
+    #    rfm_customer_segments).
+    #    All 26 hold green local parity at sf0.01 AND sf0.1; they take
     #    round 7's first slots (never-audited outranks rotation), ahead
     #    of the r3/r4 rotation blocks listed above.
 ]

@@ -2226,3 +2226,81 @@ def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: quartile-code every customer on Recency
+# (days since last order), Frequency (order count), Monetary (lifetime
+# spend), then count the population of each of the 64 segments — the
+# classic CRM cut. Per-customer rollup is one o_custkey shuffle with
+# decimal-exact spend; each quartile is an ntile(4) window whose ORDER
+# BY carries c_custkey as tiebreak, so the assignment is a total order
+# and deterministic in both engines (ntile depends only on row order).
+# The recency anchor is the corpus max order date (data-relative, so
+# frozen fixtures stay stable). Output is the bounded 4^3 segment
+# histogram. Scale note: the three ntile windows are global-order
+# windows over the CUSTOMER dimension (one row per customer, far below
+# the fact table); at 100 TB the same cut would swap ntile for
+# percent_rank against broadcast quartile boundaries from
+# approxQuantile — the segment semantics, the part under test, are
+# unchanged.
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+               count(*) AS frequency,
+               {oracle_dsum('o_totalprice', 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    coded AS (
+        SELECT ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+        FROM per_cust
+    )
+    SELECT CAST(r_quartile AS INTEGER) AS r_quartile,
+           CAST(f_quartile AS INTEGER) AS f_quartile,
+           CAST(m_quartile AS INTEGER) AS m_quartile,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM coded GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice", scale=2, alias="monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("anchor"), F.to_date("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    coded = per_cust.select(
+        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias(
+            "r_quartile"
+        ),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_quartile"),
+    )
+    return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_customers")
+    )
