@@ -166,3 +166,14 @@ def test_rows_only_queries_run(spark):
         df = registry.QUERIES[name](spark, SF_CORRECT)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_sf01_at_risk_names_are_registered():
+    """The sf0.1 suite is opt-in (skipped by default), so a renamed query
+    could leave a dead AT_RISK entry that silently drops its 10x-scale
+    coverage; validate the list in the always-on suite."""
+    from .test_parity_sf01 import AT_RISK
+
+    unknown = set(AT_RISK) - set(registry.QUERIES)
+    assert not unknown, f"AT_RISK lists unregistered queries: {unknown}"
+    assert len(AT_RISK) == len(set(AT_RISK)), "duplicate AT_RISK entries"
