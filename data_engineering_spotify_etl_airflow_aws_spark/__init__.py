@@ -142,12 +142,15 @@ AUDIT_FIRST: list[str] = [
     #    batch (market_basket_part_pairs, ab_conversion_ztest,
     #    pq_adc_recall_eval), the sequence/session batch
     #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate),
-    #    the composed search (ivfpq_topk_similar), and the analytics
+    #    the composed search (ivfpq_topk_similar), the analytics
     #    stats (mad_outlier_gate, fulfillment_latency_stats,
-    #    rfm_customer_segments).
-    #    All 26 hold green local parity at sf0.01 AND sf0.1; they take
-    #    round 7's first slots (never-audited outranks rotation), ahead
-    #    of the r3/r4 rotation blocks listed above.
+    #    rfm_customer_segments), and the statistics batch
+    #    (autocorr_daily_value, seasonal_naive_error,
+    #    winsorized_stats_by_type, target_encoding_segment,
+    #    skew_profile_orders, pmi_lang_source).
+    #    All hold green local parity at sf0.01; they take round 7's
+    #    first slots (never-audited outranks rotation), ahead of the
+    #    r3/r4 rotation blocks listed above.
 ]
 
 
@@ -172,6 +175,7 @@ def load_all_operators() -> None:
         filtering,
         extras,
         tpch,
+        statistics,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401

@@ -1,0 +1,522 @@
+"""Statistical / time-series analytics operators: autocorrelation,
+seasonal-naive forecast error, winsorized moments, leakage-free target
+encoding, join-key skew profiling, and pointwise mutual information.
+
+These widen the warehouse surface past the reference's flat aggregates
+(SURVEY.md §2a stops at GROUP BY + AVG/COUNT) toward the diagnostics a
+feature-engineering / data-quality user runs before training: "is the
+metric autocorrelated?", "how wrong is the naive forecast?", "how skewed
+is my join key?", "which categorical values co-occur?".
+
+Cross-engine determinism (driver value-hash): every mean/corr is built
+from EXACT integer moments (micro-unit bigint / decimal(38,0) on the
+Spark side, BIGINT / HUGEINT on the DuckDB side), converted to double
+once, with the same IEEE op sequence on both sides - the pattern proven
+by daily_value_correlation (extras.py). Quantile boundaries ride integer
+scales chosen so the interpolated value is exactly representable (scale
+20 for q=.05/.95: (n-1)*q has denominator 20, so 20x the interpolated
+value is an integer).
+
+Scale notes (100 TB) are per-operator; the common shape is one fact-table
+shuffle into a BOUNDED relation (days, types, segments, histogram of
+counts) and all windowing/cross-products confined to that bounded side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import query
+from ..tables import load_table
+from .dedup import _DUCK_H32 as _ST_DH32
+from .dedup import _SPARK_H32 as _ST_SH32
+
+
+def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, v): exact micro-unit daily total event value - one day-keyed
+    shuffle with map-side partials; the result is bounded by the calendar
+    (#days), so every window below runs on a tiny relation."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+        )
+        .groupBy("day")
+        .agg(F.sum("u6").cast("bigint").alias("v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily-total series at lags 1 and 7 - the
+# seasonality probe every metrics pipeline runs. The series is the
+# by-day aggregate (bounded by the calendar), the lag is one window over
+# that bounded series (single-partition window is fine: #days rows even
+# at 100 TB), and each lag's Pearson moments are exact integers in
+# micro-units (products in decimal(38,0)/HUGEINT - daily-total squares
+# overflow int64), converted to double once; the textbook formula is the
+# same IEEE sequence both engines, so round(6) cannot straddle.
+#
+# Scale notes (100 TB): one events->day shuffle with partial aggs; all
+# later stages touch <=#days rows.
+@query(
+    "autocorr_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT v,
+               lag(v, 1) OVER (ORDER BY day) AS l1,
+               lag(v, 7) OVER (ORDER BY day) AS l7
+        FROM daily
+    ),
+    m AS (
+        SELECT 1 AS lag_days, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sx, CAST(sum(l1) AS BIGINT) AS sy,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l1 AS HUGEINT) * l1) AS DOUBLE) AS syy,
+               CAST(sum(CAST(v AS HUGEINT) * l1) AS DOUBLE) AS sxy
+        FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT 7 AS lag_days, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sx, CAST(sum(l7) AS BIGINT) AS sy,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l7 AS HUGEINT) * l7) AS DOUBLE) AS syy,
+               CAST(sum(CAST(v AS HUGEINT) * l7) AS DOUBLE) AS sxy
+        FROM lagged WHERE l7 IS NOT NULL
+    )
+    SELECT lag_days, n AS n_pairs,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6)
+               AS autocorr_value
+    FROM m
+    """,
+)
+def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_micro(spark, sf_dir)
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 7).over(w).alias("l7"),
+    )
+
+    def moments(col: str, lag_days: int) -> DataFrame:
+        vd = F.col("v").cast("decimal(38,0)")
+        ld = F.col(col).cast("decimal(38,0)")
+        return (
+            lagged.where(F.col(col).isNotNull())
+            .agg(
+                F.lit(lag_days).alias("lag_days"),
+                F.count("*").alias("n"),
+                F.sum("v").cast("bigint").alias("sx"),
+                F.sum(col).cast("bigint").alias("sy"),
+                F.sum(vd * F.col("v")).cast("double").alias("sxx"),
+                F.sum(ld * F.col(col)).cast("double").alias("syy"),
+                F.sum(vd * F.col(col)).cast("double").alias("sxy"),
+            )
+        )
+
+    m = moments("l1", 1).unionByName(moments("l7", 7))
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        "lag_days",
+        n.alias("n_pairs"),
+        F.round(
+            (n * F.col("sxy") - sxd * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - sxd * F.col("sx"))
+                * (n * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error: predict each (event_type, day) total by
+# the SAME type's total 7 days earlier and score MAE + mean bias - the
+# baseline every forecasting system must beat. The pairing is an
+# explicit self-join on (event_type, day-7) rather than lag(7): lag is
+# ordinal and silently pairs across gaps when a day is missing, the join
+# is calendar-exact. Error sums are exact micro-unit integers
+# (decimal(38,0)/HUGEINT); each metric divides once and rounds.
+#
+# Scale notes (100 TB): the fact shuffle is one (type, day) agg; the
+# self-join runs on the bounded daily relation (#types x #days rows).
+@query(
+    "seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(abs(a.v - b.v) AS HUGEINT)) AS DOUBLE)
+               / count(*) / 1000000, 6) AS mae_value,
+           round(CAST(sum(CAST(a.v - b.v AS HUGEINT)) AS DOUBLE)
+               / count(*) / 1000000, 6) AS bias_value
+    FROM daily a
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.event_type
+    """,
+)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("u6").cast("bigint").alias("v"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    diff = (F.col("a.v") - F.col("b.v")).cast("decimal(38,0)")
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.date_sub(F.col("a.day"), 7)),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.abs(diff)).cast("double") / F.count("*") / 1_000_000, 6
+            ).alias("mae_value"),
+            F.round(
+                F.sum(diff).cast("double") / F.count("*") / 1_000_000, 6
+            ).alias("bias_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized moments per event_type: clamp values into [p05, p95] before
+# averaging - the outlier-robust mean that pairs with mad_outlier_gate's
+# detection. Exactness trick: for q with denominator 20, the
+# interpolated quantile of integer micro-units times 20 is an integer
+# ((n-1)*q splits at twentieths), so clamping runs entirely in a
+# 20x-scaled integer domain - no double compares, no tie ambiguity -
+# and the winsorized sum is exact (decimal(38,0)/HUGEINT).
+#
+# Scale notes (100 TB): two passes over events (quantiles, then clamp
+# + agg), both partial-agg combines keyed by the bounded event_type;
+# the quantile relation (one row per type) broadcasts. Spark's exact
+# percentile() buffers per-group values; at 100 TB swap for
+# approx_percentile with the same 20x-integer clamp - the winsorize
+# semantics under test are unchanged.
+@query(
+    "winsorized_stats_by_type",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(vm, 0.05) * 20) AS BIGINT) AS p05_20,
+               CAST(round(quantile_cont(vm, 0.95) * 20) AS BIGINT) AS p95_20
+        FROM v GROUP BY event_type
+    ),
+    c AS (
+        SELECT v.event_type,
+               greatest(least(vm * 20, p95_20), p05_20) AS c20,
+               CASE WHEN vm * 20 < p05_20 THEN 1 ELSE 0 END AS lo,
+               CASE WHEN vm * 20 > p95_20 THEN 1 ELSE 0 END AS hi,
+               p05_20, p95_20
+        FROM v JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(lo) AS BIGINT) AS n_clamped_low,
+           CAST(sum(hi) AS BIGINT) AS n_clamped_high,
+           round(CAST(sum(CAST(c20 AS HUGEINT)) AS DOUBLE)
+               / count(*) / 20000000, 6) AS winsorized_mean,
+           round(CAST(p05_20 AS DOUBLE) / 20000000, 6) AS p05_value,
+           round(CAST(p95_20 AS DOUBLE) / 20000000, 6) AS p95_value
+    FROM c
+    GROUP BY event_type, p05_20, p95_20
+    """,
+)
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    q = v.groupBy("event_type").agg(
+        F.round(F.expr("percentile(vm, 0.05)") * 20).cast("bigint").alias("p05_20"),
+        F.round(F.expr("percentile(vm, 0.95)") * 20).cast("bigint").alias("p95_20"),
+    )
+    v20 = F.col("vm") * 20
+    c = v.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        F.greatest(F.least(v20, F.col("p95_20")), F.col("p05_20")).alias("c20"),
+        F.when(v20 < F.col("p05_20"), 1).otherwise(0).alias("lo"),
+        F.when(v20 > F.col("p95_20"), 1).otherwise(0).alias("hi"),
+        "p05_20",
+        "p95_20",
+    )
+    return (
+        c.groupBy("event_type", "p05_20", "p95_20")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum("lo").cast("bigint").alias("n_clamped_low"),
+            F.sum("hi").cast("bigint").alias("n_clamped_high"),
+            F.round(
+                F.sum(F.col("c20").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 20_000_000,
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "n_clamped_low",
+            "n_clamped_high",
+            "winsorized_mean",
+            F.round(F.col("p05_20").cast("double") / 20_000_000, 6).alias(
+                "p05_value"
+            ),
+            F.round(F.col("p95_20").cast("double") / 20_000_000, 6).alias(
+                "p95_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free K-fold target encoding: encode c_mktsegment by the mean
+# o_totalprice of orders OUTSIDE the row's own fold - the standard
+# categorical-encoding primitive for gradient-boosted training, done the
+# only way that doesn't leak the target. Folds are the deterministic
+# md5-derived hash of the order key (mod 5), so both engines assign
+# identically. The leave-fold-out mean needs only per-(segment, fold)
+# partials: encoding(f) = (seg_sum - fold_sum)/(seg_cnt - fold_cnt),
+# exact cent-unit integers until one final division.
+#
+# Scale notes (100 TB): one orders<->customer join keyed by custkey
+# (big-big: sort-merge on the FK, never broadcast), one partial-agg
+# combine into the bounded (segment x 5) grid; the leave-one-out window
+# runs on 25 rows.
+@query(
+    "target_encoding_segment",
+    oracle=f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               {_ST_DH32.format(s="'te:' || CAST(o.o_orderkey AS VARCHAR)")}
+                   % 5 AS fold,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT segment, fold,
+               count(*) AS cnt,
+               sum(CAST(cents AS HUGEINT)) AS s
+        FROM j GROUP BY segment, fold
+    )
+    SELECT segment, fold,
+           CAST(cnt AS BIGINT) AS n_rows,
+           round(CAST(sum(s) OVER (PARTITION BY segment) - s AS DOUBLE)
+               / (sum(cnt) OVER (PARTITION BY segment) - cnt) / 100, 6)
+               AS encoding_value
+    FROM g
+    """,
+)
+def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            _ST_SH32.format(s="concat('te:', cast(o_orderkey as string))")
+        ).alias("h"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "segment", (F.col("h") % 5).alias("fold"), "cents"
+    )
+    g = j.groupBy("segment", "fold").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+    )
+    wseg = W.partitionBy("segment")
+    return g.select(
+        "segment",
+        "fold",
+        F.col("cnt").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.sum("s").over(wseg) - F.col("s")).cast("double")
+            / (F.sum("cnt").over(wseg) - F.col("cnt"))
+            / 100,
+            6,
+        ).alias("encoding_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile of orders-per-customer: the diagnostic a planner
+# (or a human) reads before choosing salting vs AQE skew-join. Emits the
+# key count, max/top-share, mean, and the GINI coefficient of the count
+# distribution - computed from the COUNTS-OF-COUNTS histogram, not the
+# per-key relation: Gini's pairwise |xi-xj| sum collapses to a window
+# over the bounded histogram (sum_pairs = 2*sum_i n_i*(x_i*cumN_prev -
+# cumS_prev) for ascending distinct x), every term an exact integer.
+#
+# Scale notes (100 TB): per-key counts are one custkey-keyed partial
+# agg; the histogram (distinct count VALUES - dozens of rows at any
+# scale) is the only thing the global window ever sees. No per-key sort,
+# no quadratic pair expansion.
+@query(
+    "skew_profile_orders",
+    oracle="""
+    WITH cnts AS (
+        SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    hist AS (SELECT c, count(*) AS n FROM cnts GROUP BY c),
+    cum AS (
+        SELECT c, n,
+               coalesce(sum(n) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_n_prev,
+               coalesce(sum(n * c) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_s_prev
+        FROM hist
+    ),
+    m AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_keys,
+               CAST(sum(CAST(n AS HUGEINT) * c) AS BIGINT) AS n_orders,
+               CAST(max(c) AS BIGINT) AS max_orders,
+               CAST(sum(2 * CAST(n AS HUGEINT)
+                   * (CAST(c AS HUGEINT) * cum_n_prev - cum_s_prev))
+                   AS DOUBLE) AS pair_sum
+        FROM cum
+    )
+    SELECT n_keys, n_orders, max_orders,
+           round(CAST(max_orders AS DOUBLE) / n_orders, 6) AS top_share,
+           round(CAST(n_orders AS DOUBLE) / n_keys, 6) AS mean_orders,
+           round(pair_sum
+               / (CAST(n_keys AS DOUBLE) * n_keys)
+               / (2 * CAST(n_orders AS DOUBLE) / n_keys), 6) AS gini_value
+    FROM m
+    """,
+)
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = cnts.groupBy("c").agg(F.count("*").alias("n"))
+    wprev = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "c",
+        "n",
+        F.coalesce(F.sum("n").over(wprev), F.lit(0)).alias("cum_n_prev"),
+        F.coalesce(F.sum(F.col("n") * F.col("c")).over(wprev), F.lit(0)).alias(
+            "cum_s_prev"
+        ),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    cd = F.col("c").cast("decimal(38,0)")
+    m = cum.agg(
+        F.sum("n").cast("bigint").alias("n_keys"),
+        F.sum(nd * F.col("c")).cast("bigint").alias("n_orders"),
+        F.max("c").cast("bigint").alias("max_orders"),
+        F.sum(
+            F.lit(2)
+            * nd
+            * (cd * F.col("cum_n_prev") - F.col("cum_s_prev"))
+        )
+        .cast("double")
+        .alias("pair_sum"),
+    )
+    nk = F.col("n_keys").cast("double")
+    no = F.col("n_orders").cast("double")
+    return m.select(
+        "n_keys",
+        "n_orders",
+        "max_orders",
+        F.round(F.col("max_orders").cast("double") / F.col("n_orders"), 6).alias(
+            "top_share"
+        ),
+        F.round(no / F.col("n_keys"), 6).alias("mean_orders"),
+        F.round(
+            F.col("pair_sum") / (nk * F.col("n_keys")) / (F.lit(2) * no / nk), 6
+        ).alias("gini_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information of (lang, source) over documents: which
+# corpus sources over/under-produce which languages - the co-occurrence
+# diagnostic behind sampling-weight decisions. Output is one row per
+# observed cell: observed count, expected count under independence, and
+# PMI = ln(n_ij * N / (n_i * n_j)). Emitting PER-CELL values (not a
+# summed MI scalar) keeps every number a deterministic function of four
+# exact integers - a global MI sum would accumulate doubles in
+# engine-dependent order.
+#
+# Scale notes (100 TB): three partial-agg combines over documents into
+# bounded relations (cells, langs, sources); the marginal joins
+# broadcast (bounded category sets).
+@query(
+    "pmi_lang_source",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, count(*) AS n_ij
+        FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, count(*) AS n_i FROM documents GROUP BY lang),
+    ms AS (SELECT source, count(*) AS n_j FROM documents GROUP BY source),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT cell.lang, cell.source,
+           CAST(n_ij AS BIGINT) AS n_docs,
+           round(CAST(n_i AS DOUBLE) * n_j / n, 6) AS expected_docs,
+           round(ln(CAST(n_ij AS DOUBLE) * n
+               / (CAST(n_i AS DOUBLE) * n_j)), 6) AS pmi_value
+    FROM cell
+    JOIN ml USING (lang)
+    JOIN ms USING (source)
+    CROSS JOIN tot
+    """,
+)
+def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ij"))
+    ml = docs.groupBy("lang").agg(F.count("*").alias("n_i"))
+    ms = docs.groupBy("source").agg(F.count("*").alias("n_j"))
+    tot = docs.agg(F.count("*").alias("n"))
+    nid = F.col("n_i").cast("double")
+    nijd = F.col("n_ij").cast("double")
+    return (
+        cell.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n_ij").cast("bigint").alias("n_docs"),
+            F.round(nid * F.col("n_j") / F.col("n"), 6).alias("expected_docs"),
+            F.round(
+                F.log(nijd * F.col("n") / (nid * F.col("n_j"))), 6
+            ).alias("pmi_value"),
+        )
+    )
