@@ -147,7 +147,10 @@ AUDIT_FIRST: list[str] = [
     #    rfm_customer_segments), and the statistics batch
     #    (autocorr_daily_value, seasonal_naive_error,
     #    winsorized_stats_by_type, target_encoding_segment,
-    #    skew_profile_orders, pmi_lang_source).
+    #    skew_profile_orders, pmi_lang_source), and the ML-prep batch
+    #    (bm25_doc_ranking, feature_hash_counts, weighted_sample_docs,
+    #    knn_label_accuracy, bloom_filter_semi_join,
+    #    unigram_logprob_filter).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.
@@ -176,6 +179,7 @@ def load_all_operators() -> None:
         extras,
         tpch,
         statistics,
+        mlprep,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401

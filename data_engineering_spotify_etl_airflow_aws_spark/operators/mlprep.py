@@ -1,0 +1,616 @@
+"""ML-data-preparation operators: BM25 retrieval ranking, hashing-trick
+featurization, weighted reservoir sampling, kNN label-quality eval,
+Bloom-filter semi-join pruning, and unigram-LM quality filtering.
+
+These are the training-data-pipeline primitives past the dedup/similarity
+families (operators/dedup.py, similarity.py): scoring documents for
+retrieval, turning tokens into fixed-width features, sampling by
+importance weight, checking label quality against embedding neighbors,
+pruning a probe side before an expensive join, and CCNet-style LM
+filtering (here with a unigram model - the perplexity-filter shape
+without an external LM artifact).
+
+Cross-engine determinism: every ranking/score is either pure integer
+arithmetic or a double quantized to micro-units BEFORE any re-aggregation
+(sums of quantized ints are exact and order-free; a sum of raw doubles is
+partition-order-dependent). Hash-derived randomness is the shared
+md5-prefix h32 (operators/dedup.py) so both engines draw identical
+"uniforms". ln() is the one library call both engines evaluate on
+identical inputs; its value is never re-summed un-quantized.
+
+Scale notes (100 TB) per operator; the common discipline: corpus-sized
+relations only ever shuffle on high-entropy keys (doc_id, token), and
+every broadcast relation is bounded by construction (fixed-count picks,
+a fixed bit-array domain, a bounded vocabulary cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import ORACLE_TOKENS, oracle_cosine, tokens, vec_double
+from ..registry import query
+from ..tables import load_table
+from .dedup import _DUCK_H32, _SPARK_H32
+
+# BM25 constants (Robertson k1/b defaults; exact binary: 0.25/0.75 are
+# dyadic, 1.2/2.2 parse to the same nearest-double in both engines)
+_BM25_K1 = "1.2"
+_BM25_K1P1 = "2.2"
+_BM25_TERMS = ("join", "vector", "stream", "slow")
+_BM25_TOP = 20
+
+_FH_DOCS = 50  # fixed-count doc pick for the feature-hash demo output
+_FH_BUCKETS = 16
+
+_WSW_K = 5  # weighted sample: k docs per lang
+
+_KNN_QUERIES = 64
+_KNN_K = 5
+
+_BLOOM_BITS = 8192
+_BLOOM_PRICE = 450_000.0
+
+_ULM_FLAG_U = -3_700_000  # flag docs whose mean token logprob < -3.7
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, tok) exploded token stream - the shared base."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    )
+
+
+_DUCK_TOK_TABLE = f"""
+        SELECT doc_id, lang, unnest({ORACLE_TOKENS.format(col='text')}) AS tok
+        FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking of documents against a fixed disjunctive term query - the
+# classic retrieval scorer (and the hard-negative miner's first stage).
+# Corpus statistics (df per term, avgdl) come from exact integer counts;
+# each (doc, term) partial score is a deterministic double (identical
+# IEEE sequence both engines, constants chosen dyadic-or-parse-equal)
+# QUANTIZED to picounits before the per-doc sum, so the sum is an exact
+# integer regardless of aggregation order, and the top-20 rides integer
+# ordering with doc_id tiebreak.
+#
+# Scale notes (100 TB): tokenization never shuffles full text - the
+# exploded (doc_id, tok) stream aggregates to per-doc tf for the FOUR
+# query terms only (filter pushed before the tf agg); df/avgdl are
+# one-row / |terms|-row partial aggs that broadcast; the final top-20 is
+# TakeOrderedAndProject (map-side heap, no global sort).
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH tok AS ({_DUCK_TOK_TABLE}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM tok WHERE tok IN {tuple(_BM25_TERMS)!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    part AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * {_BM25_K1P1})
+                   / (tf.tf + {_BM25_K1}
+                      * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))
+                   * 1000000000000 + 0.5) AS BIGINT) AS score_p
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id, CAST(sum(score_p) AS BIGINT) AS score_p,
+               count(*) AS n_terms
+        FROM part GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms_matched,
+           round(CAST(score_p AS DOUBLE) / 1000000000000, 6) AS bm25_score
+    FROM scored
+    ORDER BY score_p DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir).select("doc_id", "tok")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1 = F.expr(_BM25_K1)
+    k1p1 = F.expr(_BM25_K1P1)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf
+        * (F.col("tf") * k1p1)
+        / (
+            F.col("tf")
+            + k1
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    part = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * 1_000_000_000_000 + 0.5)
+            .cast("bigint")
+            .alias("score_p"),
+        )
+    )
+    scored = part.groupBy("doc_id").agg(
+        F.sum("score_p").cast("bigint").alias("score_p"),
+        F.count("*").alias("n_terms"),
+    )
+    return (
+        scored.orderBy(F.desc("score_p"), "doc_id")
+        .limit(_BM25_TOP)
+        .select(
+            "doc_id",
+            F.col("n_terms").cast("bigint").alias("n_terms_matched"),
+            F.round(
+                F.col("score_p").cast("double") / 1_000_000_000_000, 6
+            ).alias("bm25_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization: bucket every token into a fixed
+# _FH_BUCKETS-dim count vector (the linear-model / Vowpal-Wabbit input
+# encoding) - emitted long-form (doc_id, bucket, n_tokens) for a
+# fixed-count md5-order doc pick so the registered output is bounded.
+# The bucket hash is the shared md5-h32 (salted 'fht:'), identical in
+# both engines; counts are exact ints.
+#
+# Scale notes (100 TB): the full-corpus path is one (doc_id, bucket)
+# partial agg over the exploded stream - no vocabulary table at all,
+# which is the point of feature hashing; the 50-doc pick broadcasts
+# (TakeOrderedAndProject keeps the pick itself map-side).
+_FH_DOC_H_SPARK = _SPARK_H32.format(s="concat('fhd:', cast(doc_id as string))")
+_FH_DOC_H_DUCK = _DUCK_H32.format(s="concat('fhd:', CAST(doc_id AS VARCHAR))")
+_FH_TOK_H_SPARK = _SPARK_H32.format(s="concat('fht:', tok)")
+_FH_TOK_H_DUCK = _DUCK_H32.format(s="concat('fht:', tok)")
+
+
+@query(
+    "feature_hash_counts",
+    oracle=f"""
+    WITH picked AS (
+        SELECT doc_id FROM documents
+        ORDER BY {_FH_DOC_H_DUCK}, doc_id LIMIT {_FH_DOCS}
+    ),
+    tok AS ({_DUCK_TOK_TABLE})
+    SELECT tok.doc_id,
+           {_FH_TOK_H_DUCK} % {_FH_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok JOIN picked USING (doc_id)
+    GROUP BY tok.doc_id, bucket
+    """,
+)
+def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    picked = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy(F.expr(_FH_DOC_H_SPARK).asc(), F.col("doc_id").asc())
+        .limit(_FH_DOCS)
+    )
+    tok = _doc_tokens(spark, sf_dir).select("doc_id", "tok")
+    return (
+        tok.join(F.broadcast(picked), "doc_id")
+        .select(
+            "doc_id",
+            (F.expr(_FH_TOK_H_SPARK) % _FH_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement, k per language, weight =
+# n_chars - the importance-sampling primitive for corpus mixing (longer
+# docs proportionally likelier, no doc twice). Efraimidis-Spirakis via
+# exponential clocks: key = -ln(u)/w with u a deterministic md5-derived
+# uniform in (0, 1]; the k smallest keys per group win. The per-group
+# rank is a row_number window that Catalyst prunes map-side
+# (WindowGroupLimit), so no group ever materializes fully.
+#
+# Scale notes (100 TB): stateless per-row key derivation, one
+# lang-keyed window with map-side group-limit pruning; output k x
+# #langs rows. Key ordering is on raw doubles: two docs landing within
+# 1 ulp of each other across engines is the only divergence risk, and
+# the doc_id tiebreak plus continuous keys make that measure-zero in
+# practice (same trust the similarity family places in cosine scores).
+_WSW_H_DUCK = _DUCK_H32.format(s="concat('wsw:', CAST(doc_id AS VARCHAR))")
+_WSW_H_SPARK = _SPARK_H32.format(s="concat('wsw:', cast(doc_id as string))")
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               -ln(({_WSW_H_DUCK} + 1) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               round(k, 6) AS sample_key,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY k, doc_id
+               ) AS rank
+        FROM keyed
+    )
+    SELECT lang, rank, doc_id, n_chars, sample_key
+    FROM ranked WHERE rank <= {_WSW_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (F.expr(_WSW_H_SPARK) + 1) / F.lit(4294967296.0)
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    w = W.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _WSW_K)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            "n_chars",
+            F.round("k", 6).alias("sample_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency eval: for a fixed 64-query pick, find the 5
+# nearest neighbors by cosine among the REST of the corpus, majority-vote
+# their labels (ties -> smallest label), and compare to the query's own
+# label - the standard label-noise probe over an embedding column.
+# Vote counts are exact ints; the only doubles are the cosine scores,
+# shared bit-identically with the similarity family (same fold).
+#
+# Scale notes (100 TB): the bounded query set broadcasts; the corpus
+# streams once through the scoring join; per-query top-5 is a window
+# keyed by query_id (64-way). The full-corpus variant would route
+# through the IVF index (similarity.py) - this op's contract is the
+# vote/compare semantics, which are index-agnostic.
+_KNN_H_SPARK = _SPARK_H32.format(s="concat('knnq:', cast(vec_id as string))")
+_KNN_H_DUCK = _DUCK_H32.format(s="concat('knnq:', CAST(vec_id AS VARCHAR))")
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+    ),
+    q AS (SELECT vec_id, emb, label FROM v
+          ORDER BY {_KNN_H_DUCK}, vec_id LIMIT {_KNN_QUERIES}),
+    nn AS (
+        SELECT query_id, true_label, cand_label FROM (
+            SELECT a.vec_id AS query_id, a.label AS true_label,
+                   b.label AS cand_label,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {oracle_cosine('a.emb', 'b.emb')} DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM q a JOIN v b ON b.vec_id != a.vec_id
+        ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, cand_label AS pred_label,
+               count(*) AS n_votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY count(*) DESC, cand_label
+               ) AS vr
+        FROM nn GROUP BY query_id, true_label, cand_label
+    )
+    SELECT query_id, true_label, pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS is_correct
+    FROM votes WHERE vr = 1
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import l2_norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb"), "label"
+    )
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(v).withColumn("nrm", l2_norm(F.col("emb")))
+    q = (
+        v.orderBy(F.expr(_KNN_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(_KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    from .similarity import _pair_cos
+
+    scored = (
+        F.broadcast(q)
+        .join(
+            v.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("emb").alias("c_emb"),
+                F.col("nrm").alias("c_nrm"),
+                F.col("label").alias("cand_label"),
+            ),
+            F.col("cand_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "cand_label",
+            _pair_cos("q_emb", "q_nrm", "c_emb", "c_nrm").alias("score"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    nn = scored.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= _KNN_K
+    )
+    votes = nn.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "cand_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            F.when(F.col("cand_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning: build a _BLOOM_BITS-bit, 3-hash Bloom
+# filter over the custkeys holding a >$450k order, probe every customer
+# through it, and report the exact false-positive accounting against the
+# true semi-join - the runtime-filter primitive (Spark's own
+# spark.sql.optimizer.runtime.bloomFilter does exactly this inside the
+# planner; here it is surfaced as an auditable operator). The bit array
+# is represented as the DISTINCT set of set positions - bounded by the
+# filter DOMAIN (8192), not the data - so the probe joins broadcast at
+# any scale, which is the entire value proposition of a Bloom prune.
+#
+# Scale notes (100 TB): build side = one partial-agg distinct over the
+# filtered orders; probe = three broadcast semi-joins (position
+# membership) + one broadcast-able truth semi-join for the audit; the
+# final metric is a 1-row agg. No false negatives are possible by
+# construction (every build key sets its own bits).
+def _bloom_pos_duck(i: int, key: str) -> str:
+    return (
+        _DUCK_H32.format(s=f"concat('bf{i}:', CAST({key} AS VARCHAR))")
+        + f" % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_spark(i: int, key: str) -> str:
+    return (
+        _SPARK_H32.format(s=f"concat('bf{i}:', cast({key} as string))")
+        + f" % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "bloom_filter_semi_join",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_totalprice > {_BLOOM_PRICE}
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {_bloom_pos_duck(0, 'o_custkey')} AS pos FROM build
+            UNION ALL
+            SELECT {_bloom_pos_duck(1, 'o_custkey')} AS pos FROM build
+            UNION ALL
+            SELECT {_bloom_pos_duck(2, 'o_custkey')} AS pos FROM build
+        )
+    ),
+    probe AS (
+        SELECT c_custkey,
+               CASE WHEN {_bloom_pos_duck(0, 'c_custkey')} IN
+                        (SELECT pos FROM bits)
+                    AND {_bloom_pos_duck(1, 'c_custkey')} IN
+                        (SELECT pos FROM bits)
+                    AND {_bloom_pos_duck(2, 'c_custkey')} IN
+                        (SELECT pos FROM bits)
+                    THEN 1 ELSE 0 END AS bloom_pass,
+               CASE WHEN c_custkey IN (SELECT o_custkey FROM build)
+                    THEN 1 ELSE 0 END AS is_member
+        FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           round(CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / (count(*) - sum(is_member)), 6) AS fp_rate
+    FROM probe
+    """,
+)
+def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = (
+        build.select(F.expr(_bloom_pos_spark(0, "o_custkey")).alias("pos"))
+        .unionAll(
+            build.select(F.expr(_bloom_pos_spark(1, "o_custkey")).alias("pos"))
+        )
+        .unionAll(
+            build.select(F.expr(_bloom_pos_spark(2, "o_custkey")).alias("pos"))
+        )
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    probe = cust.select(
+        "c_custkey",
+        F.expr(_bloom_pos_spark(0, "c_custkey")).alias("p0"),
+        F.expr(_bloom_pos_spark(1, "c_custkey")).alias("p1"),
+        F.expr(_bloom_pos_spark(2, "c_custkey")).alias("p2"),
+    )
+    for i in range(3):
+        b = bits.select(F.col("pos").alias(f"bit{i}"))
+        probe = probe.join(
+            F.broadcast(b), probe[f"p{i}"] == b[f"bit{i}"], "left"
+        ).withColumn(f"hit{i}", F.col(f"bit{i}").isNotNull().cast("int"))
+    member = build.select(
+        F.col("o_custkey").alias("m_key"), F.lit(1).alias("m_flag")
+    )
+    flagged = (
+        probe.join(member, probe.c_custkey == member.m_key, "left")
+        .select(
+            (
+                (F.col("hit0") + F.col("hit1") + F.col("hit2")) == 3
+            )
+            .cast("int")
+            .alias("bloom_pass"),
+            F.coalesce(F.col("m_flag"), F.lit(0)).alias("is_member"),
+        )
+    )
+    fp = F.sum(
+        F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1)
+        .otherwise(0)
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_member").cast("bigint").alias("n_true_members"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.round(
+            fp.cast("double") / (F.count("*") - F.sum("is_member")), 6
+        ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality filter (the CCNet/perplexity-filter shape without an
+# external LM): score every document by the mean corpus log-probability
+# of its tokens and flag low-likelihood outliers per language. Each
+# token's ln(count/total) is quantized to micro-units ONCE (exact int
+# from then on); the per-doc mean is an exact floor-division; the
+# per-lang rollup sums only quantized ints - no double ever re-sums.
+#
+# Scale notes (100 TB): vocab counts are one token-keyed partial agg;
+# scoring joins the exploded stream to the vocab on token (the vocab of
+# natural text is ~millions of rows - a plain shuffle join here; at
+# bounded vocab it broadcasts, Catalyst's call via AQE); per-doc and
+# per-lang rollups are partial-agg combines.
+@query(
+    "unigram_logprob_filter",
+    oracle=f"""
+    WITH tok AS ({_DUCK_TOK_TABLE}),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+        SELECT tok,
+               CAST(floor(ln(cnt / total) * 1000000) AS BIGINT) AS lp_u
+        FROM vocab CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(floor(CAST(sum(lp_u) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS avg_u
+        FROM tok JOIN lp USING (tok)
+        GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(avg_u) AS DOUBLE) / count(*) / 1000000, 6)
+               AS mean_logprob,
+           round(CAST(min(avg_u) AS DOUBLE) / 1000000, 6) AS min_logprob,
+           CAST(sum(CASE WHEN avg_u < {_ULM_FLAG_U} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("cnt") / F.col("total")) * 1_000_000)
+        .cast("bigint")
+        .alias("lp_u"),
+    )
+    per_doc = (
+        tok.join(lp, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(F.sum("lp_u").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("avg_u")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("avg_u").cast("double") / F.count("*") / 1_000_000, 6
+        ).alias("mean_logprob"),
+        F.round(F.min("avg_u").cast("double") / 1_000_000, 6).alias(
+            "min_logprob"
+        ),
+        F.sum(F.when(F.col("avg_u") < _ULM_FLAG_U, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
