@@ -19,7 +19,9 @@ class, and both hold green sf0.01 driver audits.
 
 The TPC-H completion batch (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q16/Q17/Q20/Q21)
 was swept green at sf0.1 the round it landed; the five with tie- or
-threshold-prone ingredients stay here as standing entries.
+threshold-prone ingredients stay here as standing entries. The
+statistics + ML-prep batches (12 queries) were swept green at sf0.1 the
+session they landed; the six with float/threshold ingredients stay here.
 """
 
 from __future__ import annotations
@@ -110,6 +112,18 @@ AT_RISK = [
     "mad_outlier_gate",
     # p95 interpolates at a fractional rank position over integer days
     "fulfillment_latency_stats",
+    # statistics batch: two interpolated-percentile clamps at 10x group
+    # sizes; lag-7 autocorr moments in decimal at 10x daily magnitudes
+    "winsorized_stats_by_type",
+    "autocorr_daily_value",
+    # ML-prep batch: BM25's picounit quantization + top-20 boundary at
+    # 10x df/avgdl; exponential-clock keys ordered on raw doubles; kNN
+    # cosine-tie ordering at 10x candidate density; ln() micro-unit
+    # quantization against a fixed flag threshold
+    "bm25_doc_ranking",
+    "weighted_sample_docs",
+    "knn_label_accuracy",
+    "unigram_logprob_filter",
 ]
 
 pytestmark = pytest.mark.skipif(
