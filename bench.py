@@ -118,6 +118,11 @@ def main() -> int:
         )
 
         ensure_zorder_clustered_events(spark, sf_dir)
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.extras import (
+            ensure_orc_events,
+        )
+
+        ensure_orc_events(spark, sf_dir)
     except Exception:
         pass
     spark.catalog.clearCache()

@@ -150,7 +150,9 @@ AUDIT_FIRST: list[str] = [
     #    skew_profile_orders, pmi_lang_source), and the ML-prep batch
     #    (bm25_doc_ranking, feature_hash_counts, weighted_sample_docs,
     #    knn_label_accuracy, bloom_filter_semi_join,
-    #    unigram_logprob_filter).
+    #    unigram_logprob_filter, daily_trend_ols,
+    #    cusum_changepoint_daily, dow_seasonality_profile,
+    #    benford_first_digit, orc_roundtrip_agg).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -2304,3 +2304,62 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip: write the events fact as ORC (Spark's second native
+# columnar format - the Hive-ecosystem interchange surface), read it
+# back, and answer an aggregate that must be layout-invariant vs the
+# parquet original. Same contract as the other storage-layout fixtures:
+# the oracle answers from the raw table, so any encode/decode loss,
+# type coercion, or row drop in the ORC path breaks the hash. The write
+# happens once per data generation (_ensure_derived_copy), not per run.
+#
+# Scale notes (100 TB): the write is an embarrassingly parallel
+# per-partition encode (no shuffle - partitioning carries over); the
+# read-back agg is the usual partial-combine. ts travels as
+# unix_micros (ORC TIMESTAMP round-trips through writer-local epoch
+# semantics; the micros bigint is representation-exact).
+_ORC_ROOT = "/tmp/spark_graft_orc"
+
+
+def ensure_orc_events(spark: SparkSession, sf_dir: str) -> str:
+    def write(dest: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .orc(dest)
+        )
+
+    return _ensure_derived_copy(_ORC_ROOT, sf_dir, write)
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           {oracle_dsum('value', 6)} AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = spark.read.orc(ensure_orc_events(spark, sf_dir))
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        dsum("value", 6, "sum_value"),
+        F.min("ts_us").cast("bigint").alias("min_ts_us"),
+        F.max("ts_us").cast("bigint").alias("max_ts_us"),
+    )

@@ -1,6 +1,8 @@
 """Statistical / time-series analytics operators: autocorrelation,
 seasonal-naive forecast error, winsorized moments, leakage-free target
-encoding, join-key skew profiling, and pointwise mutual information.
+encoding, join-key skew profiling, pointwise mutual information, OLS
+trend, CUSUM changepoint, day-of-week seasonality, and the Benford
+first-digit test.
 
 These widen the warehouse surface past the reference's flat aggregates
 (SURVEY.md §2a stops at GROUP BY + AVG/COUNT) toward the diagnostics a
@@ -519,4 +521,269 @@ def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(nijd * F.col("n") / (nid * F.col("n_j"))), 6
             ).alias("pmi_value"),
         )
+    )
+
+# ---------------------------------------------------------------------------
+# OLS trend of the daily-total series: slope/intercept/r2 of value
+# regressed on the day index - "is the metric growing, and how fast?".
+# The day index is datediff from the series minimum (calendar-exact,
+# join-free via one broadcast scalar), y is the exact micro-unit total;
+# all five regression moments are exact integers (decimal(38,0)/
+# HUGEINT), and slope/intercept/r2 are one IEEE sequence each, mirrored
+# operation-for-operation in the oracle.
+#
+# Scale notes (100 TB): one events->day shuffle; moments are a 1-row
+# partial-combined agg over the bounded daily series.
+@query(
+    "daily_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT date_diff('day', (SELECT min(day) FROM daily), day) AS x, v
+        FROM daily
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(v) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * v) AS DOUBLE) AS sxy
+        FROM idx
+    )
+    SELECT n AS n_days,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+               / (n * sxx - CAST(sx AS DOUBLE) * sx) / 1000000, 6)
+               AS slope_value,
+           round((CAST(sy AS DOUBLE)
+                  - (n * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+               / n / 1000000, 6) AS intercept_value,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+               * (n * sxy - CAST(sx AS DOUBLE) * sy)
+               / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2_value
+    FROM m
+    """,
+)
+def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_micro(spark, sf_dir)
+    mn = daily.agg(F.min("day").alias("day0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "day0").alias("x"), "v"
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    vd = F.col("v").cast("decimal(38,0)")
+    m = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("v").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(vd * F.col("v")).cast("double").alias("syy"),
+        F.sum(xd * F.col("v")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = n * F.col("sxy") - sxd * F.col("sy")
+    varx = n * F.col("sxx") - sxd * F.col("sx")
+    vary = n * F.col("syy") - syd * F.col("sy")
+    return m.select(
+        n.alias("n_days"),
+        F.round(cov / varx / 1_000_000, 6).alias("slope_value"),
+        F.round(
+            (syd - cov / varx * F.col("sx")) / n / 1_000_000, 6
+        ).alias("intercept_value"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily-total series: the day where the
+# mean-centered cumulative sum peaks in magnitude - the classic "did the
+# level shift, and when?" detector. Division-free exactness: centering
+# is done in an n-scaled integer domain (d_j = v_j*n - total, so
+# cusum_i = sum d_j is an exact decimal(38,0)/HUGEINT), and only the
+# final reported magnitude divides back by n*1e6. Tie -> earliest day.
+#
+# Scale notes (100 TB): one events->day shuffle; the cumulative window
+# and the top-1 pick both run on the bounded daily series
+# (TakeOrderedAndProject for the pick).
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+        FROM daily_src GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, CAST(sum(v) AS HUGEINT) AS s FROM daily),
+    cus AS (
+        SELECT day,
+               sum(CAST(v AS HUGEINT) * n - s)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               n
+        FROM daily CROSS JOIN tot
+    )
+    SELECT day AS change_day,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
+           round(CAST(abs(c) AS DOUBLE) / n / 1000000, 6) AS max_cusum_value
+    FROM cus
+    ORDER BY abs(c) DESC, day
+    LIMIT 1
+    """.replace(
+        "daily_src", "events"
+    ),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_micro(spark, sf_dir)
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cus = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("s")
+        )
+        .over(wcum)
+        .alias("c"),
+        "n",
+    )
+    return (
+        cus.orderBy(F.abs(F.col("c")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                F.abs(F.col("c")).cast("double") / F.col("n") / 1_000_000, 6
+            ).alias("max_cusum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile per event type: event volume and exact
+# mean value by ISO weekday - the workload-shaping diagnostic (and the
+# denominator for the seasonal-naive model above). ISO numbering is the
+# cross-engine bridge: Spark weekday() (Mon=0) + 1 == DuckDB isodow
+# (Mon=1). The share denominator is a per-type window over the bounded
+# (type x 7) grid.
+#
+# Scale notes (100 TB): one (type, dow) partial-agg combine; everything
+# after runs on <= 7*#types rows.
+@query(
+    "dow_seasonality_profile",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, isodow(CAST(ts AS DATE)) AS dow_iso,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 1000000) AS HUGEINT)) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow_iso,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(CAST(s AS DOUBLE) / n_events / 1000000, 6) AS mean_value,
+           round(CAST(n_events AS DOUBLE)
+               / sum(n_events) OVER (PARTITION BY event_type), 6)
+               AS share_of_type
+    FROM g
+    """,
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.weekday("ts") + 1).alias("dow_iso"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+        )
+        .groupBy("event_type", "dow_iso")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("u6").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    wtype = W.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "dow_iso",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("s").cast("double") / F.col("n_events") / 1_000_000, 6
+        ).alias("mean_value"),
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(wtype), 6
+        ).alias("share_of_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit test on o_totalprice: observed leading-digit
+# distribution vs Benford's law with per-digit chi-square contributions
+# - the standard synthetic-data / fraud smell test. The digit extraction
+# is pure string arithmetic on the floored integer part (prices >= 1 in
+# the fixture; a 0-floor row would be excluded by the digit BETWEEN
+# filter, keeping the op total-safe). Expected shares are
+# log10(1 + 1/d) - nine constant cells, same library call both engines,
+# each emitted per-row (never re-summed).
+#
+# Scale notes (100 TB): stateless per-row digit projection into a
+# 9-bucket partial agg; the Benford expectation join is against a
+# 9-row relation.
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    g AS (
+        SELECT digit, count(*) AS n FROM d
+        WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_share,
+           round((CAST(n AS DOUBLE) - total * log10(1 + 1.0 / digit))
+               * (CAST(n AS DOUBLE) - total * log10(1 + 1.0 / digit))
+               / (total * log10(1 + 1.0 / digit)), 6) AS chi2_contrib
+    FROM g CROSS JOIN tot
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = (
+        d.where(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = g.agg(F.sum("n").cast("bigint").alias("total"))
+    nd = F.col("n").cast("double")
+    totd = F.col("total")
+    bshare = F.log10(1 + 1.0 / F.col("digit"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(nd / totd, 6).alias("observed_share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round(
+            (nd - totd * bshare) * (nd - totd * bshare) / (totd * bshare), 6
+        ).alias("chi2_contrib"),
     )

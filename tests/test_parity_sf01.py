@@ -124,6 +124,11 @@ AT_RISK = [
     "weighted_sample_docs",
     "knn_label_accuracy",
     "unigram_logprob_filter",
+    # IEEE-composed slope/r2 at 10x magnitudes; max-|cusum| tie pick;
+    # chi2/log10 boundary rounding at 10x digit counts
+    "daily_trend_ols",
+    "cusum_changepoint_daily",
+    "benford_first_digit",
 ]
 
 pytestmark = pytest.mark.skipif(

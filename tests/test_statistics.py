@@ -138,3 +138,63 @@ def test_seasonal_naive_pairs_are_calendar_exact(spark):
     nd = {r.event_type: r.nd for r in daily}
     for t, pairs in out.items():
         assert pairs <= nd[t] - 7
+
+
+def test_trend_ols_identities(spark):
+    r = registry.QUERIES["daily_trend_ols"](spark, SF_CORRECT).collect()[0]
+    assert 0.0 <= r.r2_value <= 1.0
+    # the regression line passes through the centroid: intercept +
+    # slope*mean(x) == mean(y). Recompute means independently.
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg((F.sum(F.floor(F.col("value") * 1e6)) / 1e6).alias("y"))
+        .collect()
+    )
+    days = sorted(r2.day for r2 in daily)
+    xs = [(d - days[0]).days for d in days]
+    ys = {r2.day: r2.y for r2 in daily}
+    mean_x = sum(xs) / len(xs)
+    mean_y = sum(ys.values()) / len(ys)
+    assert abs((r.intercept_value + r.slope_value * mean_x) - mean_y) < 0.01
+    assert r.n_days == len(daily)
+
+
+def test_cusum_day_in_range_and_nonnegative(spark):
+    r = registry.QUERIES["cusum_changepoint_daily"](spark, SF_CORRECT).collect()[
+        0
+    ]
+    assert r.max_cusum_value >= 0
+    days = (
+        load_table(spark, SF_CORRECT, "events")
+        .select(F.to_date("ts").alias("d"))
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()[0]
+    )
+    assert days.lo <= r.change_day <= days.hi
+
+
+def test_dow_shares_partition_each_type(spark):
+    rows = registry.QUERIES["dow_seasonality_profile"](
+        spark, SF_CORRECT
+    ).collect()
+    per_type: dict[str, float] = {}
+    for r in rows:
+        assert 1 <= r.dow_iso <= 7
+        per_type[r.event_type] = per_type.get(r.event_type, 0.0) + r.share_of_type
+    for t, s in per_type.items():
+        assert abs(s - 1.0) < 1e-4, (t, s)
+
+
+def test_benford_shares_and_chi2(spark):
+    rows = registry.QUERIES["benford_first_digit"](spark, SF_CORRECT).collect()
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_orc_roundtrip_conserves_rows(spark):
+    rows = registry.QUERIES["orc_roundtrip_agg"](spark, SF_CORRECT).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, SF_CORRECT, "events").count()
