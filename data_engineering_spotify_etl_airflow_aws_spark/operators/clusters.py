@@ -51,7 +51,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..tables import load_table
-from .dedup import _DUCK_SHINGLE_BASE, JACCARD_TAU, ngram_jaccard_near_dup
+from .dedup import _DUCK_H32, _DUCK_SHINGLE_BASE, _SPARK_H32, JACCARD_TAU, ngram_jaccard_near_dup
 
 
 def connected_components(
@@ -395,4 +395,160 @@ def _pr_iterate(und: DataFrame) -> DataFrame:
         .select((F.col("node") - _PR_SUPP_OFFSET).alias("suppkey"), "rank")
         .orderBy(F.desc("rank"), "suppkey")
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friend-of-friend supplier recommendation with Adamic-Adar weighting
+# over the bipartite trade graph: for a bounded customer pick, recommend
+# suppliers used by co-customers (customers sharing a supplier) but not
+# by the customer itself, scoring each candidate by sum over connecting
+# co-customers of 1/ln(#suppliers of that co-customer) - the classic
+# common-neighbors recommender where promiscuous neighbors count less.
+# Every hop is an equi-join on cust/supp keys (never all-pairs); the
+# (customer, co-customer) pair set is DISTINCT'd before the second hop
+# so shared-supplier multiplicity cannot double-count a connector. A
+# connector with degree 1 cannot produce a recommendation (its only
+# supplier is the shared one, removed by the ownership anti-join), so
+# ln(deg) is never ln(1)=0 in a surviving row. Per-connector weights
+# are quantized to picounits once; candidate scores are exact integer
+# sums - aggregation-order-free.
+#
+# Edges are REPEAT-trade relationships (>= _FOF_MIN_LINES lineitems
+# between the pair): on the fixtures' near-complete bipartite graph
+# (every supplier serves ~60% of customers) raw edges make any two
+# customers co-customers and the 2-hop fan-out degenerates into
+# all-pairs (measured 45x the runtime at sf0.1); thresholding to
+# repeat relationships is both the standard recommender practice
+# (signal over incidental contact) and the fan-out bound.
+#
+# Scale notes (100 TB): the query pick is fixed-count (20, md5-hash
+# order, TakeOrderedAndProject) and BROADCASTS through both hops, so
+# every join against the edge list streams the big side once;
+# per-candidate top-3 is a 20-key window. The all-customers variant
+# would bound fan-out by degree-capping connectors first - the scoring
+# semantics under test are pick-size-agnostic.
+_FOF_PICK = 20
+_FOF_TOP = 3
+_FOF_MIN_LINES = 2
+_FOF_H_SPARK = _SPARK_H32.format(s="concat('fof:', cast(src as string))")
+_FOF_H_DUCK = _DUCK_H32.format(s="concat('fof:', CAST(src AS VARCHAR))")
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src=custkey, dst=suppkey) REPEAT-trade edges: pairs with at least
+    _FOF_MIN_LINES lineitems - the thresholded sibling of the PageRank
+    edge builder above (see the fan-out note on supplier_recs_fof)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").alias("n_lines"))
+        .where(F.col("n_lines") >= _FOF_MIN_LINES)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "supplier_recs_fof",
+    oracle=f"""
+    WITH edges AS (
+        SELECT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= {_FOF_MIN_LINES}
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    pick AS (
+        SELECT src FROM deg
+        ORDER BY {_FOF_H_DUCK}, src LIMIT {_FOF_PICK}
+    ),
+    conn AS (
+        SELECT DISTINCT a.src AS c0, b.src AS c1
+        FROM edges a
+        JOIN pick p ON p.src = a.src
+        JOIN edges b ON b.dst = a.dst AND b.src != a.src
+    ),
+    cand AS (
+        SELECT conn.c0, e2.dst AS rec, conn.c1
+        FROM conn JOIN edges e2 ON e2.src = conn.c1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges own
+            WHERE own.src = conn.c0 AND own.dst = e2.dst
+        )
+    ),
+    scored AS (
+        SELECT c0, rec,
+               count(*) AS n_connectors,
+               CAST(sum(CAST(floor(1000000000000.0 / ln(deg.d) + 0.5)
+                   AS HUGEINT)) AS BIGINT) AS score_p
+        FROM cand JOIN deg ON deg.src = cand.c1
+        GROUP BY c0, rec
+    )
+    SELECT c0 AS custkey, rec AS rec_suppkey, rank,
+           CAST(n_connectors AS BIGINT) AS n_connectors,
+           round(CAST(score_p AS DOUBLE) / 1000000000000, 6) AS aa_score
+    FROM (
+        SELECT c0, rec, n_connectors, score_p,
+               row_number() OVER (
+                   PARTITION BY c0 ORDER BY score_p DESC, rec
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {_FOF_TOP}
+    """,
+)
+def supplier_recs_fof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pick = (
+        deg.orderBy(F.expr(_FOF_H_SPARK).asc(), F.col("src").asc())
+        .limit(_FOF_PICK)
+        .select("src")
+    )
+    my_edges = edges.join(F.broadcast(pick), "src").select(
+        F.col("src").alias("c0"), F.col("dst").alias("s1")
+    )
+    conn = (
+        my_edges.join(
+            edges.select(F.col("src").alias("c1"), F.col("dst").alias("s1")),
+            "s1",
+        )
+        .where(F.col("c1") != F.col("c0"))
+        .select("c0", "c1")
+        .distinct()
+    )
+    cand = conn.join(
+        edges.select(F.col("src").alias("c1"), F.col("dst").alias("rec")),
+        "c1",
+    ).join(
+        edges.select(F.col("src").alias("c0"), F.col("dst").alias("rec")),
+        ["c0", "rec"],
+        "left_anti",
+    )
+    w_p = F.floor(F.lit(1_000_000_000_000.0) / F.log(F.col("d")) + 0.5).cast(
+        "decimal(38,0)"
+    )
+    scored = (
+        cand.join(deg.select(F.col("src").alias("c1"), "d"), "c1")
+        .groupBy("c0", "rec")
+        .agg(
+            F.count("*").alias("n_connectors"),
+            F.sum(w_p).cast("bigint").alias("score_p"),
+        )
+    )
+    wr = W.partitionBy("c0").orderBy(F.desc("score_p"), "rec")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _FOF_TOP)
+        .select(
+            F.col("c0").alias("custkey"),
+            F.col("rec").alias("rec_suppkey"),
+            "rank",
+            F.col("n_connectors").cast("bigint").alias("n_connectors"),
+            F.round(
+                F.col("score_p").cast("double") / 1_000_000_000_000, 6
+            ).alias("aa_score"),
+        )
     )

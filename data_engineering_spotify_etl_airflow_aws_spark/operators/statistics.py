@@ -787,3 +787,140 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nd - totd * bshare) * (nd - totd * bshare) / (totd * bshare), 6
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit / frequency-cap accounting: flag every event past the first
+# _RL_CAP in its (user, clock-hour) bucket and report the throttle rate
+# per event type - the API-quota / abuse-control primitive, expressed as
+# one ordered window over a high-entropy composite key. Ordering within
+# a bucket is (ts, event_id) - a total order, so the cap boundary is
+# deterministic in both engines.
+#
+# Scale notes (100 TB): the window key (user_id, hour) has per-user-hour
+# cardinality - thousands of tiny groups per executor, no global sort;
+# the rollup after it is a bounded (type) partial agg. This is the exact
+# batch twin of a streaming applyInPandasWithState limiter.
+_RL_CAP = 3
+
+
+@query(
+    "rate_limit_flags",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn > {_RL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_throttled,
+           round(CAST(sum(CASE WHEN rn > {_RL_CAP} THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS throttle_rate
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    wb = W.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    ranked = ev.select(
+        "event_type", F.row_number().over(wb).alias("rn")
+    )
+    throttled = F.sum(F.when(F.col("rn") > _RL_CAP, 1).otherwise(0))
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        throttled.cast("bigint").alias("n_throttled"),
+        F.round(throttled.cast("double") / F.count("*"), 6).alias(
+            "throttle_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly days: flag (event_type, day) totals more
+# than 2 population-sigmas from their own (type, ISO-weekday) mean -
+# the monitoring alarm that doesn't fire every weekend. Division-free
+# z-score: z = (n*v - s) / sqrt(n*sxx - s^2) over exact micro-unit
+# moments, so the 2-sigma comparison and the emitted z are single IEEE
+# sequences on identical integers. Cells with n < 3 days are skipped
+# (sigma of a near-empty cell is noise, and n=1 would divide by zero).
+# The threshold is 1.5 sigma: with the fixtures' ~5 days per cell the
+# population z is mathematically bounded by sqrt(n-1) = 2, so a 2-sigma
+# gate can NEVER fire on a 5-sample cell - 1.5 keeps the gate honest at
+# any cell depth (the alarm semantics are threshold-agnostic).
+#
+# Scale notes (100 TB): one events->(type, day) shuffle; the moment
+# table is bounded (7 x #types) and broadcasts back onto the bounded
+# daily relation.
+_ANOM_SIGMA = 1.5
+_ANOM_MIN_DAYS = 3
+
+
+@query(
+    "dow_adjusted_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               isodow(CAST(ts AS DATE)) AS dow_iso,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT event_type, dow_iso, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx
+        FROM daily GROUP BY event_type, dow_iso
+    )
+    SELECT d.event_type, d.day,
+           round(CAST(v AS DOUBLE) / 1000000, 6) AS day_value,
+           round((n * CAST(v AS DOUBLE) - s)
+               / sqrt(n * sxx - CAST(s AS DOUBLE) * s), 6) AS z_value
+    FROM daily d JOIN m ON m.event_type = d.event_type
+                       AND m.dow_iso = d.dow_iso
+    WHERE n >= {_ANOM_MIN_DAYS}
+      AND abs((n * CAST(v AS DOUBLE) - s)
+              / sqrt(n * sxx - CAST(s AS DOUBLE) * s)) > {_ANOM_SIGMA}
+    """,
+)
+def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.weekday("ts") + 1).alias("dow_iso"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
+        )
+        .groupBy("event_type", "day", "dow_iso")
+        .agg(F.sum("u6").cast("bigint").alias("v"))
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    m = daily.groupBy("event_type", "dow_iso").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(vd * F.col("v")).cast("double").alias("sxx"),
+    )
+    z = (F.col("n") * F.col("v").cast("double") - F.col("s")) / F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("s").cast("double") * F.col("s")
+    )
+    return (
+        daily.join(F.broadcast(m), ["event_type", "dow_iso"])
+        .where((F.col("n") >= _ANOM_MIN_DAYS) & (F.abs(z) > _ANOM_SIGMA))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("v").cast("double") / 1_000_000, 6).alias(
+                "day_value"
+            ),
+            F.round(z, 6).alias("z_value"),
+        )
+    )

@@ -129,6 +129,10 @@ AT_RISK = [
     "daily_trend_ols",
     "cusum_changepoint_daily",
     "benford_first_digit",
+    # Adamic-Adar picounit weights + rank ties at 10x edge density; the
+    # 1.5-sigma gate rides an IEEE z right at the threshold boundary
+    "supplier_recs_fof",
+    "dow_adjusted_anomaly_days",
 ]
 
 pytestmark = pytest.mark.skipif(

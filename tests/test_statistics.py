@@ -198,3 +198,65 @@ def test_orc_roundtrip_conserves_rows(spark):
     rows = registry.QUERIES["orc_roundtrip_agg"](spark, SF_CORRECT).collect()
     total = sum(r.n_events for r in rows)
     assert total == load_table(spark, SF_CORRECT, "events").count()
+
+
+def test_rate_limit_accounting(spark):
+    rows = registry.QUERIES["rate_limit_flags"](spark, SF_CORRECT).collect()
+    ev = load_table(spark, SF_CORRECT, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.n_throttled <= r.n_events
+        assert abs(r.throttle_rate - r.n_throttled / r.n_events) < 1e-6
+    # recompute one bucket by hand: the cap must bind exactly past 3
+    from pyspark.sql.window import Window as W
+
+    wb = W.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    over = (
+        ev.select(F.row_number().over(wb).alias("rn"))
+        .where(F.col("rn") > 3)
+        .count()
+    )
+    assert sum(r.n_throttled for r in rows) == over
+
+
+def test_anomaly_days_exceed_threshold(spark):
+    rows = registry.QUERIES["dow_adjusted_anomaly_days"](
+        spark, SF_CORRECT
+    ).collect()
+    assert rows  # 1.5-sigma must fire on the fixture (see operator note)
+    for r in rows:
+        assert abs(r.z_value) > 1.5
+        assert r.day_value > 0
+
+
+def test_fof_recs_are_novel_and_ranked(spark):
+    rows = registry.QUERIES["supplier_recs_fof"](spark, SF_CORRECT).collect()
+    assert rows
+    orders = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    # ownership in the rec graph = REPEAT-trade edges (>= 2 lineitems),
+    # matching the operator's thresholded edge builder
+    owned = {
+        (r.c, r.s)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .collect()
+    }
+    per_cust: dict[int, list] = {}
+    for r in rows:
+        # a recommendation must be a supplier the customer does NOT use
+        assert (r.custkey, r.rec_suppkey) not in owned
+        assert r.n_connectors >= 1 and r.aa_score > 0
+        per_cust.setdefault(r.custkey, []).append(r)
+    for c, crows in per_cust.items():
+        ranks = sorted(r.rank for r in crows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        by_rank = sorted(crows, key=lambda r: r.rank)
+        scores = [r.aa_score for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
