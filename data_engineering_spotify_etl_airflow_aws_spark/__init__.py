@@ -153,7 +153,8 @@ AUDIT_FIRST: list[str] = [
     #    unigram_logprob_filter, daily_trend_ols,
     #    cusum_changepoint_daily, dow_seasonality_profile,
     #    benford_first_digit, orc_roundtrip_agg, supplier_recs_fof,
-    #    rate_limit_flags, dow_adjusted_anomaly_days).
+    #    rate_limit_flags, dow_adjusted_anomaly_days,
+    #    stream_rate_limit_flags).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -230,3 +230,166 @@ def stateful_running_totals(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rate limiter: the stateful-stream twin of the batch
+# rate_limit_flags operator (operators/statistics.py). Per-user state is
+# ONE (current_hour, count) pair - bounded regardless of stream length -
+# advanced row-by-row in event-time order; every event past the first
+# _SRL_CAP in its (user, clock-hour) bucket is emitted flagged. Exactness
+# rests on the chunk feed's arrival-order == event-time-order guarantee
+# (chunks.py: range-bucketed files, mtimes stamped in range order; equal
+# timestamps never straddle a chunk) plus an in-group (ts, event_id)
+# sort, which together replay the batch window's total order across
+# micro-batch boundaries - so the drained flags match the batch oracle
+# HASH-exactly, not approximately.
+#
+# Scale notes (100 TB/day stream): state is 3 ints per active user,
+# hash-partitioned by user_id; rows cross the Python boundary in Arrow
+# batches; emitted rows are append-only (no retraction), so any
+# append-capable sink works downstream.
+_SRL_CAP = 3  # == statistics._RL_CAP; the parity test pins them equal
+
+SRL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_hour", T.LongType()),
+        T.StructField("cnt_in_hour", T.LongType()),
+    ]
+)
+
+SRL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("throttled", T.LongType()),
+    ]
+)
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def _rate_limit(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        cur_hour, cnt = state.get
+    else:
+        cur_hour, cnt = -1, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # restore the total order inside the micro-batch; order ACROSS
+    # batches is the chunk feed's arrival-order guarantee
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    flags = []
+    for ts_us in pdf["ts_us"]:
+        hour = int(ts_us) // _US_PER_HOUR
+        if hour != cur_hour:
+            cur_hour, cnt = hour, 0
+        cnt += 1
+        flags.append(1 if cnt > _SRL_CAP else 0)
+    state.update((cur_hour, cnt))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "throttled": pd.Series(flags, dtype="int64"),
+        }
+    )
+
+
+def rate_limit_stream(events_stream: DataFrame) -> DataFrame:
+    """events_stream needs (user_id, event_id, event_type, ts_us). Emits
+    one row per input event with its throttle flag; append output."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _rate_limit,
+        outputStructType=SRL_OUTPUT_SCHEMA,
+        stateStructType=SRL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_rate_limit_flags",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn > {_SRL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_throttled,
+           round(CAST(sum(CASE WHEN rn > {_SRL_CAP} THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS throttle_rate
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def stream_rate_limit_flags(spark, sf_dir: str) -> DataFrame:
+    """Drain the chunked event stream through the stateful limiter and
+    roll the per-event flag log up by type - identical columns (and, by
+    the ordering guarantee, identical values) to the batch
+    rate_limit_flags window; the oracle is the same SQL."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from .chunks import plain_event_feed
+
+    base = Path("/tmp/spark_graft_stream/rate_limit")
+    shutil.rmtree(base, ignore_errors=True)
+    chunks = plain_event_feed(spark, sf_dir)
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
+        .parquet(chunks)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    out_dir = str(base / "flags")
+
+    def _append_flags(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rate_limit_stream(stream)
+            .writeStream.foreachBatch(_append_flags)
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    flags = spark.read.parquet(out_dir)
+    throttled = F.sum("throttled")
+    return flags.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        throttled.cast("bigint").alias("n_throttled"),
+        F.round(throttled.cast("double") / F.count("*"), 6).alias(
+            "throttle_rate"
+        ),
+    )

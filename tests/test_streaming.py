@@ -629,3 +629,31 @@ def test_foreachbatch_upsert_random_splits_match_global_agg(spark, tmp_path):
         shutil.rmtree(state, ignore_errors=True)
 
     check()
+
+
+def test_stream_rate_limit_matches_batch_window(spark):
+    """The stateful stream limiter must reproduce the batch window's
+    throttle accounting exactly - and the two caps must stay pinned."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.statistics import (
+        _RL_CAP,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.stateful import (
+        _SRL_CAP,
+    )
+
+    assert _RL_CAP == _SRL_CAP
+    from data_engineering_spotify_etl_airflow_aws_spark import registry
+
+    batch = {
+        r.event_type: (r.n_events, r.n_throttled)
+        for r in registry.QUERIES["rate_limit_flags"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    stream = {
+        r.event_type: (r.n_events, r.n_throttled)
+        for r in registry.QUERIES["stream_rate_limit_flags"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert batch == stream
