@@ -63,6 +63,8 @@ def main() -> int:
         #   (shared with the q9/q11/q16/q20 partsupp analogs)
         "cm_heavy_hitters",  # md5-bucket sketch codegen
         "ema_user_value",  # collect-sort-fold codegen
+        "triangle_count_parts",  # basket-combos + array-intersect codegen
+        #   (shared with item_item_recs' pair build)
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()

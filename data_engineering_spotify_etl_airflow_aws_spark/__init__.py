@@ -154,7 +154,11 @@ AUDIT_FIRST: list[str] = [
     #    cusum_changepoint_daily, dow_seasonality_profile,
     #    benford_first_digit, orc_roundtrip_agg, supplier_recs_fof,
     #    rate_limit_flags, dow_adjusted_anomaly_days,
-    #    stream_rate_limit_flags).
+    #    stream_rate_limit_flags), and the insights batch
+    #    (triangle_count_parts, gini_customer_value,
+    #    kl_divergence_source_lang, item_item_recs,
+    #    last_touch_attribution, user_activity_streaks,
+    #    reciprocal_rank_fusion, dau_mau_stickiness).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.
@@ -184,6 +188,7 @@ def load_all_operators() -> None:
         tpch,
         statistics,
         mlprep,
+        insights,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401

@@ -1,0 +1,122 @@
+"""Semantic checks for the insights operators beyond oracle parity:
+triangle identities on a hand-built graph, Gini bounds, KL cell
+consistency, attribution conservation, streak accounting, RRF list
+properties, stickiness bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+from data_engineering_spotify_etl_airflow_aws_spark import registry
+from data_engineering_spotify_etl_airflow_aws_spark.operators.insights import (
+    part_triangle_stats,
+)
+from data_engineering_spotify_etl_airflow_aws_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+engine.load_all_operators()
+
+
+def test_triangle_stats_on_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant node
+    # 5 attached to 1 (degree 1, no triangle, NULL clustering).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(1, 5)], ["u", "v"])
+    rows = {r.part_key: r for r in part_triangle_stats(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for n in (2, 3, 4):
+        assert rows[n].degree == 3
+        assert rows[n].n_tri == 3
+        assert rows[n].clustering == 1.0
+    assert rows[1].degree == 4
+    assert rows[1].n_tri == 3  # the pendant edge adds no triangle
+    assert math.isclose(rows[1].clustering, 0.5)  # 2*3/(4*3)
+    assert rows[5].degree == 1
+    assert rows[5].n_tri == 0
+    assert rows[5].clustering is None
+
+
+def test_triangle_total_is_one_third_of_node_sum(spark):
+    # every triangle credits exactly its 3 corners, so the per-node
+    # column must sum to 3x the distinct-triangle count
+    df = registry.QUERIES["triangle_count_parts"](spark, SF_CORRECT)
+    total = df.agg(F.sum("n_tri")).collect()[0][0]
+    assert total > 0 and total % 3 == 0
+
+
+def test_gini_bounds_and_segments(spark):
+    rows = registry.QUERIES["gini_customer_value"](spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers > 0 and r.total_cents > 0
+
+
+def test_kl_cells_match_marginals(spark):
+    rows = registry.QUERIES["kl_divergence_source_lang"](
+        spark, SF_CORRECT
+    ).collect()
+    # p sums to 1 within each source, and the per-source KL sum
+    # (the consumer's fold) is non-negative up to rounding of the terms
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for cells in by_source.values():
+        assert math.isclose(sum(c.p_in_source for c in cells), 1.0, rel_tol=1e-9)
+        assert sum(c.kl_term for c in cells) >= -1e-5
+
+
+def test_attribution_conserves_purchases(spark):
+    rows = registry.QUERIES["last_touch_attribution"](
+        spark, SF_CORRECT
+    ).collect()
+    ev = load_table(spark, SF_CORRECT, "events")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r.n_conversions for r in rows) == n_purch
+    assert all(r.touch_type != "purchase" for r in rows)
+
+
+def test_streak_histogram_accounts_every_active_user(spark):
+    rows = registry.QUERIES["user_activity_streaks"](
+        spark, SF_CORRECT
+    ).collect()
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    n_days = (
+        load_table(spark, SF_CORRECT, "events")
+        .select(F.to_date("ts"))
+        .distinct()
+        .count()
+    )
+    assert all(1 <= r.streak_days <= n_days for r in rows)
+
+
+def test_rrf_scores_are_descending_top20(spark):
+    rows = registry.QUERIES["reciprocal_rank_fusion"](
+        spark, SF_CORRECT
+    ).collect()
+    assert len(rows) == 20
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # best possible score is rank 1 on both lists
+    assert scores[0] <= 2.0 / 61.0 + 1e-12
+    assert all(
+        (r.r_qty is not None) or (r.r_rev is not None) for r in rows
+    )
+
+
+def test_stickiness_bounded_by_one(spark):
+    rows = registry.QUERIES["dau_mau_stickiness"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.dau <= r.mau

@@ -133,6 +133,13 @@ AT_RISK = [
     # 1.5-sigma gate rides an IEEE z right at the threshold boundary
     "supplier_recs_fof",
     "dow_adjusted_anomaly_days",
+    # insights batch: jaccard-double window ordering at 10x pair
+    # density; round(p*ln(...), 6) terms; rank-formula Gini over
+    # HUGEINT/decimal moments; RRF double-sum ordering at the top-20 cut
+    "item_item_recs",
+    "kl_divergence_source_lang",
+    "gini_customer_value",
+    "reciprocal_rank_fusion",
 ]
 
 pytestmark = pytest.mark.skipif(
