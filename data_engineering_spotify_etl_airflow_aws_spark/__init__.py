@@ -154,11 +154,13 @@ AUDIT_FIRST: list[str] = [
     #    cusum_changepoint_daily, dow_seasonality_profile,
     #    benford_first_digit, orc_roundtrip_agg, supplier_recs_fof,
     #    rate_limit_flags, dow_adjusted_anomaly_days,
-    #    stream_rate_limit_flags), and the insights batch
+    #    stream_rate_limit_flags), and the insights batches
     #    (triangle_count_parts, gini_customer_value,
     #    kl_divergence_source_lang, item_item_recs,
     #    last_touch_attribution, user_activity_streaks,
-    #    reciprocal_rank_fusion, dau_mau_stickiness).
+    #    reciprocal_rank_fusion, dau_mau_stickiness,
+    #    auc_click_propensity, multi_touch_attribution,
+    #    hhi_supplier_concentration, trending_parts_decayed).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -712,3 +712,316 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-sum (Mann-Whitney) ROC AUC: how well the per-user click count
+# predicts conversion (>= 15 purchases, the ab_conversion_ztest rule, so
+# both classes are populated at every SF). The AUC is computed EXACTLY,
+# ties included, without ranking individual users: collapse to the
+# (score -> n, n_pos) histogram, take tie-averaged ranks as the INTEGER
+# rank2 = 2*cum_prev + n + 1 (twice the average rank), and
+# AUC = (sum_pos rank2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) - integer
+# numerator and denominator, one IEEE division.
+#
+# Scale notes (100 TB): one user_id shuffle for the per-user rollup;
+# the histogram (distinct click-count VALUES) is bounded, so the rank
+# window runs on dozens of rows at any scale - the skew_profile_orders
+# collapse applied to AUC.
+@query(
+    "auc_click_propensity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS score,
+               CASE WHEN count(*) FILTER (event_type = 'purchase') >= 15
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT score, count(*) AS n, sum(label) AS n_pos
+        FROM per_user GROUP BY score
+    ),
+    cum AS (
+        SELECT score, n, n_pos,
+               coalesce(sum(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+        FROM hist
+    ),
+    m AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n - n_pos) AS BIGINT) AS n_neg,
+               CAST(sum(CAST(n_pos AS HUGEINT) * (2 * cum_prev + n + 1))
+                    AS BIGINT) AS pos_rank2
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(pos_rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+    FROM m
+    """,
+)
+def auc_click_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 15, 1
+            )
+            .otherwise(0)
+            .alias("label"),
+        )
+    )
+    hist = per_user.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("label").alias("n_pos")
+    )
+    wprev = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(wprev), F.lit(0)).alias("cum_prev"),
+    )
+    m = cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum_prev") + F.col("n") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("pos_rank2"),
+    )
+    auc = (
+        F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+    ).cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast(
+        "double"
+    )
+    return m.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution - the sibling of last_touch_attribution
+# that splits each purchase's credit EQUALLY across all preceding touch
+# events (1/k each). Per-type preceding counts come from four aggregate
+# functions over ONE user-partitioned window frame; each conversion's
+# per-type credit quantizes to micro-units by INTEGER division
+# (cnt_t * 1e6 div k), so the cross-conversion sums are exact bigints
+# (floating credit fractions would sum in engine-dependent order). The
+# four credit columns unpivot in-row (no extra pass).
+#
+# Scale notes (100 TB): one user_id shuffle for the window, then a
+# 4-key partial agg. Same shape as last_touch_attribution.
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH counted AS (
+        SELECT event_type,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+                   AS c_view,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+                   AS c_click,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w
+                   AS c_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+                   AS c_error
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT coalesce(c_view, 0) AS c_view,
+               coalesce(c_click, 0) AS c_click,
+               coalesce(c_signup, 0) AS c_signup,
+               coalesce(c_error, 0) AS c_error,
+               coalesce(c_view, 0) + coalesce(c_click, 0)
+                   + coalesce(c_signup, 0) + coalesce(c_error, 0) AS k
+        FROM counted WHERE event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT t.touch_type,
+               CASE t.touch_type
+                   WHEN 'view' THEN c_view WHEN 'click' THEN c_click
+                   WHEN 'signup' THEN c_signup ELSE c_error
+               END AS cnt, k
+        FROM conv
+        CROSS JOIN (SELECT unnest(['view', 'click', 'signup', 'error'])
+                    AS touch_type) t
+    )
+    SELECT touch_type,
+           CAST(count(*) FILTER (cnt > 0) AS BIGINT) AS n_conversions_touched,
+           CAST(sum(CASE WHEN k > 0 THEN cnt * 1000000 // k ELSE 0 END)
+                AS BIGINT) AS credit_u6
+    FROM credits GROUP BY touch_type
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touches = ("view", "click", "signup", "error")
+    counted = ev.select(
+        "event_type",
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w),
+                F.lit(0),
+            ).alias(f"c_{t}")
+            for t in touches
+        ],
+    )
+    conv = counted.where(F.col("event_type") == "purchase").withColumn(
+        "k", sum(F.col(f"c_{t}") for t in touches)
+    )
+    credits = conv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("touch_type"),
+                        F.col(f"c_{t}").alias("cnt"),
+                    )
+                    for t in touches
+                ]
+            )
+        ).alias("tc"),
+        "k",
+    ).select("tc.touch_type", "tc.cnt", "k")
+    return credits.groupBy("touch_type").agg(
+        F.count(F.when(F.col("cnt") > 0, 1)).alias("n_conversions_touched"),
+        F.sum(
+            F.when(
+                F.col("k") > 0,
+                F.expr("cnt * 1000000L div k"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("credit_u6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue within each
+# nation - "is this market served by one supplier or many?". HHI =
+# sum(share_i^2) computed as sum(rev_i^2)/total^2 with the squares in
+# decimal(38,0)/HUGEINT (micro-unit revenue squares overflow int64), so
+# the only float ops are the final casts and one division.
+#
+# Scale notes (100 TB): one l_suppkey shuffle for per-supplier revenue,
+# a broadcast-able supplier-dim join, then a nation-keyed agg over the
+# supplier-sized relation. No windows at all.
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_u6
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    by_nation AS (
+        SELECT s.s_nationkey, r.rev_u6
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    ),
+    m AS (
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(rev_u6) AS BIGINT) AS total_rev_u6,
+               sum(CAST(rev_u6 AS HUGEINT) * rev_u6) AS sum_sq
+        FROM by_nation GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, n_suppliers, total_rev_u6,
+           round(CAST(sum_sq AS DOUBLE)
+                 / (CAST(total_rev_u6 AS DOUBLE)
+                    * CAST(total_rev_u6 AS DOUBLE)), 6) AS hhi
+    FROM m
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_u6 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_u6).alias("rev_u6"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    m = (
+        rev.join(F.broadcast(supp), "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("rev_u6").alias("total_rev_u6"),
+            F.sum(
+                F.col("rev_u6").cast("decimal(38,0)") * F.col("rev_u6")
+            ).alias("sum_sq"),
+        )
+    )
+    total_d = F.col("total_rev_u6").cast("double")
+    return m.select(
+        "s_nationkey",
+        "n_suppliers",
+        "total_rev_u6",
+        F.round(F.col("sum_sq").cast("double") / (total_d * total_d), 6).alias(
+            "hhi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending parts: recency-decayed demand score with an EXACT decay rule -
+# weight halves per week of age (weight_u6 = 1e6 div 2^(age_div_7),
+# zero past 30 halvings), so every weight is an integer and the score
+# sum is a bigint; no exp()/pow() float divergence risk. Age anchors on
+# the data-relative max ship date (broadcast 1-row scalar, the
+# recent_topk pattern) - the reference's CURRENT_DATE is the degenerate
+# anchor of the same plan.
+#
+# Scale notes (100 TB): stats-only max() scan + one l_partkey shuffle;
+# the top-20 is map-side TakeOrderedAndProject.
+@query(
+    "trending_parts_decayed",
+    oracle="""
+    WITH anchor AS (SELECT max(l_shipdate) AS maxd FROM lineitem),
+    weighted AS (
+        SELECT l_partkey,
+               1000000 // (1 << least(
+                   date_diff('day', l_shipdate, maxd) // 7, 30)) AS w_u6
+        FROM lineitem CROSS JOIN anchor
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(w_u6) AS BIGINT) AS trend_score_u6
+    FROM weighted GROUP BY l_partkey
+    ORDER BY trend_score_u6 DESC, l_partkey LIMIT 20
+    """,
+)
+def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    anchor = li.agg(F.max("l_shipdate").alias("maxd"))
+    w_u6 = F.expr(
+        "1000000L div shiftleft(1L, least(datediff(maxd, l_shipdate) div 7, 30))"
+    )
+    return (
+        li.join(F.broadcast(anchor))
+        .select("l_partkey", w_u6.alias("w_u6"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum("w_u6").alias("trend_score_u6"),
+        )
+        .orderBy(F.desc("trend_score_u6"), "l_partkey")
+        .limit(20)
+    )

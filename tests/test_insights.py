@@ -120,3 +120,50 @@ def test_stickiness_bounded_by_one(spark):
     for r in rows:
         assert 0.0 < r.stickiness <= 1.0
         assert r.dau <= r.mau
+
+
+def test_auc_bounds_and_class_totals(spark):
+    r = registry.QUERIES["auc_click_propensity"](spark, SF_CORRECT).collect()[0]
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_pos + r.n_neg == n_users
+    assert r.n_pos > 0 and r.n_neg > 0  # threshold keeps both classes alive
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_multi_touch_conserves_credit(spark):
+    rows = registry.QUERIES["multi_touch_attribution"](
+        spark, SF_CORRECT
+    ).collect()
+    assert {r.touch_type for r in rows} == {"view", "click", "signup", "error"}
+    total = sum(r.credit_u6 for r in rows)
+    # conversions with at least one preceding touch each hand out 1e6
+    # micro-units minus at most 4 integer-floor losses
+    last = registry.QUERIES["last_touch_attribution"](
+        spark, SF_CORRECT
+    ).collect()
+    n_touched = sum(r.n_conversions for r in last if r.touch_type != "none")
+    assert (1_000_000 - 4) * n_touched <= total <= 1_000_000 * n_touched
+
+
+def test_hhi_between_uniform_and_monopoly(spark):
+    for r in registry.QUERIES["hhi_supplier_concentration"](
+        spark, SF_CORRECT
+    ).collect():
+        assert r.n_suppliers > 0
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0
+
+
+def test_trending_scores_bounded_and_sorted(spark):
+    rows = registry.QUERIES["trending_parts_decayed"](
+        spark, SF_CORRECT
+    ).collect()
+    assert len(rows) == 20
+    scores = [r.trend_score_u6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 <= r.trend_score_u6 <= 1_000_000 * r.n_lineitems

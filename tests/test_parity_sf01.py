@@ -140,6 +140,10 @@ AT_RISK = [
     "kl_divergence_source_lang",
     "gini_customer_value",
     "reciprocal_rank_fusion",
+    # insights batch 2: round(6) divisions whose numerators ride exact
+    # integer moments at 10x magnitudes (AUC rank sums, HHI squares)
+    "auc_click_propensity",
+    "hhi_supplier_concentration",
 ]
 
 pytestmark = pytest.mark.skipif(
