@@ -160,7 +160,8 @@ AUDIT_FIRST: list[str] = [
     #    last_touch_attribution, user_activity_streaks,
     #    reciprocal_rank_fusion, dau_mau_stickiness,
     #    auc_click_propensity, multi_touch_attribution,
-    #    hhi_supplier_concentration, trending_parts_decayed).
+    #    hhi_supplier_concentration, trending_parts_decayed,
+    #    stream_rest_api_songs).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.
@@ -173,6 +174,7 @@ def load_all_operators() -> None:
     AUDIT_FIRST (tail keeps original registration order). Idempotent."""
     from .pipeline import transforms, sql_api  # noqa: F401
     from .sources import csv_source, json_recovery, rest_api  # noqa: F401
+    from .sources import rest_api_stream  # noqa: F401
     from .streaming import aggregations, ingest  # noqa: F401
     from .operators import (  # noqa: F401
         relational,

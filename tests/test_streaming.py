@@ -657,3 +657,42 @@ def test_stream_rate_limit_matches_batch_window(spark):
         ).collect()
     }
     assert batch == stream
+
+
+def test_rest_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The page-cursor offset must survive a restart: a single-batch run
+    commits exactly one page; a second query on the SAME checkpoint must
+    drain only the remaining pages (no replay, no skip)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.sources.rest_api_stream import (
+        register_rest_stream_source,
+    )
+
+    register_rest_stream_source(spark)
+    base = tmp_path / "rest_stream"
+
+    def start(trigger_once: bool):
+        w = (
+            spark.readStream.format("playlist_rest_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(base / "data"))
+            .option("checkpointLocation", str(base / "checkpoint"))
+        )
+        if trigger_once:
+            w = w.trigger(once=True)
+        return w.start()
+
+    q = start(trigger_once=True)
+    q.awaitTermination()
+    first = spark.read.parquet(str(base / "data"))
+    assert first.count() == 50  # exactly the first page
+    assert first.select("scrape_date").distinct().count() == 1
+
+    q2 = start(trigger_once=False)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    back = spark.read.parquet(str(base / "data"))
+    assert back.count() == 150
+    # every (page, rank) appears exactly once: resumed, not replayed
+    assert back.select("scrape_date", "rank").distinct().count() == 150
