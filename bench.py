@@ -125,6 +125,11 @@ def main() -> int:
         )
 
         ensure_orc_events(spark, sf_dir)
+        from data_engineering_spotify_etl_airflow_aws_spark.operators.maintenance import (
+            ensure_fragmented_events,
+        )
+
+        ensure_fragmented_events(spark, sf_dir)
     except Exception:
         pass
     spark.catalog.clearCache()

@@ -161,7 +161,7 @@ AUDIT_FIRST: list[str] = [
     #    reciprocal_rank_fusion, dau_mau_stickiness,
     #    auc_click_propensity, multi_touch_attribution,
     #    hhi_supplier_concentration, trending_parts_decayed,
-    #    stream_rest_api_songs).
+    #    stream_rest_api_songs, kmv_user_overlap, compact_small_files).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.
@@ -193,6 +193,7 @@ def load_all_operators() -> None:
         statistics,
         mlprep,
         insights,
+        maintenance,
     )
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401

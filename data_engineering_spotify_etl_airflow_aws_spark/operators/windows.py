@@ -800,3 +800,275 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bounce.cast("double") / F.count("*")).alias("bounce_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET-INTERSECTION
+# estimation - the capability HLL-style sketches (sketch_rollup_users
+# above) lack: HLL unions merge losslessly but intersections need
+# inclusion-exclusion with compounding error, while KMV supports a
+# direct intersection estimate from sketch membership (Beyer et al.,
+# "On synopses for distinct-value estimation under multiset operations",
+# SIGMOD'07). Per event type, the sketch is the K smallest distinct
+# 32-bit md5 values of the audience's user ids; for each type pair the
+# combined sketch is the K smallest of the union, Jaccard is estimated
+# by the fraction of combined-sketch members present in BOTH input
+# sketches, and intersection = jaccard * union_estimate.
+#
+# Like the other sketch queries, the registered query emits (approx,
+# exact, within-bound) so the driver hash-checks the sketch path against
+# the exact path in one row set - the exact twin's cost is part of the
+# measured number by design.
+#
+# Determinism: hashes, rank cutoffs, and membership counts are exact
+# integers in both engines (same md5 prefix rule); the estimates are
+# single IEEE divisions/products in mirrored order. Saturated sketches
+# (distinct < K) fall back to the in-sketch count, making small SFs
+# exact by construction.
+#
+# Scale notes (100 TB): one (type, hash) distinct shuffle over events,
+# then every downstream relation is bounded (T sketches of K rows,
+# T^2/2 pairs) - windows and joins all run on <= T*K rows. The exact
+# twin costs one more (user, type) distinct shuffle; drop it in
+# production and the sketch path alone touches events once.
+_KMV_K = 64
+_KMV_H_SPARK = None  # built lazily below (needs dedup's hash macro)
+
+
+def _kmv_sketch_sql(h32: str) -> str:
+    return f"""
+    uh AS (
+        SELECT DISTINCT event_type,
+               {h32} AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, row_number() OVER (
+                PARTITION BY event_type ORDER BY h) AS rn
+            FROM uh
+        ) WHERE rn <= {_KMV_K}
+    ),
+    tpairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ),
+    allh AS (
+        SELECT DISTINCT p.type_a, p.type_b, s.h
+        FROM tpairs p JOIN sk s
+          ON s.event_type = p.type_a OR s.event_type = p.type_b
+    ),
+    comb AS (
+        SELECT type_a, type_b, h FROM (
+            SELECT type_a, type_b, h, row_number() OVER (
+                PARTITION BY type_a, type_b ORDER BY h) AS rn
+            FROM allh
+        ) WHERE rn <= {_KMV_K}
+    ),
+    flags AS (
+        SELECT c.type_a, c.type_b, c.h,
+               CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                    THEN 1 ELSE 0 END AS in_both
+        FROM comb c
+        LEFT JOIN sk sa ON sa.event_type = c.type_a AND sa.h = c.h
+        LEFT JOIN sk sb ON sb.event_type = c.type_b AND sb.h = c.h
+    ),
+    pairstats AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_comb,
+               CAST(max(h) AS BIGINT) AS hk,
+               CAST(sum(in_both) AS BIGINT) AS n_both
+        FROM flags GROUP BY type_a, type_b
+    ),
+    ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    exact_cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                  FROM ut GROUP BY event_type),
+    exact_pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    """
+
+
+def _register_kmv() -> None:
+    from .dedup import _DUCK_H32, _SPARK_H32
+
+    h_duck = _DUCK_H32.format(s="concat('kmv-', CAST(user_id AS VARCHAR))")
+    h_spark = _SPARK_H32.format(s="concat('kmv-', cast(user_id as string))")
+    k = _KMV_K
+
+    @query(
+        "kmv_user_overlap",
+        oracle=f"""
+        WITH {_kmv_sketch_sql(h_duck)}
+        SELECT p.type_a, p.type_b,
+               CASE WHEN p.n_comb < {k} THEN CAST(p.n_comb AS DOUBLE)
+                    ELSE CAST(CAST({k - 1} AS BIGINT) * 4294967296 AS DOUBLE)
+                         / CAST(p.hk AS DOUBLE) END AS est_union,
+               ca.c + cb.c - e.exact_inter AS exact_union,
+               round((CAST(p.n_both AS DOUBLE) / p.n_comb)
+                     * (CASE WHEN p.n_comb < {k} THEN CAST(p.n_comb AS DOUBLE)
+                             ELSE CAST(CAST({k - 1} AS BIGINT) * 4294967296
+                                       AS DOUBLE) / CAST(p.hk AS DOUBLE) END),
+                     4) AS est_intersection,
+               e.exact_inter,
+               CASE WHEN abs((CASE WHEN p.n_comb < {k}
+                                   THEN CAST(p.n_comb AS DOUBLE)
+                                   ELSE CAST(CAST({k - 1} AS BIGINT)
+                                        * 4294967296 AS DOUBLE)
+                                        / CAST(p.hk AS DOUBLE) END)
+                             - (ca.c + cb.c - e.exact_inter))
+                         <= 0.45 * (ca.c + cb.c - e.exact_inter)
+                    THEN 1 ELSE 0 END AS union_within,
+               CASE WHEN abs((CAST(p.n_both AS DOUBLE) / p.n_comb)
+                             * (CASE WHEN p.n_comb < {k}
+                                     THEN CAST(p.n_comb AS DOUBLE)
+                                     ELSE CAST(CAST({k - 1} AS BIGINT)
+                                          * 4294967296 AS DOUBLE)
+                                          / CAST(p.hk AS DOUBLE) END)
+                             - e.exact_inter) <= 0.45 * e.exact_inter
+                    THEN 1 ELSE 0 END AS inter_within
+        FROM pairstats p
+        JOIN exact_pair e ON e.type_a = p.type_a AND e.type_b = p.type_b
+        JOIN exact_cnt ca ON ca.event_type = p.type_a
+        JOIN exact_cnt cb ON cb.event_type = p.type_b
+        """,
+    )
+    def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+        uh = ev.select(
+            "event_type", F.expr(h_spark).alias("h")
+        ).distinct()
+        wsk = W.partitionBy("event_type").orderBy("h")
+        sk = (
+            uh.withColumn("rn", F.row_number().over(wsk))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+        types = ev.select("event_type").distinct()
+        tpairs = (
+            types.select(F.col("event_type").alias("type_a"))
+            .join(
+                F.broadcast(types.select(F.col("event_type").alias("type_b"))),
+                F.col("type_a") < F.col("type_b"),
+            )
+        )
+        allh = (
+            tpairs.join(
+                F.broadcast(sk),
+                (F.col("event_type") == F.col("type_a"))
+                | (F.col("event_type") == F.col("type_b")),
+            )
+            .select("type_a", "type_b", "h")
+            .distinct()
+        )
+        wc = W.partitionBy("type_a", "type_b").orderBy("h")
+        comb = (
+            allh.withColumn("rn", F.row_number().over(wc))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+        sa = sk.select(
+            F.col("event_type").alias("type_a"), F.col("h").alias("ha")
+        )
+        sb = sk.select(
+            F.col("event_type").alias("type_b"), F.col("h").alias("hb")
+        )
+        flags = (
+            comb.join(
+                F.broadcast(sa),
+                (sa.type_a == comb.type_a) & (F.col("ha") == comb.h),
+                "left",
+            )
+            .join(
+                F.broadcast(sb),
+                (sb.type_b == comb.type_b) & (F.col("hb") == comb.h),
+                "left",
+            )
+            .select(
+                comb.type_a,
+                comb.type_b,
+                comb.h,
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                )
+                .otherwise(0)
+                .alias("in_both"),
+            )
+        )
+        pairstats = flags.groupBy("type_a", "type_b").agg(
+            F.count("*").alias("n_comb"),
+            F.max("h").alias("hk"),
+            F.sum("in_both").cast("bigint").alias("n_both"),
+        )
+        ut = ev.distinct().select("user_id", "event_type")
+        exact_cnt = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+        ua = ut.select("user_id", F.col("event_type").alias("type_a"))
+        ub = ut.select("user_id", F.col("event_type").alias("type_b"))
+        exact_pair = (
+            ua.join(ub, "user_id")
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("exact_inter"))
+        )
+        est_union = F.when(
+            F.col("n_comb") < k, F.col("n_comb").cast("double")
+        ).otherwise(
+            F.lit(float((k - 1) * 4294967296))
+            / F.col("hk").cast("double")
+        )
+        est_inter = (
+            F.col("n_both").cast("double") / F.col("n_comb")
+        ) * est_union
+        exact_union = F.col("ca") + F.col("cb") - F.col("exact_inter")
+        return (
+            pairstats.join(exact_pair, ["type_a", "type_b"])
+            .join(
+                F.broadcast(
+                    exact_cnt.select(
+                        F.col("event_type").alias("type_a"),
+                        F.col("c").alias("ca"),
+                    )
+                ),
+                "type_a",
+            )
+            .join(
+                F.broadcast(
+                    exact_cnt.select(
+                        F.col("event_type").alias("type_b"),
+                        F.col("c").alias("cb"),
+                    )
+                ),
+                "type_b",
+            )
+            .select(
+                "type_a",
+                "type_b",
+                est_union.alias("est_union"),
+                exact_union.cast("bigint").alias("exact_union"),
+                F.round(est_inter, 4).alias("est_intersection"),
+                "exact_inter",
+                F.when(
+                    F.abs(est_union - exact_union.cast("double"))
+                    <= 0.45 * exact_union.cast("double"),
+                    1,
+                )
+                .otherwise(0)
+                .alias("union_within"),
+                F.when(
+                    F.abs(est_inter - F.col("exact_inter").cast("double"))
+                    <= 0.45 * F.col("exact_inter").cast("double"),
+                    1,
+                )
+                .otherwise(0)
+                .alias("inter_within"),
+            )
+        )
+
+
+_register_kmv()

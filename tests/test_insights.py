@@ -167,3 +167,25 @@ def test_trending_scores_bounded_and_sorted(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert 0 <= r.trend_score_u6 <= 1_000_000 * r.n_lineitems
+
+
+def test_kmv_overlap_identities(spark):
+    rows = registry.QUERIES["kmv_user_overlap"](spark, SF_CORRECT).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        # set algebra on the exact side
+        assert r.exact_inter <= r.exact_union
+        # estimates are positive and the intersection estimate can never
+        # exceed the union estimate (jaccard <= 1; est_intersection is
+        # rounded to 4 decimals, so allow that much slack)
+        assert 0 < r.est_intersection <= r.est_union + 1e-4
+        assert r.union_within == 1 and r.inter_within == 1
+
+
+def test_compaction_preserves_content_and_reduces_files(spark):
+    r = registry.QUERIES["compact_small_files"](spark, SF_CORRECT).collect()[0]
+    assert r.n_files_before == 64
+    assert r.n_files_after == 8
+    n_events = load_table(spark, SF_CORRECT, "events").count()
+    assert r.n_rows == n_events

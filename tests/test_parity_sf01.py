@@ -144,6 +144,9 @@ AT_RISK = [
     # integer moments at 10x magnitudes (AUC rank sums, HHI squares)
     "auc_click_propensity",
     "hhi_supplier_concentration",
+    # KMV estimates ride IEEE divisions against 0.45x threshold flags
+    # whose inputs shift with the 10x audience
+    "kmv_user_overlap",
 ]
 
 pytestmark = pytest.mark.skipif(
