@@ -161,7 +161,9 @@ AUDIT_FIRST: list[str] = [
     #    reciprocal_rank_fusion, dau_mau_stickiness,
     #    auc_click_propensity, multi_touch_attribution,
     #    hhi_supplier_concentration, trending_parts_decayed,
-    #    stream_rest_api_songs, kmv_user_overlap, compact_small_files).
+    #    stream_rest_api_songs, kmv_user_overlap, compact_small_files,
+    #    psi_value_drift, column_entropy_profile, time_to_convert_hours,
+    #    calibration_curve_clicks).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

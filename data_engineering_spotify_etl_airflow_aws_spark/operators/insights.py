@@ -1025,3 +1025,144 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("trend_score_u6"), "l_partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert funnel timing: hours from each user's FIRST view to
+# their first purchase AFTER that view, as an (hours, n_users)
+# histogram - the latency distribution behind "how long does the funnel
+# take?". Bounded output (calendar hours); all arithmetic is exact
+# integer micros.
+#
+# Scale notes (100 TB): two user_id-keyed partial aggs (first view,
+# first qualifying purchase) joined on user_id - co-partitioned, no
+# extra exchange - then a bounded-key histogram agg.
+@query(
+    "time_to_convert_hours",
+    oracle="""
+    WITH first_view AS (
+        SELECT user_id, min(epoch_us(ts)) AS tv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+        FROM events e JOIN first_view v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.tv
+        GROUP BY e.user_id
+    )
+    SELECT CAST((p.tp - v.tv) // 3600000000 AS BIGINT) AS hours_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM first_view v JOIN first_purchase p ON p.user_id = v.user_id
+    GROUP BY 1
+    """,
+)
+def time_to_convert_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tv"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("us") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tp"), F.first("tv").alias("tv"))
+    )
+    return (
+        first_purchase.select(
+            F.expr("(tp - tv) div 3600000000L").alias("hours_to_convert")
+        )
+        .groupBy("hours_to_convert")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability) curve for the click-propensity score graded
+# by auc_click_propensity: users bucketed into score deciles, conversion
+# rate per bucket. Decile assignment is HISTOGRAM-based, not a global
+# ntile: each distinct score's bucket is floor(cum_prev * 10 / n_users)
+# (the bucket of its first member in score order), so the window runs on
+# the bounded score histogram and tied scores land in one bucket
+# together - deterministic and scale-safe where a users-wide ntile
+# window is not. Buckets are therefore slightly uneven around heavy
+# ties by construction (documented trade-off).
+#
+# Scale notes (100 TB): one user_id shuffle, then the score histogram
+# (bounded distinct values) carries the window and the bucket agg.
+@query(
+    "calibration_curve_clicks",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS score,
+               CASE WHEN count(*) FILTER (event_type = 'purchase') >= 15
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT score, count(*) AS n, sum(label) AS n_pos
+        FROM per_user GROUP BY score
+    ),
+    cum AS (
+        SELECT score, n, n_pos,
+               coalesce(sum(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev,
+               sum(n) OVER () AS n_total
+        FROM hist
+    )
+    SELECT CAST(cum_prev * 10 // n_total AS BIGINT) AS score_decile,
+           CAST(sum(n) AS BIGINT) AS n_users,
+           CAST(sum(n_pos) AS BIGINT) AS n_converted,
+           CAST(sum(n_pos) AS DOUBLE) / sum(n) AS conv_rate,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM cum GROUP BY 1
+    """,
+)
+def calibration_curve_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 15, 1
+            )
+            .otherwise(0)
+            .alias("label"),
+        )
+    )
+    hist = per_user.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("label").alias("n_pos")
+    )
+    wprev = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "score",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(wprev), F.lit(0)).alias("cum_prev"),
+        F.sum("n").over(wall).alias("n_total"),
+    )
+    return (
+        cum.groupBy(
+            F.expr("cum_prev * 10 div n_total").alias("score_decile")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_users"),
+            F.sum("n_pos").cast("bigint").alias("n_converted"),
+            (
+                F.sum("n_pos").cast("double") / F.sum("n")
+            ).alias("conv_rate"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )

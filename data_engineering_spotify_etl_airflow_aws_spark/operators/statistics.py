@@ -1,8 +1,9 @@
 """Statistical / time-series analytics operators: autocorrelation,
 seasonal-naive forecast error, winsorized moments, leakage-free target
 encoding, join-key skew profiling, pointwise mutual information, OLS
-trend, CUSUM changepoint, day-of-week seasonality, and the Benford
-first-digit test.
+trend, CUSUM changepoint, day-of-week seasonality, the Benford
+first-digit test, PSI distribution drift, and categorical-column
+entropy profiling.
 
 These widen the warehouse surface past the reference's flat aggregates
 (SURVEY.md §2a stops at GROUP BY + AVG/COUNT) toward the diagnostics a
@@ -923,4 +924,188 @@ def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(z, 6).alias("z_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) drift report: the first vs the last
+# calendar week of the value distribution, per event type, over 10
+# fixed-width buckets - the ML-monitoring standard for "did my feature
+# distribution move?". Emitted PER CELL (type, bucket): baseline/current
+# counts, exact shares, and psi_term = (q - p) * ln(q / p) rounded to 6
+# (the pmi_lang_source ln pattern); cells empty on either side emit a
+# NULL term (the consumer's epsilon policy is theirs to choose), so no
+# engine-dependent float summation ever happens - the per-type PSI is
+# the reader's bounded fold.
+#
+# Scale notes (100 TB): two stats-only min/max scans broadcast the week
+# anchors; one (type, bucket, week) partial agg over events; everything
+# downstream is bounded (types x 10 buckets).
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH anchors AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    bucketed AS (
+        SELECT event_type,
+               least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+               CASE WHEN CAST(ts AS DATE) < d0 + 7 THEN 'base'
+                    WHEN CAST(ts AS DATE) > d1 - 7 THEN 'cur'
+               END AS wk
+        FROM events CROSS JOIN anchors
+    ),
+    cells AS (
+        SELECT event_type, bucket,
+               CAST(count(*) FILTER (wk = 'base') AS BIGINT) AS n_base,
+               CAST(count(*) FILTER (wk = 'cur') AS BIGINT) AS n_cur
+        FROM bucketed WHERE wk IS NOT NULL
+        GROUP BY event_type, bucket
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(n_base) AS BIGINT) AS t_base,
+               CAST(sum(n_cur) AS BIGINT) AS t_cur
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.bucket, c.n_base, c.n_cur,
+           CAST(c.n_base AS DOUBLE) / t.t_base AS p_base,
+           CAST(c.n_cur AS DOUBLE) / t.t_cur AS p_cur,
+           CASE WHEN c.n_base > 0 AND c.n_cur > 0 THEN
+               round((CAST(c.n_cur AS DOUBLE) / t.t_cur
+                      - CAST(c.n_base AS DOUBLE) / t.t_base)
+                     * ln((CAST(c.n_cur AS DOUBLE) * t.t_base)
+                          / (CAST(c.n_base AS DOUBLE) * t.t_cur)), 6)
+           END AS psi_term
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("day")
+    )
+    anchors = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    wk = (
+        F.when(F.col("day") < F.date_add(F.col("d0"), 7), "base")
+        .when(F.col("day") > F.date_sub(F.col("d1"), 7), "cur")
+    )
+    bucket = F.least(
+        F.floor(F.col("value") / 50).cast("bigint"), F.lit(9).cast("bigint")
+    )
+    cells = (
+        ev.join(F.broadcast(anchors))
+        .select("event_type", bucket.alias("bucket"), wk.alias("wk"))
+        .where(F.col("wk").isNotNull())
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.when(F.col("wk") == "base", 1)).alias("n_base"),
+            F.count(F.when(F.col("wk") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    nb, nc = F.col("n_base").cast("double"), F.col("n_cur").cast("double")
+    tb, tc = F.col("t_base"), F.col("t_cur")
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            (nc / tc - nb / tb) * F.log((nc * tb) / (nb * tc)), 6
+        ),
+    )
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        "n_base",
+        "n_cur",
+        (nb / tb).alias("p_base"),
+        (nc / tc).alias("p_cur"),
+        term.alias("psi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical-column entropy profile across the warehouse: Shannon
+# entropy (nats) of every low-cardinality string column the suite
+# queries group by - the profiling number behind "is this column worth
+# bucketing/encoding?". Each column's entropy is a sum over its
+# categories of p*ln(1/p); to keep the cross-category SUM deterministic
+# the per-category terms quantize to nano-units FIRST
+# (floor(p*ln(1/p)*1e9), the unigram_logprob_filter rule) and the sum
+# runs on exact bigints. One bounded row per column.
+#
+# Scale notes (100 TB): each profiled column is one partial-agg scan
+# into a bounded category set; the six scans are independent (a real
+# profiler batches them per table - here they stay separate so each
+# stays one narrow-column scan).
+@query(
+    "column_entropy_profile",
+    oracle="""
+    WITH src AS (
+        SELECT 'events.event_type' AS column_name, event_type AS v FROM events
+        UNION ALL
+        SELECT 'orders.o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'documents.lang', lang FROM documents
+        UNION ALL
+        SELECT 'documents.source', source FROM documents
+        UNION ALL
+        SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+    ),
+    cat AS (
+        SELECT column_name, v, count(*) AS c FROM src GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT column_name, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM cat GROUP BY column_name
+    ),
+    terms AS (
+        SELECT c.column_name,
+               CAST(floor((CAST(c.c AS DOUBLE) / t.n)
+                          * ln(CAST(t.n AS DOUBLE) / c.c) * 1000000000)
+                    AS BIGINT) AS e9
+        FROM cat c JOIN tot t ON t.column_name = c.column_name
+    )
+    SELECT t.column_name, t.n AS n_rows, t.n_distinct,
+           CAST(sum(e9) AS BIGINT) AS entropy_n9
+    FROM terms s
+    JOIN tot t ON t.column_name = s.column_name
+    GROUP BY t.column_name, t.n, t.n_distinct
+    """,
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = (
+        ("events", "event_type"),
+        ("orders", "o_orderstatus"),
+        ("orders", "o_orderpriority"),
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("customer", "c_mktsegment"),
+    )
+    src = None
+    for tbl, col in cols:
+        part = load_table(spark, sf_dir, tbl).select(
+            F.lit(f"{tbl}.{col}").alias("column_name"), F.col(col).alias("v")
+        )
+        src = part if src is None else src.unionAll(part)
+    cat = src.groupBy("column_name", "v").agg(F.count("*").alias("c"))
+    tot = cat.groupBy("column_name").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    e9 = F.floor(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * 1_000_000_000
+    ).cast("bigint")
+    return (
+        cat.join(F.broadcast(tot), "column_name")
+        .select("column_name", "n", "n_distinct", e9.alias("e9"))
+        .groupBy("column_name", F.col("n").alias("n_rows"), "n_distinct")
+        .agg(F.sum("e9").cast("bigint").alias("entropy_n9"))
     )

@@ -189,3 +189,54 @@ def test_compaction_preserves_content_and_reduces_files(spark):
     assert r.n_files_after == 8
     n_events = load_table(spark, SF_CORRECT, "events").count()
     assert r.n_rows == n_events
+
+
+def test_psi_shares_sum_to_one_per_type(spark):
+    rows = registry.QUERIES["psi_value_drift"](spark, SF_CORRECT).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    for cells in by_type.values():
+        assert math.isclose(sum(c.p_base for c in cells), 1.0, rel_tol=1e-9)
+        assert math.isclose(sum(c.p_cur for c in cells), 1.0, rel_tol=1e-9)
+        assert all(0 <= c.bucket <= 9 for c in cells)
+
+
+def test_entropy_bounded_by_log_cardinality(spark):
+    rows = registry.QUERIES["column_entropy_profile"](
+        spark, SF_CORRECT
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.entropy_n9 <= math.log(r.n_distinct) * 1e9 + 1
+        assert r.n_distinct <= r.n_rows
+
+
+def test_time_to_convert_covers_subset_of_users(spark):
+    rows = registry.QUERIES["time_to_convert_hours"](
+        spark, SF_CORRECT
+    ).collect()
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < sum(r.n_users for r in rows) <= n_users
+    assert all(r.hours_to_convert >= 0 for r in rows)
+
+
+def test_calibration_partitions_all_users(spark):
+    rows = registry.QUERIES["calibration_curve_clicks"](
+        spark, SF_CORRECT
+    ).collect()
+    auc_row = registry.QUERIES["auc_click_propensity"](
+        spark, SF_CORRECT
+    ).collect()[0]
+    assert sum(r.n_users for r in rows) == auc_row.n_pos + auc_row.n_neg
+    assert sum(r.n_converted for r in rows) == auc_row.n_pos
+    for r in rows:
+        assert 0 <= r.score_decile <= 9
+        assert 0.0 <= r.conv_rate <= 1.0
+        assert r.min_score <= r.max_score
