@@ -163,7 +163,9 @@ AUDIT_FIRST: list[str] = [
     #    hhi_supplier_concentration, trending_parts_decayed,
     #    stream_rest_api_songs, kmv_user_overlap, compact_small_files,
     #    psi_value_drift, column_entropy_profile, time_to_convert_hours,
-    #    calibration_curve_clicks).
+    #    calibration_curve_clicks, new_vs_returning_daily,
+    #    repeat_purchase_gap_days, abc_classification_parts,
+    #    rollup_share_of_parent).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

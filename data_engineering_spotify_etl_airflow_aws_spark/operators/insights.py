@@ -1166,3 +1166,266 @@ def calibration_curve_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("max_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day - the growth dashboard's core split. A
+# user is "new" on their first active day (min day over the stream) and
+# "returning" on later active days. Two co-keyed aggregates; all counts
+# exact integers, bounded output (calendar days).
+#
+# Scale notes (100 TB): distinct (user, day) then a user_id-keyed min;
+# the day-level rollups are bounded-key partial aggs. The first-day
+# relation joins back on user_id - co-partitioned with the distinct.
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    fd AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id)
+    SELECT a.day,
+           CAST(count(*) FILTER (a.day = f.first_day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (a.day > f.first_day) AS BIGINT)
+               AS returning_users
+    FROM act a JOIN fd f ON f.user_id = a.user_id
+    GROUP BY a.day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    fd = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        act.join(fd, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase cadence: the distribution of day gaps between a
+# user's consecutive purchases - "how often do buyers come back?". One
+# user-partitioned lag window over purchase events, then a bounded
+# histogram (gap days <= calendar span). Exact date arithmetic.
+#
+# Scale notes (100 TB): purchases filter pushes to the scan; one
+# user_id shuffle for the lag; bounded-key agg.
+@query(
+    "repeat_purchase_gap_days",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(CAST(ts AS DATE) - CAST(prev_ts AS DATE) AS BIGINT)
+               AS gap_days,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM p WHERE prev_ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def repeat_purchase_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.withColumn("prev_ts", F.lag("ts").over(w)).where(
+        F.col("prev_ts").isNotNull()
+    )
+    return (
+        gaps.select(
+            F.datediff(F.to_date("ts"), F.to_date("prev_ts"))
+            .cast("bigint")
+            .alias("gap_days")
+        )
+        .groupBy("gap_days")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by revenue within each brand:
+# class A = parts covering the first 80% of brand revenue, B = to 95%,
+# C = the tail - the inventory-policy classifier. Ranked windows are
+# PARTITIONED BY brand (bounded partition count); class boundaries
+# compare exact integer cumulative micro-revenue by cross-multiplication
+# (cum*100 <= 80*total), so no float ever decides a class.
+#
+# Scale notes (100 TB): one l_partkey shuffle for per-part revenue, a
+# broadcast part-dim join for the brand, then per-brand windows over
+# the part aggregate (dimension-sized, partition-parallel).
+@query(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_u6
+        FROM lineitem GROUP BY l_partkey
+    ),
+    branded AS (
+        SELECT p.p_brand, r.rev_u6,
+               sum(r.rev_u6) OVER (PARTITION BY p.p_brand) AS total,
+               sum(r.rev_u6) OVER (
+                   PARTITION BY p.p_brand
+                   ORDER BY r.rev_u6 DESC, r.l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM rev r JOIN part p ON p.p_partkey = r.l_partkey
+    ),
+    classed AS (
+        SELECT p_brand, rev_u6,
+               CASE WHEN CAST(cum AS HUGEINT) * 100
+                         <= CAST(total AS HUGEINT) * 80 THEN 'A'
+                    WHEN CAST(cum AS HUGEINT) * 100
+                         <= CAST(total AS HUGEINT) * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM branded
+    )
+    SELECT p_brand, abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_u6) AS BIGINT) AS class_rev_u6
+    FROM classed GROUP BY p_brand, abc_class
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_u6 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_u6).alias("rev_u6"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    wtot = W.partitionBy("p_brand")
+    wcum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.desc("rev_u6"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    branded = rev.join(F.broadcast(part), "l_partkey").select(
+        "p_brand",
+        "rev_u6",
+        "l_partkey",
+        F.sum("rev_u6").over(wtot).alias("total"),
+        F.sum("rev_u6").over(wcum).alias("cum"),
+    )
+    cum_d = F.col("cum").cast("decimal(38,0)")
+    tot_d = F.col("total").cast("decimal(38,0)")
+    abc = (
+        F.when(cum_d * 100 <= tot_d * 80, "A")
+        .when(cum_d * 100 <= tot_d * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        branded.select("p_brand", "rev_u6", abc.alias("abc_class"))
+        .groupBy("p_brand", "abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_u6").alias("class_rev_u6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent rollup: revenue by region -> nation with each nation's
+# share of its region (and each region's share of the total) - the
+# drill-down percentage every BI rollup shows next to the absolute. The
+# hierarchy relations are bounded (5 regions, 25 nations), so the
+# share windows run on the bounded rollup result; shares are single
+# IEEE divisions of exact integer revenue.
+#
+# Scale notes (100 TB): one suppkey-keyed revenue agg, broadcast dim
+# joins (supplier -> nation -> region), nation-level partial agg, then
+# windows over <= 25 rows.
+@query(
+    "rollup_share_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_u6
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    by_nation AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(v.rev_u6) AS BIGINT) AS rev_u6
+        FROM rev v
+        JOIN supplier s ON s.s_suppkey = v.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, rev_u6,
+           CAST(rev_u6 AS DOUBLE)
+               / CAST(sum(rev_u6) OVER (PARTITION BY region) AS DOUBLE)
+               AS share_of_region,
+           CAST(sum(rev_u6) OVER (PARTITION BY region) AS DOUBLE)
+               / CAST(sum(rev_u6) OVER () AS DOUBLE) AS region_share_of_total
+    FROM by_nation
+    """,
+)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_u6 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_u6).alias("rev_u6"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+        "n_regionkey",
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    by_nation = (
+        rev.join(F.broadcast(supp), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .join(F.broadcast(reg), "n_regionkey")
+        .groupBy("region", "nation")
+        .agg(F.sum("rev_u6").alias("rev_u6"))
+    )
+    wreg = W.partitionBy("region")
+    wall = W.partitionBy()
+    return by_nation.select(
+        "region",
+        "nation",
+        "rev_u6",
+        (
+            F.col("rev_u6").cast("double")
+            / F.sum("rev_u6").over(wreg).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.sum("rev_u6").over(wreg).cast("double")
+            / F.sum("rev_u6").over(wall).cast("double")
+        ).alias("region_share_of_total"),
+    )

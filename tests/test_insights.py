@@ -240,3 +240,77 @@ def test_calibration_partitions_all_users(spark):
         assert 0 <= r.score_decile <= 9
         assert 0.0 <= r.conv_rate <= 1.0
         assert r.min_score <= r.max_score
+
+
+def test_new_returning_split_accounts_everyone(spark):
+    rows = registry.QUERIES["new_vs_returning_daily"](
+        spark, SF_CORRECT
+    ).collect()
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # every user is new exactly once
+    assert sum(r.new_users for r in rows) == n_users
+    first = min(rows, key=lambda r: r.day)
+    assert first.returning_users == 0  # nobody returns on day one
+
+
+def test_repeat_purchase_gaps_nonnegative(spark):
+    rows = registry.QUERIES["repeat_purchase_gap_days"](
+        spark, SF_CORRECT
+    ).collect()
+    n_purch = (
+        load_table(spark, SF_CORRECT, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    n_buyers = (
+        load_table(spark, SF_CORRECT, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # each buyer's first purchase has no predecessor
+    assert sum(r.n_gaps for r in rows) == n_purch - n_buyers
+    assert all(r.gap_days >= 0 for r in rows)
+
+
+def test_abc_classes_follow_pareto_shape(spark):
+    rows = registry.QUERIES["abc_classification_parts"](
+        spark, SF_CORRECT
+    ).collect()
+    by_brand: dict[str, dict] = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, {})[r.abc_class] = r
+    for brand, classes in by_brand.items():
+        assert "A" in classes, brand
+        total = sum(c.class_rev_u6 for c in classes.values())
+        # construction guarantees: A stops at <=80% of revenue and A+B
+        # at <=95% (the part CROSSING a boundary falls to the next class)
+        assert classes["A"].class_rev_u6 <= 0.8 * total + 1
+        ab = classes["A"].class_rev_u6 + (
+            classes["B"].class_rev_u6 if "B" in classes else 0
+        )
+        assert ab <= 0.95 * total + 1
+
+
+def test_share_of_parent_sums_to_one(spark):
+    rows = registry.QUERIES["rollup_share_of_parent"](
+        spark, SF_CORRECT
+    ).collect()
+    assert len(rows) == 25
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    assert len(by_region) == 5
+    region_shares = set()
+    for region, cells in by_region.items():
+        assert math.isclose(
+            sum(c.share_of_region for c in cells), 1.0, rel_tol=1e-9
+        )
+        region_shares.add(cells[0].region_share_of_total)
+    assert math.isclose(sum(region_shares), 1.0, rel_tol=1e-9)
