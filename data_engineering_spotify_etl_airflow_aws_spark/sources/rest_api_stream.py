@@ -35,6 +35,7 @@ from typing import Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
+from ..streaming.chunks import run_scratch
 from .rest_api import _ITEM, ROW_SCHEMA, _to_tuple, synthetic_pages
 
 
@@ -135,7 +136,7 @@ def _register_query() -> None:
     def stream_rest_api_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """sf_dir unused: the synthetic API is its own fixture (same as
         rest_api_songs)."""
-        base = Path("/tmp/spark_graft_stream/rest_api_pages")
+        base = run_scratch("rest_api_pages")
         run_rest_stream_to_parquet(spark, base)
         back = (
             spark.read.parquet(str(base / "data"))

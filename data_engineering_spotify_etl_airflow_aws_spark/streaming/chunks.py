@@ -96,3 +96,15 @@ def plain_event_feed(spark: SparkSession, sf_dir: str) -> str:
             "event_id", "user_id", "ts", "event_type", "value"
         ),
     )
+
+
+def run_scratch(name: str) -> Path:
+    """Per-process scratch dir for a streaming query's checkpoint +
+    output sink. Pid-scoped so concurrent engine processes (a bench run
+    beside a test run) can never clobber each other's in-flight
+    checkpoints - observed once as a corrupted outer-join flush when two
+    suites shared the same fixed /tmp path. The CHUNK feeds above stay
+    process-shared deliberately: they are immutable once their _SUCCESS
+    marker exists, so concurrent readers are safe and the build is
+    marker-guarded."""
+    return _CHUNK_ROOT / f"run_{os.getpid()}" / name

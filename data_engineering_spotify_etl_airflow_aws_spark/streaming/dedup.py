@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import _SPARK_H32
 from ..registry import query
 from ..tables import load_table
-from .chunks import ensure_event_chunks
+from .chunks import ensure_event_chunks, run_scratch
 
 # deterministic ~15% duplicate injection: pure function of event_id
 _DUP_PRED = (
@@ -93,7 +93,7 @@ def dedup_within_watermark_stream(
     """,
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/events_dedup")
+    base = run_scratch("events_dedup")
     shutil.rmtree(base, ignore_errors=True)
 
     # 6 time-bucketed chunk files; identical ts keys (original + its dup)

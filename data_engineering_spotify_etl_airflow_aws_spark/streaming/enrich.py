@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
-from .chunks import plain_event_feed
+from .chunks import plain_event_feed, run_scratch
 
 _EVENT_SCHEMA = (
     "event_id bigint, user_id bigint, ts timestamp, "
@@ -69,7 +69,7 @@ def enrich_stream(
     """,
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/static_enrich")
+    base = run_scratch("static_enrich")
     shutil.rmtree(base, ignore_errors=True)
 
     chunks = plain_event_feed(spark, sf_dir)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ..pipeline.schemas import RAW_PLAYLIST_SCHEMA
 from ..pipeline.transforms import INBOX_DIR, _DATE_RE, explode_raw, songs_projection
 from ..registry import query
+from .chunks import run_scratch
 
 
 def read_raw_stream(
@@ -139,7 +140,7 @@ from ..pipeline.transforms import _ORACLE_BASE  # noqa: E402
     oracle=_ORACLE_BASE + "SELECT * FROM songs ORDER BY scrape_date, rank",
 )
 def streaming_ingest_songs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/songs_ingest")
+    base = run_scratch("songs_ingest")
     shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint => replayable
     ingest_songs_available_now(
         spark,

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .chunks import plain_event_feed
+from .chunks import plain_event_feed, run_scratch
 
 _EVENT_SCHEMA = (
     "event_id bigint, user_id bigint, ts timestamp, "
@@ -97,7 +97,7 @@ def click_purchase_join_stream(
     """,
 )
 def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/click_purchase_join")
+    base = run_scratch("click_purchase_join")
     shutil.rmtree(base, ignore_errors=True)
 
     chunks = plain_event_feed(spark, sf_dir)
@@ -210,7 +210,7 @@ def outer_event_feed(spark: SparkSession, sf_dir: str) -> str:
 def stream_left_join_click_purchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/click_purchase_left_join")
+    base = run_scratch("click_purchase_left_join")
     shutil.rmtree(base, ignore_errors=True)
 
     chunks = outer_event_feed(spark, sf_dir)

@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from ..registry import query
+from .chunks import run_scratch
 
 STATE_SCHEMA = T.StructType(
     [
@@ -179,7 +180,7 @@ def stateful_running_totals(spark, sf_dir: str) -> DataFrame:
 
     from .chunks import plain_event_feed
 
-    base = Path("/tmp/spark_graft_stream/stateful_totals")
+    base = run_scratch("stateful_totals")
     shutil.rmtree(base, ignore_errors=True)
     chunks = plain_event_feed(spark, sf_dir)
     schema = (
@@ -346,7 +347,7 @@ def stream_rate_limit_flags(spark, sf_dir: str) -> DataFrame:
 
     from .chunks import plain_event_feed
 
-    base = Path("/tmp/spark_graft_stream/rate_limit")
+    base = run_scratch("rate_limit")
     shutil.rmtree(base, ignore_errors=True)
     chunks = plain_event_feed(spark, sf_dir)
     schema = (

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .chunks import plain_event_feed
+from .chunks import plain_event_feed, run_scratch
 
 _EVENT_SCHEMA = (
     "event_id bigint, user_id bigint, ts timestamp, "
@@ -85,7 +85,7 @@ def upsert_batch(
     """,
 )
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = Path("/tmp/spark_graft_stream/foreachbatch_upsert")
+    base = run_scratch("foreachbatch_upsert")
     shutil.rmtree(base, ignore_errors=True)
     state = base / "state"
     state.mkdir(parents=True)
