@@ -165,7 +165,8 @@ AUDIT_FIRST: list[str] = [
     #    psi_value_drift, column_entropy_profile, time_to_convert_hours,
     #    calibration_curve_clicks, new_vs_returning_daily,
     #    repeat_purchase_gap_days, abc_classification_parts,
-    #    rollup_share_of_parent).
+    #    rollup_share_of_parent, daily_value_percentile_bands,
+    #    cumulative_reach_daily, lexical_complexity_scores).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

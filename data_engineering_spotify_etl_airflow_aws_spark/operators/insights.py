@@ -1429,3 +1429,44 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_u6").over(wall).cast("double")
         ).alias("region_share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative reach curve: distinct users ever seen up to each day - the
+# campaign-reach number. New-user counts per day (first-active-day agg)
+# then ONE running sum over the calendar-bounded day series; no
+# per-day distinct rescan (the naive day <= d self-join is quadratic).
+#
+# Scale notes (100 TB): distinct (user, day) + user-keyed min - both
+# fact-scale shuffles on high-entropy keys; the cumulative window runs
+# on #days rows.
+@query(
+    "cumulative_reach_daily",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    fd AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id),
+    newd AS (SELECT first_day AS day, count(*) AS new_users
+             FROM fd GROUP BY first_day)
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_reach
+    FROM newd
+    """,
+)
+def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    fd = act.groupBy("user_id").agg(F.min("day").alias("day"))
+    newd = fd.groupBy("day").agg(F.count("*").alias("new_users"))
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return newd.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(wcum).cast("bigint").alias("cumulative_reach"),
+    )

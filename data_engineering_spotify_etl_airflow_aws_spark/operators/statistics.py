@@ -1109,3 +1109,44 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("column_name", F.col("n").alias("n_rows"), "n_distinct")
         .agg(F.sum("e9").cast("bigint").alias("entropy_n9"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands: exact interpolated p50/p90 of event value per
+# day - the band chart behind every latency/value SLA dashboard. Same
+# exactness trick as winsorized_stats_by_type: for q = k/10 the
+# interpolated percentile times 10 is an integer in micro-units
+# (both engines' linear-interpolation rule), so the hash check is exact.
+#
+# Scale notes (100 TB): one day-keyed percentile agg (Spark's exact
+# percentile does a per-group sort within the aggregate - the group is
+# one day of values, the operative bound); output is calendar-bounded.
+@query(
+    "daily_value_percentile_bands",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(round(quantile_cont(vm, 0.5) * 10) AS BIGINT) AS p50_u6_x10,
+           CAST(round(quantile_cont(vm, 0.9) * 10) AS BIGINT) AS p90_u6_x10
+    FROM v GROUP BY day
+    """,
+)
+def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    return v.groupBy("day").agg(
+        F.count("*").alias("n_values"),
+        F.round(F.expr("percentile(vm, 0.5)") * 10)
+        .cast("bigint")
+        .alias("p50_u6_x10"),
+        F.round(F.expr("percentile(vm, 0.9)") * 10)
+        .cast("bigint")
+        .alias("p90_u6_x10"),
+    )

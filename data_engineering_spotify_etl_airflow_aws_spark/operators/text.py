@@ -468,3 +468,79 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-complexity profile per document: word count, vowel-group
+# "syllable" count, syllables-per-word, and the share of 3+-syllable
+# words - the readability-style signals a curation pipeline thresholds
+# on (a true Flesch score needs sentence boundaries, which this
+# synthetic corpus lacks; the component ratios are the portable part).
+# Counts are exact integers from the shared whitespace tokenizer +
+# vowel-group regex; the two ratios are single IEEE divisions.
+#
+# Scale notes (100 TB): pure per-row projection - zero shuffle; the
+# regex work is JVM codegen inside the scan stage.
+def _register_lexical() -> None:
+    from ..functions import ORACLE_TOKENS, tokens
+
+    toks = ORACLE_TOKENS.format(col="text")
+
+    @query(
+        "lexical_complexity_scores",
+        oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len({toks}) AS n_words,
+                   len(regexp_extract_all(lower(text), '[aeiou]+'))
+                       AS n_syllables,
+                   len(list_filter({toks},
+                       w -> len(regexp_extract_all(lower(w), '[aeiou]+')) >= 3))
+                       AS n_complex
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST(n_syllables AS DOUBLE) / n_words AS syllables_per_word,
+               CAST(n_complex AS DOUBLE) / n_words AS complex_word_ratio
+        FROM t WHERE n_words > 0
+        """,
+    )
+    def lexical_complexity_scores(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        syl = "size(regexp_extract_all(lower({s}), '[aeiou]+', 0))"
+        t = docs.select(
+            "doc_id",
+            "lang",
+            F.size(tokens("text")).alias("n_words"),
+            F.expr(syl.format(s="text")).alias("n_syllables"),
+            F.size(
+                F.filter(
+                    tokens("text"),
+                    lambda w: F.size(
+                        F.regexp_extract_all(
+                            F.lower(w), F.lit("[aeiou]+"), 0
+                        )
+                    )
+                    >= 3,
+                )
+            ).alias("n_complex"),
+        ).where(F.col("n_words") > 0)
+        return t.select(
+            "doc_id",
+            "lang",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_syllables").cast("bigint").alias("n_syllables"),
+            (
+                F.col("n_syllables").cast("double") / F.col("n_words")
+            ).alias("syllables_per_word"),
+            (
+                F.col("n_complex").cast("double") / F.col("n_words")
+            ).alias("complex_word_ratio"),
+        )
+
+
+_register_lexical()

@@ -314,3 +314,40 @@ def test_share_of_parent_sums_to_one(spark):
         )
         region_shares.add(cells[0].region_share_of_total)
     assert math.isclose(sum(region_shares), 1.0, rel_tol=1e-9)
+
+
+def test_cumulative_reach_is_monotone_and_totals(spark):
+    rows = sorted(
+        registry.QUERIES["cumulative_reach_daily"](spark, SF_CORRECT).collect(),
+        key=lambda r: r.day,
+    )
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cumulative_reach == n_users
+    reaches = [r.cumulative_reach for r in rows]
+    assert reaches == sorted(reaches)
+    assert sum(r.new_users for r in rows) == n_users
+
+
+def test_percentile_bands_ordered(spark):
+    for r in registry.QUERIES["daily_value_percentile_bands"](
+        spark, SF_CORRECT
+    ).collect():
+        assert r.p50_u6_x10 <= r.p90_u6_x10
+        assert r.n_values > 0
+
+
+def test_lexical_complexity_ratios(spark):
+    rows = registry.QUERIES["lexical_complexity_scores"](
+        spark, SF_CORRECT
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n_words > 0
+        assert 0.0 <= r.complex_word_ratio <= 1.0
+        # every word has at least 0 vowel groups; ratio sanity only
+        assert r.syllables_per_word >= 0.0
