@@ -533,3 +533,46 @@ def test_zorder_layout_localizes_both_dimensions(spark):
     assert skippable >= total / 2, (
         f"z-order should let stats skip files: {skippable}/{total}"
     )
+
+
+def test_item_item_recs_top3_prunes_map_side(spark):
+    """The rec-ranking rank<=3 filter must get the same native
+    WindowGroupLimit map-side prune as topk_per_group: each map split
+    forwards at most 3 candidates per part before the part_key
+    exchange."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["item_item_recs"](spark, SF_CORRECT)
+    df.collect()
+    final = plans.executed_plan(df).split("== Initial Plan ==")[0]
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l for l in final.splitlines()
+    ), final[:2000]
+
+
+def test_repeat_purchase_filter_pushes_to_scan(spark):
+    """The purchase-only predicate must reach the parquet scan as a
+    pushed filter (row-group pruning), not execute post-read."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["repeat_purchase_gap_days"](spark, SF_CORRECT)
+    pushed = plans.pushed_filters(df)
+    assert any("event_type" in p for p in pushed), pushed
+
+
+def test_trending_anchor_is_stats_only_broadcast(spark):
+    """trending_parts_decayed's max-shipdate anchor must join as a
+    broadcast of a 1-row relation (no driver collect round-trip, the
+    recent_topk rule)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_CORRECT
+
+    df = QUERIES["trending_parts_decayed"](spark, SF_CORRECT)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
