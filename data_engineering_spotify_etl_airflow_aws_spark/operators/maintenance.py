@@ -96,8 +96,30 @@ def compact_directory(
     """,
 )
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     frag = ensure_fragmented_events(spark, sf_dir)
-    dest = str(Path(frag).parent / (Path(frag).name + "_compacted"))
+    # the rewrite OUTPUT is per-run work product, not a shared fixture:
+    # pid-scope it so two engine processes compacting the same generation
+    # never overwrite each other mid-read (the run_scratch rule; the
+    # fragmented INPUT above is marker-guarded and immutable once built)
+    dest = str(
+        Path(frag).parent / f"{Path(frag).name}_compacted_{os.getpid()}"
+    )
+    # sweep compacted outputs left by dead processes (bounded disk, same
+    # policy as streaming.chunks._sweep_dead_run_dirs)
+    import shutil
+
+    for d in Path(frag).parent.glob("*_compacted_*"):
+        try:
+            pid = int(d.name.rsplit("_", 1)[1])
+            os.kill(pid, 0)
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass
     compact_directory(spark, frag, dest, _COMPACT_TARGET, "ts")
 
     def count_files(d: str) -> int:

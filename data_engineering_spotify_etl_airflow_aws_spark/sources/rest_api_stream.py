@@ -112,8 +112,7 @@ def run_rest_stream_to_parquet(
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
-    q.awaitTermination()
+        q.stop()  # blocks until terminated (spark.sql.streaming.stopTimeout)
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,30 @@ def plain_event_feed(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+_SWEPT_STALE_RUNS = False
+
+
+def _sweep_dead_run_dirs() -> None:
+    """Delete run_<pid> scratch trees left by processes that no longer
+    exist - the fixed paths self-overwrote so disk use was bounded, and
+    pid-scoping must not turn that into an unbounded /tmp leak. Runs
+    once per process, on first scratch use; a live pid (signal-0 probe)
+    is never touched."""
+    for d in _CHUNK_ROOT.glob("run_*"):
+        try:
+            pid = int(d.name[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid - leave it
+
+
 def run_scratch(name: str) -> Path:
     """Per-process scratch dir for a streaming query's checkpoint +
     output sink. Pid-scoped so concurrent engine processes (a bench run
@@ -106,5 +130,10 @@ def run_scratch(name: str) -> Path:
     suites shared the same fixed /tmp path. The CHUNK feeds above stay
     process-shared deliberately: they are immutable once their _SUCCESS
     marker exists, so concurrent readers are safe and the build is
-    marker-guarded."""
+    marker-guarded. Stale trees of dead processes are swept on first
+    use."""
+    global _SWEPT_STALE_RUNS
+    if not _SWEPT_STALE_RUNS:
+        _SWEPT_STALE_RUNS = True
+        _sweep_dead_run_dirs()
     return _CHUNK_ROOT / f"run_{os.getpid()}" / name

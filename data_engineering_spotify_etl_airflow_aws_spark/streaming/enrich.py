@@ -24,7 +24,6 @@ oracle - row for row.
 from __future__ import annotations
 
 import shutil
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

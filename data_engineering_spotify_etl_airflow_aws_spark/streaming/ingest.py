@@ -38,7 +38,6 @@ anywhere (reference substrate is S3, P:166-183):
 from __future__ import annotations
 
 import shutil
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

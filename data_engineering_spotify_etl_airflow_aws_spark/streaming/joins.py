@@ -29,7 +29,6 @@ states directly.
 from __future__ import annotations
 
 import shutil
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
