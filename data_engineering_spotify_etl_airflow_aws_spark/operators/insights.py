@@ -1470,3 +1470,179 @@ def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(wcum).cast("bigint").alias("cumulative_reach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog over time: per day, how many orders are placed but not
+# yet fully shipped - the ops-dashboard number behind "are we falling
+# behind?". Interval counting WITHOUT a day x order cross join: each
+# order contributes +1 at o_orderdate and -1 at its last ship date, and
+# one running sum over the (bounded, calendar-sized) delta series yields
+# the open count for every day. Same-day-shipped orders net to zero by
+# construction. Scope: orders WITH at least one lineitem (a no-lineitem
+# order has no ship date, hence no lifecycle to track - the inner join
+# is the scope rule, mirrored in the oracle).
+#
+# Scale notes (100 TB): one orderkey agg for the last-ship date, one
+# co-keyed join with orders, a (day, kind) partial agg, then a window
+# over #days rows. The naive "count orders open on each day" self-join
+# is O(days x orders); this is O(orders + days).
+@query(
+    "order_backlog_daily",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderdate AS start_day,
+               CAST(max(l.l_shipdate) AS DATE) AS end_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT CAST(start_day AS DATE) AS day, count(*) AS opened,
+               0 AS closed
+        FROM spans GROUP BY 1
+        UNION ALL
+        SELECT end_day, 0, count(*) FROM spans GROUP BY 1
+    ),
+    byday AS (
+        SELECT day, CAST(sum(opened) AS BIGINT) AS opened,
+               CAST(sum(closed) AS BIGINT) AS closed
+        FROM deltas GROUP BY day
+    )
+    SELECT day, opened, closed,
+           CAST(sum(opened - closed) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_backlog
+    FROM byday
+    """,
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_day"))
+    )
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.to_date("o_orderdate").alias("start_day"),
+        )
+        .join(last_ship, "l_orderkey")
+    )
+    deltas = (
+        spans.groupBy(F.col("start_day").alias("day"))
+        .agg(F.count("*").alias("opened"), F.lit(0).alias("closed"))
+        .unionByName(
+            spans.groupBy(F.col("end_day").alias("day")).agg(
+                F.lit(0).alias("opened"), F.count("*").alias("closed")
+            )
+        )
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("opened").cast("bigint").alias("opened"),
+        F.sum("closed").cast("bigint").alias("closed"),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return byday.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("open_backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention-by-age curve (the Kaplan-Meier shape): at each day-offset k
+# from a user's first activity, the share still active - with the
+# CENSORING correction real survival curves need: the denominator at
+# offset k is only the users whose first day is early enough to have
+# REACHED age k inside the observation window (first_day <= max_day - k),
+# not the whole population. Both counts are exact; one division per row.
+#
+# Scale notes (100 TB): distinct (user, day) + first-day agg (user-keyed,
+# co-partitioned); active-at-k is a bounded-key agg; the at-risk counts
+# come from a first-day histogram (calendar-bounded) via one running sum
+# - no per-k rescan of users.
+@query(
+    "retention_by_age",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    fd AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id),
+    maxd AS (SELECT max(day) AS max_day FROM act),
+    active AS (
+        SELECT a.day - f.first_day AS age_days,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM act a JOIN fd f ON f.user_id = a.user_id
+        GROUP BY 1
+    ),
+    fhist AS (SELECT first_day, count(*) AS n FROM fd GROUP BY first_day),
+    at_risk AS (
+        SELECT CAST(max_day - first_day AS BIGINT) AS max_age,
+               CAST(sum(n) AS BIGINT) AS n
+        FROM fhist CROSS JOIN maxd GROUP BY 1
+    ),
+    risk_cum AS (
+        SELECT max_age,
+               CAST(sum(n) OVER (ORDER BY max_age DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS at_risk_users
+        FROM at_risk
+    )
+    SELECT a.age_days, a.active_users, r.at_risk_users,
+           CAST(a.active_users AS DOUBLE) / r.at_risk_users AS retention
+    FROM active a
+    JOIN risk_cum r ON r.max_age = (
+        SELECT min(max_age) FROM risk_cum WHERE max_age >= a.age_days
+    )
+    """,
+)
+def retention_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    fd = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    maxd = act.agg(F.max("day").alias("max_day"))
+    active = (
+        act.join(fd, "user_id")
+        .groupBy(F.datediff("day", "first_day").alias("age_days"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    fhist = fd.groupBy("first_day").agg(F.count("*").alias("n"))
+    at_risk = (
+        fhist.join(F.broadcast(maxd))
+        .groupBy(F.datediff("max_day", "first_day").alias("max_age"))
+        .agg(F.sum("n").alias("n"))
+    )
+    wdesc = W.orderBy(F.desc("max_age")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk_cum = at_risk.select(
+        "max_age",
+        F.sum("n").over(wdesc).cast("bigint").alias("at_risk_users"),
+    )
+    # at-risk population for age k = users with max_age >= k: align each
+    # age to the smallest max_age at or above it (ages and max_ages both
+    # live on the same bounded day grid, so this is a bounded-side join)
+    aligned = active.join(
+        F.broadcast(risk_cum), F.col("max_age") >= F.col("age_days")
+    )
+    w = W.partitionBy("age_days").orderBy("max_age")
+    return (
+        aligned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "active_users",
+            "at_risk_users",
+            (
+                F.col("active_users").cast("double")
+                / F.col("at_risk_users").cast("double")
+            ).alias("retention"),
+        )
+    )

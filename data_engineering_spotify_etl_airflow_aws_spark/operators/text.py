@@ -544,3 +544,111 @@ def _register_lexical() -> None:
 
 
 _register_lexical()
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit of the corpus token-frequency distribution: OLS slope of
+# ln(freq) on ln(rank) over the vocabulary - the classic "is this
+# natural-language-shaped?" diagnostic (true text sits near slope -1;
+# this synthetic word-soup corpus is much flatter, which is exactly
+# what the number is for). Rank ties break by token string; ln values
+# quantize to micro-units BEFORE the moment sums (the
+# unigram_logprob_filter rule), so the regression moments are exact
+# decimal(38,0)/HUGEINT integers and slope/intercept/r2 are one
+# mirrored IEEE sequence each (the daily_trend_ols pattern).
+#
+# Scale notes (100 TB): one token-keyed count shuffle; the ranked
+# window and moments run on the VOCABULARY, which grows slowly
+# (Heaps' law) - the explicit bound a real deployment would add is a
+# min-frequency cutoff before the window.
+def _register_zipf() -> None:
+    from pyspark.sql.window import Window as W
+
+    from ..functions import ORACLE_TOKENS, tokens
+
+    toks = ORACLE_TOKENS.format(col="text")
+
+    @query(
+        "zipf_token_slope",
+        oracle=f"""
+        WITH freq AS (
+            SELECT tok, count(*) AS c
+            FROM (SELECT unnest({toks}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT CAST(floor(ln(CAST(row_number() OVER (
+                       ORDER BY c DESC, tok) AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS y
+            FROM freq
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+            FROM ranked
+        )
+        SELECT n AS vocab_size,
+               round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
+               round((CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                   / n / 1000000, 6) AS intercept_ln,
+               round(((n * sxy - CAST(sx AS DOUBLE) * sy)
+                      * (n * sxy - CAST(sx AS DOUBLE) * sy))
+                   / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+        FROM m
+        """,
+    )
+    def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        freq = (
+            docs.select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+        )
+        rn = F.row_number().over(W.orderBy(F.desc("c"), "tok"))
+        ranked = freq.select(
+            F.floor(F.log(rn.cast("double")) * 1_000_000)
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1_000_000)
+            .cast("bigint")
+            .alias("y"),
+        )
+        xd = F.col("x").cast("decimal(38,0)")
+        yd = F.col("y").cast("decimal(38,0)")
+        m = ranked.agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+            F.sum(yd * F.col("y")).cast("double").alias("syy"),
+            F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        )
+        n = F.col("n")
+        sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+        slope_num = n * F.col("sxy") - sxd * F.col("sy")
+        slope_den = n * F.col("sxx") - sxd * F.col("sx")
+        slope = slope_num / slope_den
+        return m.select(
+            n.alias("vocab_size"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(
+                (syd - slope * F.col("sx")) / n / F.lit(1_000_000), 6
+            ).alias("intercept_ln"),
+            F.round(
+                (slope_num * slope_num)
+                / (slope_den * (n * F.col("syy") - syd * F.col("sy"))),
+                6,
+            ).alias("r2"),
+        )
+
+
+_register_zipf()

@@ -351,3 +351,60 @@ def test_lexical_complexity_ratios(spark):
         assert 0.0 <= r.complex_word_ratio <= 1.0
         # every word has at least 0 vowel groups; ratio sanity only
         assert r.syllables_per_word >= 0.0
+
+
+def test_backlog_nonnegative_and_closes_out(spark):
+    rows = sorted(
+        registry.QUERIES["order_backlog_daily"](spark, SF_CORRECT).collect(),
+        key=lambda r: r.day,
+    )
+    assert all(r.open_backlog >= 0 for r in rows)
+    # every order eventually ships: the final running value is zero
+    assert rows[-1].open_backlog == 0
+    # scope: orders with at least one lineitem (a no-lineitem order has
+    # no ship date, so it has no lifecycle to track - 257 such orders
+    # exist in this synthetic fixture)
+    n_orders = (
+        load_table(spark, SF_CORRECT, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .join(
+            load_table(spark, SF_CORRECT, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .count()
+    )
+    assert sum(r.opened for r in rows) == n_orders
+    assert sum(r.closed for r in rows) == n_orders
+
+
+def test_retention_by_age_censored_denominator(spark):
+    rows = sorted(
+        registry.QUERIES["retention_by_age"](spark, SF_CORRECT).collect(),
+        key=lambda r: r.age_days,
+    )
+    assert rows[0].age_days == 0
+    # at age 0 everyone at risk is active (first day IS an active day)
+    assert rows[0].retention == 1.0
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].at_risk_users == n_users
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        assert r.active_users <= r.at_risk_users
+    # censoring: the at-risk population never grows with age
+    risks = [r.at_risk_users for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_zipf_fit_is_nonincreasing_fit(spark):
+    r = registry.QUERIES["zipf_token_slope"](spark, SF_CORRECT).collect()[0]
+    assert r.vocab_size > 1
+    assert r.zipf_slope <= 0.0  # frequency cannot rise with rank
+    assert 0.0 <= r.r2 <= 1.0

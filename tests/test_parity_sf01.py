@@ -150,6 +150,8 @@ AT_RISK = [
     # per-cell ln() rounds at 10x cell counts; nano-unit entropy floors
     "psi_value_drift",
     "column_entropy_profile",
+    # micro-quantized ln ranks + round(6) OLS at 10x corpus counts
+    "zipf_token_slope",
 ]
 
 pytestmark = pytest.mark.skipif(
