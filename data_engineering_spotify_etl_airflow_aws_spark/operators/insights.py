@@ -117,12 +117,18 @@ def part_triangle_stats(edges: DataFrame) -> DataFrame:
         _INSIGHTS_CACHE.pop().unpersist()
     edges = edges.persist()
     _INSIGHTS_CACHE.append(edges)
+    # deg (3 consumers: du, dv, output join) and adj (2 consumers) are
+    # node-sized relations recomputed per consumer without a persist -
+    # caching them trims three full agg re-executions of the cached
+    # edge/directed relations.
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
+        .persist()
     )
+    _INSIGHTS_CACHE.append(deg)
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
     # u < v already, so on a degree tie the lower id wins the tail slot.
@@ -139,7 +145,12 @@ def part_triangle_stats(edges: DataFrame) -> DataFrame:
         .persist()
     )
     _INSIGHTS_CACHE.append(directed)
-    adj = directed.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    adj = (
+        directed.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .persist()
+    )
+    _INSIGHTS_CACHE.append(adj)
     common = (
         directed.withColumnRenamed("src", "x")
         .withColumnRenamed("dst", "y")
