@@ -1657,3 +1657,203 @@ def retention_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily growth accounting (the GRR / "growth accounting" decomposition):
+# every active (user, day) is classified as new (first-ever day),
+# retained (also active the previous calendar day) or resurrected
+# (returning after a gap), and a churn event is booked on day+1 for
+# every user whose activity lapses - new_vs_returning_daily's coarse
+# split upgraded to the full four-state ledger growth teams reconcile
+# DAU movement with (new + retained + resurrected - churned).
+#
+# Both output branches (active-day states, churn emissions) project the
+# SAME lag/lead window relation, so the user_id shuffle is planned once
+# (exchange reuse); churn days are clamped to the observed horizon via a
+# broadcast 1-row max-day scalar (the F2 cutoff pattern). All counts are
+# exact integers on a calendar-bounded key.
+#
+# Scale notes (100 TB): distinct (user, day) then one user_id-keyed
+# window; the day-level rollup is a bounded-key agg with map-side
+# partials. Nothing grows with the user population except the windowed
+# relation itself, which shuffles on the high-entropy user key.
+@query(
+    "growth_accounting_daily",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    seq AS (
+        SELECT user_id, day,
+               lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM act
+    ),
+    maxd AS (SELECT max(day) AS max_day FROM act),
+    states AS (
+        SELECT day,
+               CASE WHEN prev_day IS NULL THEN 'new'
+                    WHEN day - prev_day = 1 THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM seq
+        UNION ALL
+        SELECT day + 1 AS day, 'churned' AS state
+        FROM seq CROSS JOIN maxd
+        WHERE (next_day IS NULL OR next_day - day > 1) AND day + 1 <= max_day
+    )
+    SELECT day,
+           CAST(count(*) FILTER (state = 'new') AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (state = 'retained') AS BIGINT) AS n_retained,
+           CAST(count(*) FILTER (state = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+           CAST(count(*) FILTER (state = 'churned') AS BIGINT) AS n_churned
+    FROM states GROUP BY day
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    seq = act.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    maxd = act.agg(F.max("day").alias("max_day"))
+    active_states = seq.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff("day", "prev_day") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churn = (
+        seq.join(F.broadcast(maxd))
+        .where(
+            F.col("next_day").isNull()
+            | (F.datediff("next_day", "day") > 1)
+        )
+        .where(F.date_add("day", 1) <= F.col("max_day"))
+        .select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("state"))
+    )
+    cnt = lambda s: F.count(F.when(F.col("state") == s, 1))  # noqa: E731
+    return (
+        active_states.unionByName(churn)
+        .groupBy("day")
+        .agg(
+            cnt("new").alias("n_new"),
+            cnt("retained").alias("n_retained"),
+            cnt("resurrected").alias("n_resurrected"),
+            cnt("churned").alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules with confidence and lift: the market-basket pair
+# support (item_item_recs' candidate base) upgraded to directed rules
+# a=>c scored by confidence = support/n_a and lift =
+# support*N / (n_a*n_c) - the "customers who bought X also bought Y"
+# primitive with the independence-baseline correction. Rules with
+# support < 2 are noise at every SF and are cut before ranking; top-50
+# rides the (lift DESC, antecedent, consequent) total order.
+#
+# Determinism: support/n_a/n_c/N are exact integers; confidence is one
+# IEEE division and lift one division of two exact bigint products
+# (support*N <= 1e14 at any plausible basket count - no overflow).
+#
+# Scale notes (100 TB): pairs generate in-group from bounded baskets
+# (no items self-join), support shuffles on the canonical pair key, the
+# per-part frequency joins are part-keyed shuffles, and the basket
+# count N rides a broadcast 1-row scalar. Top-50 is
+# TakeOrderedAndProject - per-partition heaps, no global sort.
+@query(
+    "assoc_rules_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM items),
+    support AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(count(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord
+             FROM items GROUP BY 1),
+    rules AS (
+        SELECT u AS antecedent, v AS consequent, support FROM support
+        UNION ALL
+        SELECT v, u, support FROM support
+    )
+    SELECT r.antecedent, r.consequent, r.support,
+           fa.n_ord AS n_antecedent, fc.n_ord AS n_consequent,
+           CAST(r.support AS DOUBLE) / CAST(fa.n_ord AS DOUBLE) AS confidence,
+           CAST(r.support * nb.n_baskets AS DOUBLE)
+               / CAST(fa.n_ord * fc.n_ord AS DOUBLE) AS lift
+    FROM rules r
+    JOIN freq fa ON fa.l_partkey = r.antecedent
+    JOIN freq fc ON fc.l_partkey = r.consequent
+    CROSS JOIN nb
+    WHERE r.support >= 2
+    ORDER BY lift DESC, r.antecedent, r.consequent
+    LIMIT 50
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _INSIGHTS_CACHE:
+        _INSIGHTS_CACHE.pop().unpersist()
+    baskets = _order_baskets(spark, sf_dir).persist()
+    _INSIGHTS_CACHE.append(baskets)
+    nb = baskets.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    support = (
+        _basket_pairs(baskets)
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    rules = support.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "support"
+    ).unionAll(
+        support.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "support"
+        )
+    )
+    freq = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_ord"))
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_ord").alias("n_antecedent")
+    )
+    fc = freq.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_ord").alias("n_consequent")
+    )
+    return (
+        rules.join(fa, "antecedent")
+        .join(fc, "consequent")
+        .join(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "n_antecedent",
+            "n_consequent",
+            (
+                F.col("support").cast("double")
+                / F.col("n_antecedent").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(50)
+    )

@@ -547,9 +547,20 @@ def test_item_item_recs_top3_prunes_map_side(spark):
     df = QUERIES["item_item_recs"](spark, SF_CORRECT)
     df.collect()
     final = plans.executed_plan(df).split("== Initial Plan ==")[0]
-    assert any(
-        "WindowGroupLimit" in l and "Partial" in l for l in final.splitlines()
-    ), final[:2000]
+    lines = final.splitlines()
+    assert any("WindowGroupLimit" in l for l in lines), final[:2000]
+    # Two acceptable shapes. (a) The window is fed by a part_key shuffle:
+    # the map-side Partial prune must sit below it. (b) AQE broadcast the
+    # candidate side instead (runtime stats put bidir under the
+    # threshold), so the window input inherits freq's part_key hash
+    # partitioning and there is NO exchange to prune for - only the
+    # Final WindowGroupLimit remains, which is strictly fewer exchanges.
+    has_partial = any(
+        "WindowGroupLimit" in l and "Partial" in l for l in lines
+    )
+    assert has_partial or "Exchange hashpartitioning(part_key" not in final, (
+        final[:2000]
+    )
 
 
 def test_repeat_purchase_filter_pushes_to_scan(spark):
