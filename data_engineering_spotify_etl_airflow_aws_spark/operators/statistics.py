@@ -1150,3 +1150,109 @@ def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_u6_x10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence over the (lang x source) contingency
+# table - the categorical-association test run next to PMI/KL when
+# auditing whether a corpus dimension is independent of its provenance.
+# Emits one row per cell with the observed count, expected count, and
+# the cell's chi-square contribution, plus the table-level statistic and
+# degrees of freedom repeated on every row (the bounded-cell analog of
+# the benford/calibration output shapes).
+#
+# Determinism: every per-cell quantity is EXACT integer arithmetic -
+# expected and the chi term are micro-unit floor divisions of decimal38/
+# HUGEINT products ((o*N - r*c)^2 * 1e6 // (r*c*N)); the only doubles
+# are single divisions of exact integers, identical in both engines.
+#
+# Scale notes (100 TB): one (lang, source) map-side-combinable agg over
+# the corpus; everything downstream runs on the bounded cell relation
+# (|langs| x |sources| rows) with broadcast margins - no second corpus
+# pass, no unbounded window.
+@query(
+    "chi_square_lang_source",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.lang, cells.source, n_obs,
+               CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT)
+                   AS expected_u6,
+               CAST(((CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * (CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * 1000000)
+                    // (CAST(r AS HUGEINT) * c * n) AS BIGINT)
+                   AS chi_term_u6
+        FROM cells
+        JOIN rt USING (lang)
+        JOIN ct USING (source)
+        CROSS JOIN tot
+    ),
+    stats AS (
+        SELECT CAST(sum(chi_term_u6) AS BIGINT) AS total_u6,
+               CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+               CAST(count(DISTINCT source) AS BIGINT) AS ns
+        FROM terms
+    )
+    SELECT lang, source, n_obs, expected_u6, chi_term_u6,
+           CAST(total_u6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2,
+           (nl - 1) * (ns - 1) AS dof
+    FROM terms CROSS JOIN stats
+    """,
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    rt = cells.groupBy("lang").agg(F.sum("n_obs").cast("bigint").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("n_obs").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = d38("n_obs") * d38("n") - d38("r") * d38("c")
+    terms = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div n"
+                " AS BIGINT)"
+            ).alias("expected_u6"),
+            (diff * diff * F.lit(1_000_000).cast("decimal(38,0)"))
+            .alias("_num"),
+            (d38("r") * d38("c") * d38("n")).alias("_den"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            "expected_u6",
+            F.expr("CAST(_num div _den AS BIGINT)").alias("chi_term_u6"),
+        )
+    )
+    stats = terms.agg(
+        F.sum("chi_term_u6").cast("bigint").alias("total_u6"),
+        F.count_distinct("lang").alias("nl"),
+        F.count_distinct("source").alias("ns"),
+    )
+    return terms.join(F.broadcast(stats)).select(
+        "lang",
+        "source",
+        "n_obs",
+        "expected_u6",
+        "chi_term_u6",
+        (
+            F.col("total_u6").cast("double") / F.lit(1_000_000).cast("double")
+        ).alias("chi2"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
+    )

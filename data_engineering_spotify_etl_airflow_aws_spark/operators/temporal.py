@@ -692,3 +692,109 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential smoothing, alpha =
+# beta = 0.5) over each event type's daily value series - the
+# level+trend forecaster between ema_user_value (level only) and
+# daily_trend_ols (global fit): l_t = a*x_t + (1-a)*(l+b),
+# b_t = B*(l_t - l) + (1-B)*b, forecast = l + b. A stateful linear
+# recurrence no window frame expresses, so it reuses the EMA
+# collect-sort-fold shape with a STRUCT accumulator carrying (l, b).
+#
+# Determinism: daily totals are exact micro-unit integers with ONE
+# double division each; the fold is then a pinned-order sequence of IEEE
+# +/* with dyadic 0.5 coefficients, written symbol-for-symbol
+# identically on both sides - bit-identical cross-engine (verified: the
+# two engines' folds agree to the last ulp at sf0.01 and sf0.1). new_l
+# is recomputed inline inside the trend update (lambdas bind no
+# locals); both engines evaluate the identical expression tree. The
+# oracle carries the (l, b) state through a RECURSIVE CTE over the
+# bounded day index rather than list_reduce: this DuckDB build's
+# list_reduce mis-evaluates STRUCT-typed accumulators (diverging
+# values, unicode-corruption errors on string fields - reproduced and
+# ruled out before this oracle was written), while scalar folds like
+# ema_user_value's are unaffected.
+#
+# Scale notes (100 TB): one (event_type, day) map-side-combinable agg
+# over the fact table; the fold then runs on |event_types| rows of
+# calendar-bounded arrays - driver-free, broadcast-free, and the
+# per-key state is bounded by the day count, not the row count.
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS v_u6
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               CAST(v_u6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS x
+        FROM daily
+    ),
+    cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM idx GROUP BY 1),
+    fold AS (
+        SELECT event_type, i, x AS l, CAST(0 AS DOUBLE) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT n.event_type, n.i,
+               CAST(0.5 AS DOUBLE) * n.x
+                   + CAST(0.5 AS DOUBLE) * (f.l + f.b),
+               CAST(0.5 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * n.x
+                       + CAST(0.5 AS DOUBLE) * (f.l + f.b)) - f.l)
+                   + CAST(0.5 AS DOUBLE) * f.b
+        FROM fold f JOIN idx n ON n.event_type = f.event_type
+                              AND n.i = f.i + 1
+    )
+    SELECT f.event_type, c.n_days, f.l AS level, f.b AS trend,
+           f.l + f.b AS forecast_next
+    FROM fold f JOIN cnt c ON c.event_type = f.event_type
+                          AND f.i = c.n_days
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_u6"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("v_u6").cast("bigint").alias("v_u6")
+    )
+    seqs = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v_u6))),"
+            " s -> CAST(s.v_u6 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        ).alias("xs"),
+    )
+    fold = seqs.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "aggregate("
+            " slice(xs, 2, greatest(size(xs) - 1, 0)),"
+            " named_struct('l', element_at(xs, 1), 'b', CAST(0 AS DOUBLE)),"
+            " (acc, x) -> named_struct("
+            "   'l', CAST(0.5 AS DOUBLE) * x"
+            "        + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),"
+            "   'b', CAST(0.5 AS DOUBLE)"
+            "        * ((CAST(0.5 AS DOUBLE) * x"
+            "            + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))"
+            "           - acc.l)"
+            "        + CAST(0.5 AS DOUBLE) * acc.b))"
+        ).alias("hw"),
+    )
+    return fold.select(
+        "event_type",
+        "n_days",
+        F.col("hw.l").alias("level"),
+        F.col("hw.b").alias("trend"),
+        (F.col("hw.l") + F.col("hw.b")).alias("forecast_next"),
+    )
