@@ -1857,3 +1857,66 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) of orders on (recency, price): the
+# orders no other order dominates on BOTH dimensions - "the biggest
+# order as of each point in time", the skyline-query primitive. An
+# order is dominated iff some order has >= price AND >= date with one
+# strict; equal points are mutually non-dominating and all survive.
+#
+# NOT the O(N^2) dominance self-join: prices collapse to a per-day max
+# first (the day grid is calendar-bounded), the frontier condition
+# becomes "day max exceeds the running max over all strictly later
+# days" - one window over the bounded day relation - and the surviving
+# (day, pmax) pairs broadcast back onto the orders scan to pick the
+# achieving rows. Money compares in exact cents.
+#
+# Scale notes (100 TB): one bounded-key day agg with map-side partials,
+# a window over |days| rows, and one broadcast semi-join of a <=|days|
+# relation against the fact scan. Nothing quadratic, nothing driver-side.
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    daymax AS (SELECT day, max(price_cents) AS pmax FROM pts GROUP BY day),
+    fr AS (
+        SELECT day, pmax,
+               max(pmax) OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS later_max
+        FROM daymax
+    )
+    SELECT p.o_orderkey, p.day, p.price_cents
+    FROM pts p
+    JOIN fr ON fr.day = p.day AND p.price_cents = fr.pmax
+    WHERE fr.later_max IS NULL OR fr.pmax > fr.later_max
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    daymax = pts.groupBy("day").agg(F.max("price_cents").alias("pmax"))
+    w_later = W.orderBy(F.desc("day")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    frontier = (
+        daymax.withColumn("later_max", F.max("pmax").over(w_later))
+        .where(F.col("later_max").isNull() | (F.col("pmax") > F.col("later_max")))
+        # rename: frontier derives from pts, so same-name columns would be
+        # lineage-ambiguous in the join back onto pts
+        .select(F.col("day").alias("f_day"), F.col("pmax").alias("f_pmax"))
+    )
+    return pts.join(
+        F.broadcast(frontier),
+        (F.col("day") == F.col("f_day"))
+        & (F.col("price_cents") == F.col("f_pmax")),
+    ).select("o_orderkey", "day", "price_cents")
