@@ -246,3 +246,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.mapInPandas(_frame_batches, schema=_FRAME_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# Perceptual-hash near-dup candidates: the image near-dup pattern (pHash
+# banding) on the binary payloads. Each asset gets a 64-bit fingerprint
+# of 4 16-bit bands, one per frame digest (frame decomposition identical
+# to multimodal_frame_sample; a real codec would swap the byte-slice
+# digest for a DCT of decoded pixels - same fingerprint width, same
+# plan); candidate pairs are assets sharing ANY band (the hamming-ball
+# search as a band equi-join, the MinHash-LSH shape on bits), then each
+# candidate's hamming distance - the SUM of per-band XOR popcounts, so
+# nothing ever packs past int64 - and a <= 8 near-dup flag are computed
+# JVM-side. Pairs are emitted WITH the flag rather than filtered by it,
+# so the threshold decision itself is oracle-checked (and the fixture's
+# collision-level candidates keep the result non-empty at every SF).
+#
+# Scale notes (100 TB of images): fingerprints are a shuffle-free
+# projection over the payload scan; the band join shuffles only
+# (band, 16-bit value, id, band-vector) rows - never payload bytes; the
+# per-pair work is 4 XOR+popcounts. Band-collision fan-out is uniform
+# (digest bits), so no skew.
+_PH_BANDS = 4
+_PH_HAMMING_TAU = 8
+
+
+def _ph_band_duck(g: int) -> str:
+    return (
+        f"CAST(('0x' || substring(sha256(substring(text, ({g}*n)//{_PH_BANDS} + 1,"
+        f" (({g}+1)*n)//{_PH_BANDS} - ({g}*n)//{_PH_BANDS})), 1, 4)) AS BIGINT)"
+    )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, length(text) AS n, text FROM documents),
+    fp AS (
+        SELECT doc_id,
+               {", ".join(f"{_ph_band_duck(g)} AS b{g}" for g in range(_PH_BANDS))}
+        FROM f
+    ),
+    bands AS (
+        SELECT doc_id, {", ".join(f"b{g}" for g in range(_PH_BANDS))},
+               g, CASE g
+               {" ".join(f"WHEN {g} THEN b{g}" for g in range(_PH_BANDS))}
+               END AS bv
+        FROM fp, (SELECT unnest(generate_series(0, {_PH_BANDS - 1})) AS g)
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands,
+               CAST(min({" + ".join(
+                   f"bit_count(xor(a.b{g}, b.b{g}))" for g in range(_PH_BANDS)
+               )}) AS BIGINT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.g = b.g AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared_bands, hamming,
+           CASE WHEN hamming <= {_PH_HAMMING_TAU} THEN 1 ELSE 0 END
+               AS is_near_dup
+    FROM cand
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = payload_table(spark, sf_dir).select(
+        "doc_id", "payload", F.length("payload").alias("n")
+    )
+    band_vals = [
+        F.expr(
+            f"CAST(conv(substring(sha2(substring(payload,"
+            f" ({g}*n) div {_PH_BANDS} + 1,"
+            f" (({g}+1)*n) div {_PH_BANDS} - ({g}*n) div {_PH_BANDS}), 256),"
+            f" 1, 4), 16, 10) AS BIGINT)"
+        ).alias(f"b{g}")
+        for g in range(_PH_BANDS)
+    ]
+    fp = t.select("doc_id", *band_vals).select(
+        "doc_id",
+        F.array(*[F.col(f"b{g}") for g in range(_PH_BANDS)]).alias("bs"),
+    )
+    bands = fp.select("doc_id", "bs", F.posexplode("bs").alias("g", "bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("bs").alias("bs_a"), "g", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("bs").alias("bs_b"), "g", "bv"
+    )
+    # per-row hamming: every matched band row of a pair computes the same
+    # value, so min() inside the pair group is a pure collapse
+    hm = F.expr(
+        "aggregate(zip_with(bs_a, bs_b, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    cand = (
+        a.join(b, ["g", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hm.alias("hm"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.min("hm").cast("bigint").alias("hamming"),
+        )
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        "hamming",
+        F.when(F.col("hamming") <= _PH_HAMMING_TAU, 1).otherwise(0).alias(
+            "is_near_dup"
+        ),
+    )

@@ -1225,3 +1225,155 @@ def ivfpq_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "adc_micro", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much of the exact full-dim top-k
+# ranking survives when vectors are truncated to their first 8 / 16
+# dims - the evaluation behind Matryoshka-representation deployment
+# ("can we serve the 16-dim prefix and keep recall?") and the
+# dimension-budget twin of ann_recall_eval (which grades the INDEX;
+# this grades the REPRESENTATION). One broadcast pass scores every
+# (query, candidate) pair under all three metrics at once - full-dim,
+# d=8, d=16 cosine over array prefixes - then three row_number ranks
+# share a single query_id exchange, and recall@k per truncation is the
+# overlap of each truncated top-k with the full-dim top-k.
+#
+# Determinism: prefix slices/norms are the same IEEE fold both engines
+# (functions.dot order); ranks carry the cand_id tiebreak; recalls are
+# one division of exact integers by the TOP_K constant.
+#
+# Scale notes (100 TB): prefix embeddings + norms are per-VECTOR
+# projections computed before the pair join (the _emb_n lesson); the
+# corpus never shuffles until the per-query window, and the window
+# input carries rank-filter prunes (WindowGroupLimit) per metric.
+_MAT_DIMS = (8, 16)
+
+
+def _mat_oracle() -> str:
+    from ..functions import oracle_cosine
+
+    cos_full = oracle_cosine("a.emb", "b.emb")
+    cos = {
+        d: oracle_cosine(f"a.emb[1:{d}]", f"b.emb[1:{d}]") for d in _MAT_DIMS
+    }
+    hit = lambda d: (  # noqa: E731
+        f"CAST(sum(CASE WHEN r{d} <= {TOP_K} AND rf <= {TOP_K}"
+        f" THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id, emb FROM v
+          ORDER BY {_Q_H_DUCK}, vec_id LIMIT {N_QUERIES}),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {cos_full} DESC, b.vec_id) AS rf,
+               {", ".join(
+                   f"row_number() OVER (PARTITION BY a.vec_id"
+                   f" ORDER BY {cos[d]} DESC, b.vec_id) AS r{d}"
+                   for d in _MAT_DIMS
+               )}
+        FROM q a JOIN v b ON b.vec_id != a.vec_id
+    )
+    SELECT query_id,
+           {", ".join(
+               f"{hit(d)} AS n_hits_d{d},"
+               f" CAST({hit(d)} AS DOUBLE) / {float(TOP_K)} AS recall_d{d}"
+               for d in _MAT_DIMS
+           )}
+    FROM scored GROUP BY query_id
+    """
+
+
+@query("matryoshka_recall_eval", oracle=_mat_oracle())
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import l2_norm
+
+    v = _emb_n(spark, sf_dir)
+    ext = v.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        *[
+            c
+            for d in _MAT_DIMS
+            for c in (
+                F.slice("emb", 1, d).alias(f"e{d}"),
+                l2_norm(F.slice("emb", 1, d)).alias(f"nrm{d}"),
+            )
+        ],
+    )
+    queries = (
+        ext.orderBy(F.expr(_Q_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            *[
+                c
+                for d in _MAT_DIMS
+                for c in (
+                    F.col(f"e{d}").alias(f"q_e{d}"),
+                    F.col(f"nrm{d}").alias(f"q_nrm{d}"),
+                )
+            ],
+        )
+    )
+    cands = ext.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        *[
+            c
+            for d in _MAT_DIMS
+            for c in (
+                F.col(f"e{d}").alias(f"c_e{d}"),
+                F.col(f"nrm{d}").alias(f"c_nrm{d}"),
+            )
+        ],
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cos("q_emb", "q_nrm", "c_emb", "c_nrm").alias("s_full"),
+            *[
+                _pair_cos(f"q_e{d}", f"q_nrm{d}", f"c_e{d}", f"c_nrm{d}").alias(
+                    f"s{d}"
+                )
+                for d in _MAT_DIMS
+            ],
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("s_full"), "cand_id"))
+        .alias("rf"),
+        *[
+            F.row_number()
+            .over(wq.orderBy(F.desc(f"s{d}"), "cand_id"))
+            .alias(f"r{d}")
+            for d in _MAT_DIMS
+        ],
+    )
+    hit = lambda d: F.sum(  # noqa: E731
+        F.when((F.col(f"r{d}") <= TOP_K) & (F.col("rf") <= TOP_K), 1).otherwise(0)
+    ).cast("bigint")
+    return ranked.groupBy("query_id").agg(
+        *[
+            c
+            for d in _MAT_DIMS
+            for c in (
+                hit(d).alias(f"n_hits_d{d}"),
+                (hit(d).cast("double") / F.lit(float(TOP_K))).alias(
+                    f"recall_d{d}"
+                ),
+            )
+        ]
+    )

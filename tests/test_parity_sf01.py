@@ -159,6 +159,9 @@ AT_RISK = [
     # membership; fixed-count hash-order seed pick against a 10x graph
     "pareto_frontier_orders",
     "khop_part_reach",
+    # float cosine rank ties across three metrics at a 10x corpus, with
+    # the fixed-count hash-order query pick
+    "matryoshka_recall_eval",
 ]
 
 pytestmark = pytest.mark.skipif(
