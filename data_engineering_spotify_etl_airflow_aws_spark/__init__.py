@@ -171,7 +171,8 @@ AUDIT_FIRST: list[str] = [
     #    growth_accounting_daily, assoc_rules_lift,
     #    chi_square_lang_source, holt_linear_forecast,
     #    pareto_frontier_orders, khop_part_reach,
-    #    multimodal_phash_near_dup, matryoshka_recall_eval).
+    #    multimodal_phash_near_dup, matryoshka_recall_eval,
+    #    replica_bucket_reconcile, weekly_active_users).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -2363,3 +2363,103 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").cast("bigint").alias("min_ts_us"),
         F.max("ts_us").cast("bigint").alias("max_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed replica reconciliation: orders_table_checksum localized - the
+# Merkle-tree level between "one checksum per table" and "diff every
+# row". Rows hash into 256 fixed buckets; primary and replica each
+# produce per-bucket (count, content checksum) partials, and the
+# compare emits one row per bucket with a match flag - at 100 TB the
+# row-level diff then targets ONLY mismatched buckets, never the whole
+# table. The "replica" is derived deterministically from the same scan
+# by dropping rows whose salted hash lands on ~1/997 (simulated loss;
+# a real replica reads the second copy with the identical bucket/row
+# hash expressions).
+#
+# Canonical row rendering + 32-bit row hash reuse orders_table_checksum's
+# proven cross-engine expressions; bucket ids are md5-uniform so bucket
+# partials have no skew. All emitted values are exact integers.
+#
+# Scale notes (100 TB): two stateless scans, each feeding a 256-key
+# map-side-combinable agg - no shuffle wider than 256 partials per map
+# task; the compare is a bounded 256-row full-outer merge.
+_RC_BUCKETS = 256
+_RC_DROP_MOD = 997
+_RC_SPARK_BKT = _CK_SPARK_H32.format(
+    s="concat('bkt-', cast(o_orderkey as string))"
+)
+_RC_DUCK_BKT = _CK_DUCK_H32.format(
+    s="concat('bkt-', CAST(o_orderkey AS VARCHAR))"
+)
+_RC_SPARK_DROP = _CK_SPARK_H32.format(
+    s="concat('lost-', cast(o_orderkey as string))"
+)
+_RC_DUCK_DROP = _CK_DUCK_H32.format(
+    s="concat('lost-', CAST(o_orderkey AS VARCHAR))"
+)
+
+
+@query(
+    "replica_bucket_reconcile",
+    oracle=f"""
+    WITH p AS (
+        SELECT ({_RC_DUCK_BKT}) % {_RC_BUCKETS} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_primary,
+               CAST(sum({_CK_DUCK_H32.format(s=_CK_DUCK_ROW)}) AS BIGINT)
+                   AS primary_checksum
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT ({_RC_DUCK_BKT}) % {_RC_BUCKETS} AS bucket,
+               CAST(count(*) AS BIGINT) AS n_replica,
+               CAST(sum({_CK_DUCK_H32.format(s=_CK_DUCK_ROW)}) AS BIGINT)
+                   AS replica_checksum
+        FROM orders
+        WHERE ({_RC_DUCK_DROP}) % {_RC_DROP_MOD} != 0
+        GROUP BY 1
+    )
+    SELECT p.bucket, p.n_primary,
+           COALESCE(r.n_replica, 0) AS n_replica,
+           p.primary_checksum,
+           COALESCE(r.replica_checksum, 0) AS replica_checksum,
+           CASE WHEN p.n_primary = COALESCE(r.n_replica, 0)
+                 AND p.primary_checksum = COALESCE(r.replica_checksum, 0)
+                THEN 1 ELSE 0 END AS buckets_match
+    FROM p LEFT JOIN r ON r.bucket = p.bucket
+    """,
+)
+def replica_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bkt = (F.expr(_RC_SPARK_BKT) % _RC_BUCKETS).alias("bucket")
+    row_h = F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW))
+
+    def side(df: DataFrame, n_name: str, ck_name: str) -> DataFrame:
+        return df.groupBy(bkt).agg(
+            F.count("*").alias(n_name),
+            F.sum(row_h).cast("bigint").alias(ck_name),
+        )
+
+    p = side(orders, "n_primary", "primary_checksum")
+    r = side(
+        orders.where(F.expr(_RC_SPARK_DROP) % _RC_DROP_MOD != F.lit(0)),
+        "n_replica",
+        "replica_checksum",
+    )
+    return p.join(r, "bucket", "left").select(
+        "bucket",
+        "n_primary",
+        F.coalesce("n_replica", F.lit(0)).alias("n_replica"),
+        "primary_checksum",
+        F.coalesce("replica_checksum", F.lit(0)).alias("replica_checksum"),
+        F.when(
+            (F.col("n_primary") == F.coalesce("n_replica", F.lit(0)))
+            & (
+                F.col("primary_checksum")
+                == F.coalesce("replica_checksum", F.lit(0))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("buckets_match"),
+    )

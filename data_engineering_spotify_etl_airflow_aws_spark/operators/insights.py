@@ -1920,3 +1920,77 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day") == F.col("f_day"))
         & (F.col("price_cents") == F.col("f_pmax")),
     ).select("o_orderkey", "day", "price_cents")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (DAU/WAU): for each day, the EXACT count of
+# distinct users active in the trailing 7-day window - the sliding-
+# window distinct that plain windowed aggs cannot express (distinct
+# does not decompose over frames). Implemented as coverage expansion:
+# each active (user, day) contributes membership to the 7 calendar days
+# it keeps the user "weekly active" for, the expansion dedups, and a
+# bounded-key count per day remains. DAU rides the same distinct base;
+# the stickiness ratio is one division of exact integers (gap days with
+# coverage but no activity keep dau = 0 via the left join).
+#
+# Scale notes (100 TB): the expansion is a stateless 7x fan-out of the
+# (user, day) distinct - the standard exact-sliding-distinct cost, far
+# below re-scanning the fact per window - followed by one (user, day)
+# dedup shuffle and bounded-day aggs. The horizon clamp is a broadcast
+# 1-row scalar. (The approximate alternative at extreme scale is 7-day
+# HLL partial unions - sketch_rollup_users' shape; this operator is the
+# exact path.)
+_WAU_DAYS = 7
+
+
+@query(
+    "weekly_active_users",
+    oracle=f"""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+    maxd AS (SELECT max(day) AS max_day FROM act),
+    cover AS (
+        SELECT DISTINCT user_id, day + CAST(g AS INTEGER) AS day
+        FROM act, (SELECT unnest(generate_series(0, {_WAU_DAYS - 1})) AS g)
+        CROSS JOIN maxd
+        WHERE day + CAST(g AS INTEGER) <= max_day
+    ),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+            FROM cover GROUP BY day),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM act GROUP BY day)
+    SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+           CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau AS dau_wau_ratio
+    FROM wau w LEFT JOIN dau d ON d.day = w.day
+    """,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    maxd = act.agg(F.max("day").alias("max_day"))
+    cover = (
+        act.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("g"),
+            "day",
+        )
+        .join(F.broadcast(maxd))
+        .select("user_id", F.date_add("day", F.col("g")).alias("day"), "max_day")
+        .where(F.col("day") <= F.col("max_day"))
+        .select("user_id", "day")
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(F.count("*").alias("wau"))
+    dau = act.groupBy("day").agg(F.count("*").alias("dau"))
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).alias("dau"),
+        "wau",
+        (
+            F.coalesce("dau", F.lit(0)).cast("double")
+            / F.col("wau").cast("double")
+        ).alias("dau_wau_ratio"),
+    )
