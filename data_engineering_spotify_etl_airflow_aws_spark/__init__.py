@@ -172,7 +172,8 @@ AUDIT_FIRST: list[str] = [
     #    chi_square_lang_source, holt_linear_forecast,
     #    pareto_frontier_orders, khop_part_reach,
     #    multimodal_phash_near_dup, matryoshka_recall_eval,
-    #    replica_bucket_reconcile, weekly_active_users).
+    #    replica_bucket_reconcile, weekly_active_users,
+    #    near_dup_recall_eval, watermark_delay_profile).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -154,6 +154,21 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_BASE_CACHE: list[DataFrame] = register_cache([])
 
 
+def _shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted non-empty shingle relation both near-dup pipelines
+    (and their recall eval, which runs them against ONE shared base)
+    start from. Releases the previous invocation's relations first."""
+    while _SHINGLE_BASE_CACHE:
+        _SHINGLE_BASE_CACHE.pop().unpersist()
+    sh = (
+        _spark_shingle_df(spark, sf_dir)
+        .where(F.col("n_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SHINGLE_BASE_CACHE.append(sh)
+    return sh
+
+
 # ---------------------------------------------------------------------------
 # EXACT n-gram Jaccard near-dup pairs. Spark plan: prefix-filtered inverted
 # index (candidates from the frequency-ordered prefix self-join with
@@ -177,6 +192,10 @@ _SHINGLE_BASE_CACHE: list[DataFrame] = register_cache([])
     """,
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_pairs(_shingle_base(spark, sf_dir))
+
+
+def _ngram_pairs(sh: DataFrame) -> DataFrame:
     # Both reused relations are persisted: the executed plan otherwise
     # rescans + re-shingles documents SIX times (prefix window twice, the
     # freq branch, and the two verify sides) with zero exchange reuse.
@@ -185,14 +204,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predates the zip_with shingle fix that made recompute cheap enough
     # to expose the 6x re-read instead.) Released on the next call, same
     # pattern as the MinHash base.
-    while _SHINGLE_BASE_CACHE:
-        _SHINGLE_BASE_CACHE.pop().unpersist()
-    sh = (
-        _spark_shingle_df(spark, sf_dir)
-        .where(F.col("n_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _SHINGLE_BASE_CACHE.append(sh)
+    #
     # Prefix filtering (AllPairs/PPJoin): order every doc's shingles by ONE
     # global total order and keep the first |d| - ceil(tau*|d|) + 1. For any
     # pair with J >= tau, the globally-smallest SHARED shingle c must sit in
@@ -357,14 +369,10 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this function; instead each call frees the previous call's base, so
     # at most one cached relation ever outlives its query (the bench also
     # clears the cache between measurements).
-    while _SHINGLE_BASE_CACHE:
-        _SHINGLE_BASE_CACHE.pop().unpersist()
-    sh = (
-        _spark_shingle_df(spark, sf_dir)
-        .where(F.col("n_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _SHINGLE_BASE_CACHE.append(sh)
+    return _minhash_pairs(_shingle_base(spark, sf_dir))
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
     sig = _minhash_signature(sh)
     band_keys = [F.expr(e) for e in _band_key_exprs()]
     bands = sig.select(
@@ -607,3 +615,61 @@ def dedup_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup index recall eval: does MinHash-LSH banding surface every
+# pair the exact prefix-filtered Jaccard join finds? Completes the eval
+# family (ann_recall_eval grades the IVF index, pq_adc_recall_eval the
+# quantizer, this grades the LSH banding): both pipelines verify
+# candidates against exact Jaccard >= tau, so LSH output is a SUBSET of
+# the exact pair set and candidate precision is 1.0 by construction -
+# the number that can degrade is banding RECALL (a pair whose signature
+# agrees in no band is never seen), i.e. the false-negative rate of the
+# (bands, rows) choice. One row: exact pairs, LSH hits, recall.
+#
+# Scale notes (100 TB): the eval runs both registered pipelines (their
+# scale stories hold unchanged) and joins two bounded PAIR relations -
+# the comparison costs nothing next to the searches; run it on a
+# sampled slice to tune banding before an index build, exactly like
+# ann_recall_eval.
+@query(
+    "near_dup_recall_eval",
+    oracle=None,  # assigned below from the two composed oracle texts
+)
+def near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE shared shingle base: calling the two registered queries
+    # back-to-back would persist two identical bases and unpersist the
+    # first mid-plan (each call releases the previous cache entry)
+    sh = _shingle_base(spark, sf_dir)
+    exact = _ngram_pairs(sh).select(
+        F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b")
+    )
+    lsh = _minhash_pairs(sh).select(
+        F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b")
+    )
+    j = exact.join(
+        lsh, (F.col("e_a") == F.col("l_a")) & (F.col("e_b") == F.col("l_b")),
+        "left",
+    )
+    return j.agg(
+        F.count("e_a").alias("n_exact_pairs"),
+        F.count("l_a").alias("n_lsh_pairs"),
+        (F.count("l_a").cast("double") / F.count("e_a").cast("double")).alias(
+            "banding_recall"
+        ),
+    )
+
+
+from ..registry import ORACLES as _DD_OR  # noqa: E402
+
+_DD_OR["near_dup_recall_eval"] = f"""
+WITH exact AS ({_DD_OR["ngram_jaccard_near_dup"]}),
+     lsh AS ({_DD_OR["minhash_lsh_near_dup"]})
+SELECT CAST(count(e.doc_a) AS BIGINT) AS n_exact_pairs,
+       CAST(count(l.doc_a) AS BIGINT) AS n_lsh_pairs,
+       CAST(count(l.doc_a) AS DOUBLE) / CAST(count(e.doc_a) AS DOUBLE)
+           AS banding_recall
+FROM exact e
+LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+"""

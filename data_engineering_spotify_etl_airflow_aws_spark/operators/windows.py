@@ -1072,3 +1072,117 @@ def _register_kmv() -> None:
 
 
 _register_kmv()
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay profile: the out-of-orderness histogram that picks a
+# streaming watermark. Per user stream in ARRIVAL order, an event's
+# lateness is how far the stream's running event-time high-mark had
+# already passed it: lateness_us = running_max(ts_us) - ts_us. The
+# histogram buckets lateness by integer log2 (length of the binary
+# rendering - exact integer, no float log), with bucket 0 = in-order;
+# cumulative shares then read directly as "a watermark of 2^k us keeps
+# X% of events" - the delay/completeness tradeoff quantified before
+# any withWatermark() is deployed (aggregations.py's twins use 1 hour).
+#
+# Arrival time is ts + a deterministic md5 ingest delay (0..48h): the
+# fixture's event_id order IS its event-time order (verified - the
+# event_id-as-arrival profile collapses to one all-in-order bucket), so
+# a simulated transport delay supplies the disorder; production swaps
+# in the real ingest offset/time column and the operator is unchanged.
+#
+# Scale notes (100 TB): one user_id-keyed window shuffle (running max),
+# then a bounded-key histogram agg (<= 64 log2 buckets) and a window
+# over that bounded relation for the cumulative column. All exact
+# integers except the one share division per bucket.
+_WM_DELAY_MOD_US = 48 * 3600 * 1_000_000  # simulated ingest delay span
+
+
+def _wm_oracle() -> str:
+    from .dedup import _DUCK_H32
+
+    h = _DUCK_H32.format(s="concat('delay-', CAST(event_id AS VARCHAR))")
+    return f"""
+    WITH arr AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + ({h}) % {_WM_DELAY_MOD_US} AS arrival_us
+        FROM events
+    ),
+    lat AS (
+        SELECT greatest(
+                   max(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY arrival_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - ts_us, 0) AS lateness_us
+        FROM arr
+    ),
+    hist AS (
+        SELECT CASE WHEN lateness_us = 0 THEN 0
+                    ELSE CAST(length(bin(lateness_us)) AS BIGINT) END
+                   AS lateness_bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(lateness_us) AS BIGINT) AS min_lateness_us,
+               CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+        FROM lat GROUP BY 1
+    )
+    SELECT lateness_bucket, n_events, min_lateness_us, max_lateness_us,
+           CAST(sum(n_events) OVER (ORDER BY lateness_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_events,
+           CAST(sum(n_events) OVER (ORDER BY lateness_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(sum(n_events) OVER () AS DOUBLE) AS cum_share
+    FROM hist
+    """
+
+
+@query(
+    "watermark_delay_profile",
+    oracle=_wm_oracle(),
+)
+def watermark_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _SPARK_H32
+
+    delay = F.expr(
+        _SPARK_H32.format(s="concat('delay-', cast(event_id as string))")
+    ) % F.lit(_WM_DELAY_MOD_US)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _ts_us().alias("ts_us"),
+        (_ts_us() + delay).alias("arrival_us"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = ev.select(
+        F.greatest(
+            F.max("ts_us").over(w_run) - F.col("ts_us"), F.lit(0)
+        ).alias("lateness_us")
+    )
+    hist = lat.groupBy(
+        F.when(F.col("lateness_us") == 0, 0)
+        .otherwise(F.length(F.bin("lateness_us")).cast("bigint"))
+        .alias("lateness_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("lateness_us").cast("bigint").alias("min_lateness_us"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
+    )
+    w_cum = W.orderBy("lateness_bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return hist.select(
+        "lateness_bucket",
+        "n_events",
+        "min_lateness_us",
+        "max_lateness_us",
+        F.sum("n_events").over(w_cum).cast("bigint").alias("cum_events"),
+        (
+            F.sum("n_events").over(w_cum).cast("double")
+            / F.sum("n_events").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
