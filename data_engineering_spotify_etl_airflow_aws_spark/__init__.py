@@ -173,7 +173,8 @@ AUDIT_FIRST: list[str] = [
     #    pareto_frontier_orders, khop_part_reach,
     #    multimodal_phash_near_dup, matryoshka_recall_eval,
     #    replica_bucket_reconcile, weekly_active_users,
-    #    near_dup_recall_eval, watermark_delay_profile).
+    #    near_dup_recall_eval, watermark_delay_profile,
+    #    incremental_lsh_dedup, skew_key_profile).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -673,3 +673,111 @@ SELECT CAST(count(e.doc_a) AS BIGINT) AS n_exact_pairs,
 FROM exact e
 LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: check an arriving DELTA batch against the existing
+# BASE corpus - the production ingest shape (near_dup pipelines above
+# dedup a corpus against ITSELF; a daily pipeline instead asks "which of
+# today's documents already exist?"). The delta is a deterministic
+# ~10% hash split standing in for the day's arrivals; candidates come
+# from the same MinHash band keys, but the band join is ASYMMETRIC
+# (delta bands against base bands only), so the work is O(delta)
+# collisions, never the corpus self-join - the reason LSH indexes
+# amortize: band keys for the base are computed once at index time and
+# only probed here. Survivors verify by exact Jaccard >= tau.
+#
+# Scale notes (100 TB base + daily delta): both sides shuffle on the
+# (band, key) pair; the delta side is days smaller, but it GROWS with
+# the corpus rate, so no broadcast hint is pinned (Catalyst promotes
+# small-enough deltas at runtime). Verification joins fetch shingle
+# arrays for matched candidates only.
+_INC_SPLIT_MOD = 10  # ~1/10 of docs play the arriving delta
+_INC_H_SPARK = _SPARK_H32.format(s="concat('split-', cast(doc_id as string))")
+_INC_H_DUCK = _DUCK_H32.format(s="concat('split-', CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "incremental_lsh_dedup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLE_BASE}),
+    sig AS (
+        SELECT doc_id, sh, n_sh, ({_INC_H_DUCK}) % {_INC_SPLIT_MOD} = 0
+                   AS is_delta,
+               {_duck_minhash_cols()}
+        FROM sh WHERE n_sh > 0
+    ),
+    bands AS (
+        SELECT doc_id, is_delta,
+               unnest(generate_series(0, {_N_BANDS - 1})) AS band_idx,
+               unnest([{", ".join(_band_key_exprs())}]) AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT d.doc_id AS delta_doc, b.doc_id AS base_doc
+        FROM bands d
+        JOIN bands b ON d.band_idx = b.band_idx
+                    AND d.band_key = b.band_key
+        WHERE d.is_delta AND NOT b.is_delta
+    )
+    SELECT delta_doc, base_doc,
+           len(list_intersect(sd.sh, sb.sh)) AS n_common,
+           CAST(len(list_intersect(sd.sh, sb.sh)) AS DOUBLE)
+               / (sd.n_sh + sb.n_sh - len(list_intersect(sd.sh, sb.sh)))
+               AS jaccard
+    FROM cand
+    JOIN sig sd ON sd.doc_id = delta_doc
+    JOIN sig sb ON sb.doc_id = base_doc
+    WHERE CAST(len(list_intersect(sd.sh, sb.sh)) AS DOUBLE)
+              / (sd.n_sh + sb.n_sh - len(list_intersect(sd.sh, sb.sh)))
+          >= {JACCARD_TAU}
+    """,
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_base(spark, sf_dir)
+    sig = _minhash_signature(sh).withColumn(
+        "is_delta", F.expr(_INC_H_SPARK) % _INC_SPLIT_MOD == F.lit(0)
+    )
+    band_keys = [F.expr(e) for e in _band_key_exprs()]
+    bands = sig.select(
+        "doc_id",
+        "is_delta",
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.where("is_delta")
+        .select(
+            F.col("doc_id").alias("delta_doc"), "band_idx", "band_key"
+        )
+        .join(
+            bands.where("NOT is_delta").select(
+                F.col("doc_id").alias("base_doc"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("delta_doc", "base_doc")
+        .distinct()
+    )
+    d = sh.select(
+        F.col("doc_id").alias("delta_doc"),
+        F.col("sh").alias("sh_d"),
+        F.col("n_sh").alias("n_d"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("base_doc"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("sh_d", "sh_b"))
+    jac = common.cast("double") / (F.col("n_d") + F.col("n_b") - common)
+    return (
+        cand.join(d, "delta_doc")
+        .join(b, "base_doc")
+        .select(
+            "delta_doc",
+            "base_doc",
+            common.alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+    )

@@ -2463,3 +2463,71 @@ def replica_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("buckets_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile: the diagnosis that precedes skew_salted_join_agg's
+# mitigation - per-key row counts for a prospective join/grouping key,
+# reduced to the top-10 heaviest keys with each key's share of the table
+# and its skew factor (count over the all-key average). The number a
+# 100 TB plan review reads before deciding between plain shuffle, AQE
+# skew splitting, or explicit salting: skew_factor ~1 = uniform,
+# >>1 = hot-key trouble.
+#
+# Determinism: counts/totals are exact integers; share and skew_factor
+# are single divisions (skew_factor's numerator cnt * n_keys stays well
+# inside int64); top-10 rides the (count DESC, key) total order.
+#
+# Scale notes (100 TB): one map-side-combinable count agg on the key,
+# TakeOrderedAndProject for the top-10, and a broadcast 1-row totals
+# join - the diagnostic costs one pass, no wide shuffle beyond the
+# count agg itself.
+@query(
+    "skew_key_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n_rows) AS BIGINT) AS total_rows
+            FROM counts),
+    top AS (SELECT l_partkey, n_rows FROM counts
+            ORDER BY n_rows DESC, l_partkey LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey)
+               AS BIGINT) AS rank,
+           l_partkey, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+           CAST(n_rows * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)
+               AS skew_factor
+    FROM top CROSS JOIN tot
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), "l_partkey").limit(10)
+    w = W.orderBy(F.desc("n_rows"), "l_partkey")
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "l_partkey",
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n_rows") * F.col("n_keys")).cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_factor"),
+        )
+    )
