@@ -174,7 +174,9 @@ AUDIT_FIRST: list[str] = [
     #    multimodal_phash_near_dup, matryoshka_recall_eval,
     #    replica_bucket_reconcile, weekly_active_users,
     #    near_dup_recall_eval, watermark_delay_profile,
-    #    incremental_lsh_dedup, skew_key_profile).
+    #    incremental_lsh_dedup, skew_key_profile,
+    #    semdedup_embedding_prune, embedding_covariance_matrix,
+    #    user_value_trend_slopes).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -209,3 +209,16 @@ def oracle_format_ts_with_offset(utc_us: str, offset_minutes: str) -> str:
         f"lpad(CAST(abs({offset_minutes}) % 60 AS VARCHAR), 2, '0')) END"
     )
     return f"concat({clock}, {suffix})"
+
+
+def oracle_exact_double(expr: str) -> str:
+    """DuckDB fragment: exact-integer (HUGEINT/DECIMAL) -> DOUBLE with
+    round-to-nearest semantics, matching Spark's decimal->double cast.
+
+    DuckDB's native CAST(int128 AS DOUBLE) TRUNCATES toward zero (round-6
+    finding: 36084481273787747137 casts to 3.6084481273787744e19, one ULP
+    below the correctly-rounded 3.608448127378775e19 that Spark and
+    Python produce), so any exact integer moment above 2^53 is a per-value
+    coin flip against Spark's hash. The VARCHAR hop forces DuckDB through
+    its correctly-rounded string->double parser instead."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"

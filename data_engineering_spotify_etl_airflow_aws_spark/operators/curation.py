@@ -835,3 +835,115 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "sum_chars", "n_leaked_contents")
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then inside each cluster drop every vector
+# that has an EARLIER (lower vec_id) neighbor above a cosine threshold -
+# the keep-one-per-semantic-neighborhood rule LLM corpus curation uses to
+# remove paraphrase-level duplicates that exact/MinHash dedup cannot see.
+# Emits one row per vector with its cluster, the max cosine to any prior
+# same-cluster vector (NULL for cluster minima), and the pruned flag.
+#
+# The fixture corpus is near-uniform on the sphere (max pairwise cosine
+# ~0.51 - see similarity.py), so the threshold here is 0.4 to exercise
+# the prune path; production corpora use ~0.95. K and tau are the two
+# knobs of the SemDeDup cost/recall trade-off.
+#
+# Determinism: seeds are the md5-hash-order top-K (fixed count - the same
+# scale-invariant rule as k-means above); assignment reuses _km_assign's
+# proven min-struct argmin; per-vector norms are sqrt of the shared
+# sequential-fold dot, so each pair cosine is the identical IEEE sequence
+# dot/(nx*ny) in both engines, and max() over exact-comparable doubles is
+# order-insensitive.
+#
+# Scale notes (100 TB): assignment broadcasts the BOUNDED K-row seed
+# table (no corpus shuffle); the pair stage is an equi-join on cid - the
+# classic SemDeDup cost Sum(c_i^2) confined within clusters, kept
+# tractable by scaling K with the corpus (K ~ N/target-cluster-size, the
+# paper uses ~100k clusters) so per-cluster pair counts stay bounded;
+# skewed clusters split under AQE skew-join handling. The final per-vec
+# max is a map-side-combinable agg on vec_id.
+_SD_K = 64
+_SD_TAU = 0.4
+_SD_H_SPARK = _SPARK_H32.format(s="concat('sd-', cast(vec_id as string))")
+_SD_H_DUCK = _DUCK_H32.format(s="concat('sd-', CAST(vec_id AS VARCHAR))")
+
+
+def _sd_oracle() -> str:
+    from ..functions import oracle_dot, oracle_norm
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM v
+           ORDER BY {_SD_H_DUCK}, vec_id LIMIT {_SD_K}),
+    {_km_oracle_assign('v', 'c0', 'a1')},
+    av AS (SELECT a1.vec_id, a1.cid, v.emb, {oracle_norm('v.emb')} AS nrm
+           FROM a1 JOIN v USING (vec_id)),
+    p AS (SELECT y.vec_id AS vec_id,
+                 max(({oracle_dot('x.emb', 'y.emb')}) / (x.nrm * y.nrm))
+                     AS max_prior_cosine
+          FROM av x JOIN av y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id
+          GROUP BY y.vec_id)
+    SELECT av.vec_id, av.cid AS cluster_id, p.max_prior_cosine,
+           CASE WHEN p.max_prior_cosine >= {_SD_TAU} THEN 1 ELSE 0 END
+               AS pruned
+    FROM av LEFT JOIN p USING (vec_id)
+    """
+
+
+@query("semdedup_embedding_prune", oracle=_sd_oracle())
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dot, vec_double
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", vec_double("embedding").alias("emb")
+        )
+    )
+    v = v.withColumn("vv", dot(F.col("emb"), F.col("emb")))
+    c0 = (
+        v.orderBy(F.expr(_SD_H_SPARK).asc(), F.col("vec_id").asc())
+        .limit(_SD_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("vv").alias("cc"),
+        )
+    )
+    a = _km_assign(v, c0).withColumn("nrm", F.sqrt(F.col("vv")))
+    x = a.select(
+        F.col("cid").alias("xcid"),
+        F.col("vec_id").alias("x_id"),
+        F.col("emb").alias("xemb"),
+        F.col("nrm").alias("xnrm"),
+    )
+    y = a.select(
+        "cid",
+        "vec_id",
+        F.col("emb").alias("yemb"),
+        F.col("nrm").alias("ynrm"),
+    )
+    cos = dot(F.col("xemb"), F.col("yemb")) / (
+        F.col("xnrm") * F.col("ynrm")
+    )
+    p = (
+        x.join(
+            y,
+            (F.col("xcid") == F.col("cid"))
+            & (F.col("x_id") < F.col("vec_id")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_prior_cosine"))
+    )
+    return a.join(p, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        "max_prior_cosine",
+        F.when(F.col("max_prior_cosine") >= _SD_TAU, 1)
+        .otherwise(0)
+        .alias("pruned"),
+    )

@@ -614,3 +614,115 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance matrix over the leading embedding dimensions -
+# the single-pass moment computation behind PCA / whitening / ZCA of an
+# embedding corpus (the classic prep step before dimensionality reduction
+# or decorrelated quantization). Emits the upper triangle (incl. the
+# diagonal = per-dim variance) of the sample covariance of dims 0..7.
+#
+# Determinism: components quantize to integer micro-units
+# (floor(x*1e9+0.5) - pure IEEE ops identical in both engines), then ALL
+# moments (sum x_i, sum x_i*x_j, n) are exact integer sums
+# (decimal(38,0) / HUGEINT). cov = (n*Sxy - Sx*Sy) / (n*(n-1)) / 1e18 is
+# exact-integer arithmetic until ONE double cast per term, then the same
+# two IEEE divisions on both sides (1e18 is exactly representable).
+#
+# Scale notes (100 TB): ONE map-side-combinable agg over the corpus - 45
+# running integer sums per partition, a single 1-row exchange, zero
+# joins; the 36-row unpivot is driver-trivial. The 38-digit decimal cap
+# bounds exactness at n*Sxy <= 1e38, i.e. ~1e9 rows at unit-scale
+# components; past that, shard the agg (e.g. by a hash bucket) and merge
+# the per-shard moments - the formula is associative in its sums.
+_COV_D = 8  # leading dims covered (full 64x64 = same plan, 2080 sums)
+
+
+def _cov_oracle() -> str:
+    from ..functions import oracle_exact_double
+
+    cols = ", ".join(
+        f"CAST(floor(emb[{i + 1}] * 1000000000.0 + 0.5) AS HUGEINT) AS u{i}"
+        for i in range(_COV_D)
+    )
+    sums = ", ".join(f"sum(u{i}) AS s{i}" for i in range(_COV_D))
+    psums = ", ".join(
+        f"sum(u{i} * u{j}) AS s{i}_{j}"
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j,"
+        f" ({oracle_exact_double(f'n * s{i}_{j} - s{i} * s{j}')}"
+        f" / {oracle_exact_double('n * (n - 1)')}) / 1e18 AS cov FROM m"
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    )
+    return f"""
+    WITH u AS (
+        SELECT {cols}
+        FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n, {sums}, {psums} FROM u)
+    {rows}
+    """
+
+
+@query("embedding_covariance_matrix", oracle=_cov_oracle())
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    v = widen_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            vec_double("embedding").alias("emb")
+        )
+    )
+    u = v.select(
+        *[
+            F.floor(
+                F.element_at("emb", i + 1) * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("decimal(18,0)")
+            .alias(f"u{i}")
+            for i in range(_COV_D)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [
+        F.sum(f"u{i}").cast("decimal(38,0)").alias(f"s{i}")
+        for i in range(_COV_D)
+    ]
+    aggs += [
+        F.sum(F.col(f"u{i}") * F.col(f"u{j}"))
+        .cast("decimal(38,0)")
+        .alias(f"s{i}_{j}")
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    ]
+    m = u.agg(*aggs)
+    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    return m.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("dim_i"),
+                        F.lit(j).alias("dim_j"),
+                        (
+                            (
+                                F.col("n").cast("decimal(38,0)")
+                                * F.col(f"s{i}_{j}")
+                                - F.col(f"s{i}") * F.col(f"s{j}")
+                            ).cast("double")
+                            / den
+                            / F.lit(1e18)
+                        ).alias("cov"),
+                    )
+                    for i in range(_COV_D)
+                    for j in range(i, _COV_D)
+                ]
+            )
+        )
+    )

@@ -1256,3 +1256,81 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity OLS trend slope - the group-wise version of
+# daily_trend_ols (extras.py computes ONE global slope; feature stores
+# want one per user: "is this user's value trending up?"). Closed-form
+# regression of value on event day per user, computed entirely from the
+# five per-group integer moments (n, Sx, Sy, Sxx, Sxy) so the whole
+# operator is ONE map-side-combinable groupBy - the canonical way to fit
+# millions of tiny models at 100 TB (no per-group iteration, no window).
+#
+# Determinism: x is the exact integer day index, y quantizes to exact
+# micro-units; all five moments are exact integer sums
+# (decimal(38,0)/HUGEINT), the slope numerator/denominator stay exact
+# integers until ONE double cast each, then the same two IEEE divisions
+# both engines (1e6 exactly representable). Degenerate users (zero
+# x-variance: all events one day) are filtered by the EXACT integer
+# denominator - no float-boundary membership risk.
+#
+# Scale notes (100 TB): one shuffle on the high-entropy user_id with
+# partial aggregation; output is one row per user. Day-index magnitude
+# (~2e4) keeps n*Sxx inside decimal(38,0) exactness up to ~1e25 events
+# per user - unreachable.
+@query(
+    "user_value_trend_slopes",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(floor(value * 1000000) AS BIGINT) AS y6
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y6) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y6) AS HUGEINT) AS sxy
+        FROM e GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           (CAST(CAST((n_events * sxy - sx * sy) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST((n_events * sxx - sx * sx) AS VARCHAR) AS DOUBLE))
+               / 1e6 AS slope_per_day
+    FROM m
+    WHERE n_events * sxx - sx * sx <> 0
+    """,
+)
+def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+        F.floor(F.col("value") * F.lit(1_000_000)).cast("bigint").alias("y6"),
+    )
+    m = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y6"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n38 = F.col("n_events").cast("decimal(38,0)")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_exact = n38 * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.where(den_exact != F.lit(0))
+        .select(
+            "user_id",
+            "n_events",
+            (num / den_exact.cast("double") / F.lit(1e6)).alias(
+                "slope_per_day"
+            ),
+        )
+    )

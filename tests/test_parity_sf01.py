@@ -78,6 +78,12 @@ AT_RISK = [
     "tpch_q22_dormant_balance",
     "dedup_rolling_window",
     "sketch_rollup_users",
+    # semantic-prune / moments batch: cosine threshold at 10x pair count
+    # (semdedup), >2^53 integer moments through the VARCHAR-hop double
+    # conversion (covariance, slopes - the DuckDB int128 truncation find)
+    "semdedup_embedding_prune",
+    "embedding_covariance_matrix",
+    "user_value_trend_slopes",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
