@@ -2531,3 +2531,152 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality profile: PREDICT an equi-join's output size from the
+# two sides' per-key histograms before running it - for an equi-join the
+# output is exactly sum over keys of n_left(k) * n_right(k), so the
+# per-key products localize blow-up ("which users explode the
+# view x purchase join?") the way skew_key_profile localizes single-table
+# skew. Profiled here: the view-side vs purchase-side of the funnel join
+# on user_id. Emits the top-10 contributing keys with each key's pair
+# count and share of the predicted join size.
+#
+# Determinism: counts and products are exact integers (pair products in
+# decimal/HUGEINT - two 1e6-row sides on one key would pass 2^63);
+# share is one double division; top-10 rides the (pairs DESC, user_id)
+# total order.
+#
+# Scale notes (100 TB): ONE conditional-count agg on the join key with
+# map-side combine (both sides' histograms in a single pass over the
+# fact table - no join executed at all), TakeOrderedAndProject for the
+# top-10, and a broadcast 1-row total. The diagnostic costs a projection
+# scan, strictly cheaper than the join it sizes.
+@query(
+    "join_cardinality_profile",
+    oracle="""
+    WITH h AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchase
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    ),
+    c AS (
+        SELECT user_id, n_view, n_purchase,
+               CAST(n_view AS HUGEINT) * n_purchase AS pairs
+        FROM h WHERE n_view > 0 AND n_purchase > 0
+    ),
+    tot AS (SELECT sum(pairs) AS total_pairs FROM c),
+    top AS (SELECT * FROM c ORDER BY pairs DESC, user_id LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY pairs DESC, user_id)
+               AS BIGINT) AS rank,
+           user_id, n_view, n_purchase,
+           CAST(pairs AS BIGINT) AS pairs,
+           CAST(CAST(pairs AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(total_pairs AS VARCHAR) AS DOUBLE) AS share
+    FROM top CROSS JOIN tot
+    """,
+)
+def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase"),
+        )
+    )
+    c = h.where((F.col("n_view") > 0) & (F.col("n_purchase") > 0)).withColumn(
+        "pairs",
+        F.col("n_view").cast("decimal(38,0)") * F.col("n_purchase"),
+    )
+    tot = c.agg(F.sum("pairs").alias("total_pairs"))
+    top = c.orderBy(F.desc("pairs"), "user_id").limit(10)
+    w = W.orderBy(F.desc("pairs"), "user_id")
+    return top.join(F.broadcast(tot)).select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "user_id",
+        "n_view",
+        "n_purchase",
+        F.col("pairs").cast("bigint").alias("pairs"),
+        (
+            F.col("pairs").cast("double")
+            / F.col("total_pairs").cast("double")
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware aggregate refresh: maintain a materialized aggregate
+# under DELETES by merging the stored partials with NEGATED partials of
+# the deleted rows - the retraction half of MV maintenance
+# (incremental_agg_refresh above handles inserts). Only INVERTIBLE
+# aggregates survive this path: count and sum subtract exactly; max/min/
+# distinct are NOT invertible and need a re-derive over the surviving
+# group (or an auxiliary structure) - the avg here is derived from the
+# two invertible partials. The oracle IS the full recompute over the
+# surviving rows, so the hash match PROVES merge-with-retraction == full.
+#
+# Exactness: counts and decimal sums negate/add associatively with zero
+# float involvement; avg divides the exact decimal sum by the exact
+# count ONCE in double.
+#
+# Scale notes (100 TB): the stored MV is |groups| rows, the delete batch
+# aggregates with map-side combine on its own size, and the merge is
+# UNION ALL + one groupBy (no join) - cost O(deletes + groups), never
+# O(history). Groups whose rows all vanish drop out via the exact n > 0
+# filter.
+@query(
+    "retractable_agg_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               / count(*) AS DOUBLE) AS avg_price
+    FROM orders
+    WHERE o_orderkey % 17 <> 3
+    GROUP BY o_orderpriority
+    """,
+)
+def retractable_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # the stored MV covers ALL history; the retraction batch is the
+    # deterministic subset being deleted (GDPR erasure, bad-batch backout)
+    deleted = orders.where(F.col("o_orderkey") % 17 == F.lit(3))
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.lit(sign) * F.count("*")).alias("n"),
+            (
+                F.lit(sign)
+                * F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            ).alias("s"),
+        )
+
+    merged = (
+        partial(orders, 1)
+        .unionByName(partial(deleted, -1))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+        .where(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s").cast("double").alias("sum_price"),
+        (F.col("s").cast("double") / F.col("n_orders")).cast("double").alias(
+            "avg_price"
+        ),
+    )

@@ -1186,3 +1186,73 @@ def watermark_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_events").over(w_all).cast("double")
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user: the running-peak-to-trough metric finance
+# and engagement analytics both use ("how far below its best has this
+# account fallen?"). Per user, accumulate the event-value series in
+# event order, track the running peak, and report the largest
+# peak-minus-current gap plus the peak itself.
+#
+# Determinism: values quantize to exact micro-units; the cumulative sum
+# and the running max are over exact integers with explicit ROWS frames
+# on the (ts, event_id) TOTAL order (a RANGE frame - the SQL default -
+# would merge timestamp ties and diverge between engines). One /1e6
+# double conversion per output metric, well inside 2^53.
+#
+# Scale notes (100 TB): ONE shuffle on the high-entropy user_id; the two
+# stacked windows and the final groupBy all share that partitioning, so
+# Catalyst reuses the exchange (one sort, no further shuffle). Per-user
+# history length bounds window memory, not corpus size.
+@query(
+    "max_drawdown_per_user",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS y6
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(y6) OVER w AS BIGINT) AS running
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+        SELECT user_id, running,
+               CAST(max(running) OVER w AS BIGINT) AS peak
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(peak) AS DOUBLE) / 1e6 AS peak_value,
+           CAST(max(peak - running) AS DOUBLE) / 1e6 AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000)).cast("bigint").alias("y6"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = e.withColumn("running", F.sum("y6").over(w).cast("bigint"))
+    p = r.withColumn("peak", F.max("running").over(w).cast("bigint"))
+    return p.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("peak").cast("double") / F.lit(1e6)).alias("peak_value"),
+        (
+            F.max(F.col("peak") - F.col("running")).cast("double")
+            / F.lit(1e6)
+        ).alias("max_drawdown"),
+    )

@@ -84,6 +84,12 @@ AT_RISK = [
     "semdedup_embedding_prune",
     "embedding_covariance_matrix",
     "user_value_trend_slopes",
+    # drawdown/MV-maintenance batch: 10x-long running-sum windows
+    # (drawdown), decimal negation merge vs full recompute (retractable),
+    # hugeint pair products + share division (join profile)
+    "max_drawdown_per_user",
+    "retractable_agg_refresh",
+    "join_cardinality_profile",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
