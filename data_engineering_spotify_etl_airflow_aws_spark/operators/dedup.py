@@ -781,3 +781,108 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric CONTAINMENT near-dup: flag pairs where one document's
+# shingle set is mostly INSIDE the other's (|A n B| / |A| >= tau) - the
+# quote / excerpt / boilerplate-inclusion detector that symmetric Jaccard
+# misses by construction (a 50-shingle quote inside a 5000-shingle page
+# has Jaccard ~0.01 but containment ~1.0). Emits both directions per
+# pair plus the shared-shingle count.
+#
+# Candidate generation is the asymmetric AllPairs variant: every doc
+# keeps a frequency-ordered PREFIX (|d| - ceil(tau*|d|) + 1 rarest
+# shingles) as its PROBE side, joined against the FULL inverted index -
+# for containment the indexed side cannot be prefix-pruned (the
+# containee's matching shingles may sit anywhere in the container), so
+# asymmetric probe-vs-full is the tightest lossless filter; the
+# brute-force all-pairs oracle hash-match PROVES nothing is lost. The
+# size filter keeps only containers big enough to absorb ceil(tau*|A|)
+# shared shingles.
+#
+# Scale notes (100 TB): prefix and index shuffle on the high-entropy
+# shingle key; rarest-first ordering keeps probe buckets tiny (same
+# machinery as ngram_jaccard_near_dup, measured there); the verify join
+# moves each doc's shingle array once. tau=0.5: fixture's planted
+# overlaps sit >=0.8, background <0.3 (measured sf0.01), so the
+# threshold has margin on both sides.
+_CONT_TAU = 0.5
+
+
+@query(
+    "containment_near_dup",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLE_BASE})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n_sh
+               AS cont_a_in_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / b.n_sh
+               AS cont_b_in_a
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE a.n_sh > 0 AND b.n_sh > 0
+      AND greatest(
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n_sh,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / b.n_sh)
+          >= {_CONT_TAU}
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_base(spark, sf_dir)
+    full = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    freq = full.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(_CONT_TAU) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = (
+        full.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(full.alias("f"), "shingle")
+        .where(
+            (F.col("p.doc_id") != F.col("f.doc_id"))
+            & (
+                F.col("f.n_sh")
+                >= F.ceil(F.lit(_CONT_TAU) * F.col("p.n_sh"))
+            )
+        )
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = common.cast("double") / F.col("n_a")
+    c_ba = common.cast("double") / F.col("n_b")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            common.alias("n_common"),
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .where(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(_CONT_TAU)
+        )
+        # no output sort: driver hash is order-insensitive (r5 rule)
+    )

@@ -2680,3 +2680,85 @@ def retractable_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation profile: for candidate column pairs
+# det -> dep, count how many det values map to MORE than one dep value -
+# the schema-discovery / data-quality probe behind normalization
+# decisions and constraint inference (table_profile_orders profiles
+# single columns; this profiles cross-column structure). The o_orderkey
+# FD is the primary-key sanity check (must hold); the other two are
+# expected-violated probes that quantify HOW non-functional the
+# relationship is.
+#
+# Determinism: pure integer counts; det values stringify only as an
+# internal grouping key (both engines' casts are injective per branch,
+# and the key is never emitted, so format differences cannot matter);
+# violation_rate is one double division.
+#
+# Scale notes (100 TB): one shuffle on the high-entropy (fd, det) key
+# with a two-phase distinct agg (partial distinct map-side), then a
+# 3-row final agg. Each candidate FD adds one UNION branch over the same
+# scan - column pruning keeps it one pass per branch.
+@query(
+    "fd_violation_profile",
+    oracle="""
+    WITH f AS (
+        SELECT 'o_orderkey->o_orderstatus' AS fd,
+               CAST(o_orderkey AS VARCHAR) AS det, o_orderstatus AS dep
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus',
+               CAST(o_custkey AS VARCHAR), o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate->o_orderpriority',
+               CAST(o_orderdate AS VARCHAR), o_orderpriority
+        FROM orders
+    ),
+    g AS (
+        SELECT fd, det, count(DISTINCT dep) AS ndep FROM f GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_det_values,
+           CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CASE WHEN sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS fd_holds,
+           CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS violation_rate
+    FROM g GROUP BY fd
+    """,
+)
+def fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def branch(fd: str, det: str, dep: str) -> DataFrame:
+        return o.select(
+            F.lit(fd).alias("fd"),
+            F.col(det).cast("string").alias("det"),
+            F.col(dep).alias("dep"),
+        )
+
+    f = (
+        branch("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus")
+        .unionByName(
+            branch("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus")
+        )
+        .unionByName(
+            branch(
+                "o_orderdate->o_orderpriority",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    )
+    g = f.groupBy("fd", "det").agg(F.count_distinct("dep").alias("ndep"))
+    viol = F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
+    return g.groupBy("fd").agg(
+        F.count("*").alias("n_det_values"),
+        viol.cast("bigint").alias("n_violating"),
+        F.when(viol == 0, 1).otherwise(0).alias("fd_holds"),
+        (viol.cast("double") / F.count("*")).alias("violation_rate"),
+    )

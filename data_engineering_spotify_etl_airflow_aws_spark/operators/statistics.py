@@ -1334,3 +1334,119 @@ def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test between the click and purchase
+# DAILY-total distributions - the nonparametric "are these two metrics
+# drawn from the same distribution?" check that complements PSI (binned,
+# reference-vs-current) with an exact max-ECDF-gap statistic. Exact KS
+# needs a global order over the combined sample, so it runs on the
+# CALENDAR-BOUNDED daily aggregate (<= #days rows per side) - the same
+# bounded-series discipline as autocorr/holt above; running it on raw
+# events would be a 100 TB global sort by design error.
+#
+# Determinism: daily totals are exact micro-unit integers; tied totals
+# collapse via GROUP BY value BEFORE the cumulative window (ROWS frame
+# over now-distinct values = total order); each ECDF point is one double
+# division, the gap is |a/n1 - b/n2| with identical IEEE sequence both
+# sides, and max over exactly-comparable doubles is order-insensitive.
+# The 95% critical value uses the classic c(alpha)=1.358 large-sample
+# constant (same literal -> same nearest-double in both engines).
+#
+# Scale notes (100 TB): one (type, day) fact shuffle with map-side
+# partials; everything after runs on <= 2 x #days rows (the
+# single-partition window is bounded by the calendar, not the corpus).
+@query(
+    "ks_test_click_vs_purchase",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT v,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c2
+        FROM daily GROUP BY v
+    ),
+    cum AS (
+        SELECT CAST(sum(c1) OVER w AS BIGINT) AS a1,
+               CAST(sum(c2) OVER w AS BIGINT) AS a2
+        FROM g
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+    d AS (
+        SELECT n1, n2,
+               max(abs(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2))
+                   AS ks_d
+        FROM cum CROSS JOIN tot GROUP BY n1, n2
+    )
+    SELECT n1 AS n_click_days, n2 AS n_purchase_days, ks_d,
+           1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * n2)) AS crit_value_95,
+           CASE WHEN ks_d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                         / (CAST(n1 AS DOUBLE) * n2))
+                THEN 1 ELSE 0 END AS reject_h0
+    FROM d
+    """,
+)
+def ks_test_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    g = daily.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = g.select(
+        F.sum("c1").over(wv).cast("bigint").alias("a1"),
+        F.sum("c2").over(wv).cast("bigint").alias("a2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.join(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a1").cast("double") / F.col("n1")
+                    - F.col("a2").cast("double") / F.col("n2")
+                )
+            ).alias("ks_d")
+        )
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return d.select(
+        F.col("n1").alias("n_click_days"),
+        F.col("n2").alias("n_purchase_days"),
+        "ks_d",
+        crit.alias("crit_value_95"),
+        F.when(F.col("ks_d") > crit, 1).otherwise(0).alias("reject_h0"),
+    )
