@@ -179,7 +179,8 @@ AUDIT_FIRST: list[str] = [
     #    user_value_trend_slopes, max_drawdown_per_user,
     #    retractable_agg_refresh, join_cardinality_profile,
     #    containment_near_dup, ks_test_click_vs_purchase,
-    #    fd_violation_profile).
+    #    fd_violation_profile, bootstrap_ci_event_value,
+    #    nested_subsample_curve).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

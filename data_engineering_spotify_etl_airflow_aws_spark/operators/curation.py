@@ -947,3 +947,123 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested subsample curve: the 10/20/40/80% corpus schedule a scaling-law
+# or learning-curve run trains on. Membership at level p is the hash
+# predicate u < floor(p * 2^32) on ONE per-doc draw, so the subsets are
+# NESTED BY CONSTRUCTION (10% subset of the 20%, and so on) - the property
+# learning curves require and independent per-level samples violate.
+# Emits per level: docs, chars, languages covered, and realized share.
+#
+# Determinism: the draw is the shared md5 h32 (pure function of doc_id);
+# level membership is an EXACT integer comparison against precomputed
+# thresholds - no float boundary; counts/sums are exact integers and the
+# share divides once.
+#
+# Scale notes (100 TB): each doc maps to its SMALLEST containing level
+# (one stateless projection - the corpus is never fanned out 4x), then
+# ONE shuffle on the bounded (level, lang) key; the nesting is recovered
+# by a cumulative window over the BOUNDED 4 x #langs grid, densified by
+# a left join so absent (level, lang) cells cannot break the running sum.
+_CURVE_LEVELS = [(10, 429496729), (20, 858993459), (40, 1717986918),
+                 (80, 3435973836)]  # (pct, floor(pct/100 * 2^32))
+
+
+def _curve_oracle() -> str:
+    h = _DUCK_H32.format(s="concat('curve-', CAST(doc_id AS VARCHAR))")
+    ml = " ".join(
+        f"WHEN u < {t} THEN {p}" for p, t in _CURVE_LEVELS
+    )
+    vals = ", ".join(f"({p})" for p, _ in _CURVE_LEVELS)
+    return f"""
+    WITH d AS (SELECT doc_id, lang, n_chars, {h} AS u FROM documents),
+    a AS (SELECT CASE {ml} END AS ml, lang, n_chars FROM d),
+    g AS (SELECT ml, lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS ch
+          FROM a WHERE ml IS NOT NULL GROUP BY 1, 2),
+    grid AS (SELECT l.level_pct, langs.lang
+             FROM (VALUES {vals}) l(level_pct)
+             CROSS JOIN (SELECT DISTINCT lang FROM documents) langs),
+    c AS (SELECT grid.level_pct, grid.lang,
+                 coalesce(g.n, 0) AS n, coalesce(g.ch, 0) AS ch
+          FROM grid LEFT JOIN g
+            ON g.ml = grid.level_pct AND g.lang = grid.lang),
+    cum AS (SELECT level_pct, lang,
+                   CAST(sum(n) OVER w AS BIGINT) AS cn,
+                   CAST(sum(ch) OVER w AS BIGINT) AS cch
+            FROM c
+            WINDOW w AS (PARTITION BY lang ORDER BY level_pct
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents)
+    SELECT level_pct, CAST(sum(cn) AS BIGINT) AS n_docs,
+           CAST(sum(cch) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_langs,
+           CAST(sum(cn) AS DOUBLE) / max(total_docs) AS doc_share
+    FROM cum CROSS JOIN tot GROUP BY level_pct
+    """
+
+
+@query("nested_subsample_curve", oracle=_curve_oracle())
+def nested_subsample_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        _SPARK_H32.format(s="concat('curve-', cast(doc_id as string))")
+    )
+    ml = F.lit(None).cast("int")
+    for p, t in reversed(_CURVE_LEVELS):
+        ml = F.when(u < F.lit(t), F.lit(p)).otherwise(ml)
+    a = docs.select(ml.alias("ml"), "lang", "n_chars")
+    g = (
+        a.where(F.col("ml").isNotNull())
+        .groupBy("ml", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("ch"),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p, _ in _CURVE_LEVELS])
+        ).alias("level_pct")
+    )
+    langs = docs.select("lang").distinct()
+    grid = levels.crossJoin(langs)
+    c = grid.join(
+        g,
+        (g.ml == grid.level_pct) & (g.lang == grid.lang),
+        "left",
+    ).select(
+        "level_pct",
+        grid.lang.alias("lang"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("ch", F.lit(0)).cast("bigint").alias("ch"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("level_pct")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = c.select(
+        "level_pct",
+        "lang",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("ch").over(w).cast("bigint").alias("cch"),
+    )
+    tot = docs.agg(F.count("*").alias("total_docs"))
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("level_pct")
+        .agg(
+            F.sum("cn").cast("bigint").alias("n_docs"),
+            F.sum("cch").cast("bigint").alias("sum_chars"),
+            F.sum(F.when(F.col("cn") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_langs"),
+            (
+                F.sum("cn").cast("double") / F.max("total_docs")
+            ).alias("doc_share"),
+        )
+    )

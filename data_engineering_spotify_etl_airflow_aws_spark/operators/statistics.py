@@ -1450,3 +1450,144 @@ def ks_test_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_value_95"),
         F.when(F.col("ks_d") > crit, 1).otherwise(0).alias("reject_h0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean event value - the
+# distribution-free uncertainty estimate a metrics platform attaches to
+# any reported mean. The classic multinomial bootstrap cannot be
+# computed distributedly (it needs global coordination per resample);
+# the Poisson(1) approximation draws each row's per-replica weight
+# INDEPENDENTLY, which is exactly what a shared-nothing engine wants -
+# and here the draws are md5-hash-derived, so both engines (and any
+# rerun, at any partitioning) see the identical resamples.
+#
+# Determinism: the hash u is compared against PRECOMPUTED integer
+# thresholds floor(CDF_Poisson(1)(k) * 2^32) - pure int comparisons, no
+# float boundary anywhere in the draw; per-replica sums are exact
+# integers (decimal(38,0)/HUGEINT) with ONE division per replica; the
+# CI bounds are order statistics (rank 2 / 31 of 32 replica means, ~95%)
+# picked by rank over the (mean, replica-id) total order.
+#
+# Scale notes (100 TB): the 32x explode is MAP-SIDE ONLY - the partial
+# agg collapses each input split to <=32 rows before the exchange, so
+# the wire carries 32 x #splits partials, never 32 x N rows; everything
+# after runs on 32 rows. This is the textbook scalable bootstrap.
+_BOOT_B = 32
+# floor(2^32 * P(Poisson(1) <= k)) for k = 0..5; weight clamps at 6
+_BOOT_CDF = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291,
+]
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "bootstrap_ci_event_value",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS y6
+        FROM events
+    ),
+    pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(CAST(sum(y6) AS VARCHAR) AS DOUBLE) / count(*) / 1e6
+                   AS point_mean
+        FROM e
+    ),
+    r AS (
+        SELECT b.b,
+               {_boot_weight_sql(_ST_DH32.format(s="concat('boot-', CAST(b.b AS VARCHAR), '-', CAST(e.event_id AS VARCHAR))"))}
+                   AS w, e.y6
+        FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                           AS b) b
+    ),
+    m AS (
+        SELECT b, CAST(CAST(sum(CAST(w AS HUGEINT) * y6) AS VARCHAR)
+                       AS DOUBLE)
+                  / CAST(sum(w) AS DOUBLE) / 1e6 AS mean_b
+        FROM r GROUP BY b HAVING sum(w) > 0
+    ),
+    o AS (
+        SELECT mean_b,
+               row_number() OVER (ORDER BY mean_b, b) AS rn,
+               count(*) OVER () AS n_reps
+        FROM m
+    )
+    SELECT pt.n_events, pt.point_mean,
+           max(CASE WHEN o.rn = 2 THEN o.mean_b END) AS ci_low_95,
+           max(CASE WHEN o.rn = o.n_reps - 1 THEN o.mean_b END)
+               AS ci_high_95,
+           CAST(max(o.n_reps) AS BIGINT) AS n_replicas
+    FROM o CROSS JOIN pt
+    GROUP BY pt.n_events, pt.point_mean
+    """,
+)
+def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000)).cast("bigint").alias("y6"),
+    )
+    pt = e.agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum("y6").cast("decimal(38,0)").cast("double")
+            / F.count("*")
+            / F.lit(1e6)
+        ).alias("point_mean"),
+    )
+    u = _ST_SH32.format(
+        s="concat('boot-', cast(b as string), '-', cast(event_id as string))"
+    )
+    w_expr = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+        )
+        + " ELSE 6 END"
+    )
+    r = e.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).select("b", w_expr.alias("w"), "y6")
+    m = (
+        r.groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(19,0)") * F.col("y6"))
+            .cast("decimal(38,0)")
+            .alias("swy"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "b",
+            (
+                F.col("swy").cast("double")
+                / F.col("sw").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_b"),
+        )
+    )
+    wd = W.orderBy("mean_b", "b")
+    o = m.select(
+        "mean_b",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n_reps"),
+    )
+    return (
+        o.join(F.broadcast(pt))
+        .groupBy("n_events", "point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias(
+                "ci_low_95"
+            ),
+            F.max(
+                F.when(F.col("rn") == F.col("n_reps") - 1, F.col("mean_b"))
+            ).alias("ci_high_95"),
+            F.max("n_reps").cast("bigint").alias("n_replicas"),
+        )
+    )

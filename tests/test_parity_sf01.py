@@ -94,6 +94,10 @@ AT_RISK = [
     # (containment_near_dup is excluded like ngram_jaccard: its all-pairs
     # ORACLE is what's slow at sf0.1, the values are exact set ops)
     "ks_test_click_vs_purchase",
+    # bootstrap replica means are order statistics over float divisions;
+    # the curve's level cells shift with a 10x corpus
+    "bootstrap_ci_event_value",
+    "nested_subsample_curve",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
