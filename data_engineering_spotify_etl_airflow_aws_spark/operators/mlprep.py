@@ -726,3 +726,198 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration - the step after
+# embedding_covariance_matrix: estimate the leading eigenvector/value of
+# the dim-0..7 covariance with two matrix-vector products, computed
+# ENTIRELY from the single-pass integer moments. No driver loop, no
+# per-row second pass: the corpus is touched once (the same 45-sum agg),
+# and the 8x8 iteration arithmetic runs inside the one-row projection -
+# the shape a 100 TB PCA wants (moments distributed, eigensolve bounded).
+#
+# v0 = e0, v1 = C e0 (first covariance column), v2 = C v1; eigenvalue =
+# Rayleigh quotient (v2.v1)/(v1.v1), loadings = v2/||v2||, plus the
+# explained-variance share eigval/trace(C). Two iterations suffice for a
+# headline component estimate; more iterations are the same bounded
+# projection chained.
+#
+# Determinism: covariance cells convert from exact integer moments
+# exactly as embedding_covariance_matrix (VARCHAR-hop cast); every later
+# sum-of-8-products is written left-associated in BOTH engines, so the
+# IEEE sequence is identical; sqrt/divisions are single ops.
+@query("pca_power_iteration")
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    D = _COV_D
+    v = widen_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            vec_double("embedding").alias("emb")
+        )
+    )
+    u = v.select(
+        *[
+            F.floor(
+                F.element_at("emb", i + 1) * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("decimal(18,0)")
+            .alias(f"u{i}")
+            for i in range(D)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [
+        F.sum(f"u{i}").cast("decimal(38,0)").alias(f"s{i}")
+        for i in range(D)
+    ]
+    aggs += [
+        F.sum(F.col(f"u{i}") * F.col(f"u{j}"))
+        .cast("decimal(38,0)")
+        .alias(f"s{i}_{j}")
+        for i in range(D)
+        for j in range(i, D)
+    ]
+    m = u.agg(*aggs)
+    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+
+    def cov_expr(i: int, j: int):
+        a, b = min(i, j), max(i, j)
+        return (
+            (
+                F.col("n").cast("decimal(38,0)") * F.col(f"s{a}_{b}")
+                - F.col(f"s{a}") * F.col(f"s{b}")
+            ).cast("double")
+            / den
+            / F.lit(1e18)
+        )
+
+    # materialize the ONE-ROW covariance relation: without the checkpoint
+    # Catalyst's project collapsing re-inlines every cov cell into every
+    # downstream product - the tree grows ~8^3 copies of the decimal
+    # moment arithmetic and codegen OOMs (measured). The checkpoint costs
+    # one 36-column row and keeps the iteration a bounded projection.
+    cv = m.select(
+        *[
+            cov_expr(i, j).alias(f"c{i}_{j}")
+            for i in range(D)
+            for j in range(i, D)
+        ]
+    ).localCheckpoint()
+
+    def c(i: int, j: int):
+        a, b = min(i, j), max(i, j)
+        return F.col(f"c{a}_{b}")
+
+    def dotsum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    p1 = cv.select("*", *[c(i, 0).alias(f"v1_{i}") for i in range(D)])
+    p2 = p1.select(
+        "*",
+        *[
+            dotsum([c(i, j) * F.col(f"v1_{j}") for j in range(D)]).alias(
+                f"v2_{i}"
+            )
+            for i in range(D)
+        ],
+    )
+    r = p2.select(
+        "*",
+        (
+            dotsum([F.col(f"v2_{i}") * F.col(f"v1_{i}") for i in range(D)])
+            / dotsum(
+                [F.col(f"v1_{i}") * F.col(f"v1_{i}") for i in range(D)]
+            )
+        ).alias("eig"),
+        F.sqrt(
+            dotsum([F.col(f"v2_{i}") * F.col(f"v2_{i}") for i in range(D)])
+        ).alias("nrm"),
+        dotsum([c(i, i) for i in range(D)]).alias("tr"),
+    )
+    return r.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("dim"),
+                        (F.col(f"v2_{i}") / F.col("nrm")).alias("loading"),
+                        F.col("eig").alias("eigenvalue"),
+                        (F.col("eig") / F.col("tr")).alias(
+                            "explained_share"
+                        ),
+                    )
+                    for i in range(D)
+                ]
+            )
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    from ..functions import oracle_exact_double
+
+    D = _COV_D
+    cols = ", ".join(
+        f"CAST(floor(emb[{i + 1}] * 1000000000.0 + 0.5) AS HUGEINT) AS u{i}"
+        for i in range(D)
+    )
+    sums = ", ".join(f"sum(u{i}) AS s{i}" for i in range(D))
+    psums = ", ".join(
+        f"sum(u{i} * u{j}) AS s{i}_{j}"
+        for i in range(D)
+        for j in range(i, D)
+    )
+
+    def cov(i: int, j: int) -> str:
+        a, b = min(i, j), max(i, j)
+        return (
+            f"(({oracle_exact_double(f'n * s{a}_{b} - s{a} * s{b}')}"
+            f" / {oracle_exact_double('n * (n - 1)')}) / 1e18)"
+        )
+
+    covs = ", ".join(
+        f"{cov(i, j)} AS c{i}_{j}" for i in range(D) for j in range(i, D)
+    )
+
+    def c(i: int, j: int) -> str:
+        a, b = min(i, j), max(i, j)
+        return f"c{a}_{b}"
+
+    v1s = ", ".join(f"{c(i, 0)} AS v1_{i}" for i in range(D))
+    v2s = ", ".join(
+        " + ".join(f"{c(i, j)} * v1_{j}" for j in range(D)) + f" AS v2_{i}"
+        for i in range(D)
+    )
+    eig_num = " + ".join(f"v2_{i} * v1_{i}" for i in range(D))
+    eig_den = " + ".join(f"v1_{i} * v1_{i}" for i in range(D))
+    nrm = " + ".join(f"v2_{i} * v2_{i}" for i in range(D))
+    trace = " + ".join(c(i, i) for i in range(D))
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim, v2_{i} / nrm AS loading,"
+        f" eig AS eigenvalue, eig / tr AS explained_share FROM r"
+        for i in range(D)
+    )
+    return f"""
+    WITH uu AS (
+        SELECT {cols}
+        FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n, {sums}, {psums} FROM uu),
+    cv AS (SELECT {covs} FROM m),
+    p1 AS (SELECT *, {v1s} FROM cv),
+    p2 AS (SELECT *, {v2s} FROM p1),
+    r AS (SELECT *, ({eig_num}) / ({eig_den}) AS eig,
+                 sqrt({nrm}) AS nrm, ({trace}) AS tr FROM p2)
+    {rows}
+    """
+
+
+from ..registry import ORACLES as _ML_ORACLES  # noqa: E402
+
+_ML_ORACLES["pca_power_iteration"] = _pca_oracle()

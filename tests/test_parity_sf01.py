@@ -98,6 +98,8 @@ AT_RISK = [
     # the curve's level cells shift with a 10x corpus
     "bootstrap_ci_event_value",
     "nested_subsample_curve",
+    # chained float arithmetic off the integer moments (64-term sums)
+    "pca_power_iteration",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
