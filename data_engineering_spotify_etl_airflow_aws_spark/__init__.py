@@ -180,7 +180,9 @@ AUDIT_FIRST: list[str] = [
     #    retractable_agg_refresh, join_cardinality_profile,
     #    containment_near_dup, ks_test_click_vs_purchase,
     #    fd_violation_profile, bootstrap_ci_event_value,
-    #    nested_subsample_curve, pca_power_iteration).
+    #    nested_subsample_curve, pca_power_iteration,
+    #    topk_plus_other_parts, event_type_gram_matrix,
+    #    freshness_sla_by_type).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

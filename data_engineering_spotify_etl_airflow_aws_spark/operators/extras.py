@@ -2762,3 +2762,190 @@ def fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(viol == 0, 1).otherwise(0).alias("fd_holds"),
         (viol.cast("double") / F.count("*")).alias("violation_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k plus OTHER rollup: the standard BI presentation aggregate - per
+# nation, the 3 highest-revenue parts named individually and everything
+# else collapsed into one OTHER bucket, so the report is bounded at
+# (k + 1) rows per group no matter how wide the part catalog grows.
+#
+# Determinism: revenue stays exact DECIMAL through per-part aggregation,
+# ranking (exact decimal comparison, partkey tiebreak), and the OTHER
+# re-aggregation; ONE cast to double at the end.
+#
+# Scale notes (100 TB): fact shuffle on (nation, part) with map-side
+# partials -> the per-part relation; rank is a window on the nation key
+# with WindowGroupLimit-ineligible full pass (the OTHER bucket needs
+# every row, not top-k - inherent to the rollup), but that pass runs on
+# the AGGREGATED per-part relation, not the fact table; the regroup is
+# bounded by (nations x (k+1)). Supplier/nation dims broadcast.
+_TKO_K = 3
+
+
+@query(
+    "topk_plus_other_parts",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name, l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS r
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT n_name, l_partkey, r,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY r DESC, l_partkey) AS rn
+        FROM rev
+    ),
+    lab AS (
+        SELECT n_name,
+               CASE WHEN rn <= {_TKO_K} THEN CAST(l_partkey AS VARCHAR)
+                    ELSE 'OTHER' END AS part_label,
+               r
+        FROM rk
+    )
+    SELECT n_name, part_label,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS revenue
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def topk_plus_other_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(30,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("r")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("r"), "l_partkey")
+    lab = rev.withColumn("rn", F.row_number().over(w)).select(
+        "n_name",
+        F.when(
+            F.col("rn") <= _TKO_K, F.col("l_partkey").cast("string")
+        )
+        .otherwise("OTHER")
+        .alias("part_label"),
+        "r",
+    )
+    return lab.groupBy("n_name", "part_label").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("r").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Gram matrix: G[t1][t2] = sum over users of
+# count(user, t1) * count(user, t2) - the co-engagement matrix (A^T A
+# for the user x type count matrix) that powers "users who do X also do
+# Y" similarity and feature-covariance features. The distributed Gram
+# pattern: aggregate the tall-skinny matrix per row key first, then form
+# pair products WITHIN each row - the corpus never materializes a
+# cross join.
+#
+# Determinism: pure integer counts and products; the pair products sum
+# in HUGEINT/decimal and emit one exact BIGINT (bounded by
+# #users x max_count^2 - int64-safe far past fixture scale).
+#
+# Scale notes (100 TB): one (user, type) shuffle with map-side partials;
+# the self-join runs per user on <= |type vocabulary| rows (bounded
+# fan-out, co-partitioned on user_id - no second corpus shuffle); the
+# final agg lands on the bounded type x type key.
+@query(
+    "event_type_gram_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(sum(CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS gram
+    FROM c a JOIN c b
+      ON a.user_id = b.user_id AND a.event_type <= b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def event_type_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    a = c.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+    )
+    b = c.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("na").cast("decimal(19,0)") * F.col("nb"))
+            .cast("bigint")
+            .alias("gram")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness SLA monitor: per event source (event_type standing in for the
+# ingest source), the last-seen event time, its lag behind the freshest
+# source, and the SLA-breach flag - the staleness dashboard every
+# multi-source ingest runs. Timestamps emit as exact epoch micros (house
+# rule: never raw instants); lag is exact integer minutes.
+#
+# Scale notes (100 TB): one max-agg on the bounded source vocabulary
+# with map-side partials (the fact table reduces before the exchange);
+# the global max is a broadcast 1-row join.
+_SLA_MINUTES = 60
+
+
+@query(
+    "freshness_sla_by_type",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(last_us) AS global_us FROM m)
+    SELECT event_type, last_us,
+           CAST((global_us - last_us) // 60000000 AS BIGINT)
+               AS lag_minutes,
+           CASE WHEN (global_us - last_us) // 60000000 > {_SLA_MINUTES}
+                THEN 1 ELSE 0 END AS sla_breach
+    FROM m CROSS JOIN g
+    """,
+)
+def freshness_sla_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("last_us"))
+    )
+    g = m.agg(F.max("last_us").alias("global_us"))
+    # integer `div`, matching the oracle's `//`: a double /-then-floor
+    # path could straddle an exact minute boundary by one ulp
+    lag = F.expr("(global_us - last_us) div 60000000").cast("bigint")
+    return m.join(F.broadcast(g)).select(
+        "event_type",
+        "last_us",
+        lag.alias("lag_minutes"),
+        F.when(lag > _SLA_MINUTES, 1).otherwise(0).alias("sla_breach"),
+    )

@@ -100,6 +100,11 @@ AT_RISK = [
     "nested_subsample_curve",
     # chained float arithmetic off the integer moments (64-term sums)
     "pca_power_iteration",
+    # decimal revenue ranking ties at 10x part count; gram products near
+    # wider counts; minute-boundary lag flags
+    "topk_plus_other_parts",
+    "event_type_gram_matrix",
+    "freshness_sla_by_type",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
