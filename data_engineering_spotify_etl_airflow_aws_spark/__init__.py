@@ -182,7 +182,8 @@ AUDIT_FIRST: list[str] = [
     #    fd_violation_profile, bootstrap_ci_event_value,
     #    nested_subsample_curve, pca_power_iteration,
     #    topk_plus_other_parts, event_type_gram_matrix,
-    #    freshness_sla_by_type).
+    #    freshness_sla_by_type, embedding_centroid_drift,
+    #    late_data_restatement).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -1377,3 +1377,140 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift: compare the mean vector of two corpus
+# snapshots (stand-in split: even vs odd vec_id; production feeds the
+# previous and current ingest batches) - the embedding-space drift
+# monitor that catches encoder upgrades, topical shift, or pipeline
+# regressions before they poison ANN indexes. Emits centroid cosine,
+# L2 shift, and the single most-shifted dimension.
+#
+# Determinism: per-dim means follow the label_centroids integer
+# micro-unit contract, then RE-QUANTIZE (floor(mv*1e9+0.5) - identical
+# IEEE both engines) so every cross-dim reduction (dot, norms, L2) is an
+# EXACT integer sum - a direct sum of per-dim double products would be
+# partition-order-dependent. Exact integers convert once through the
+# VARCHAR-hop cast (moments exceed 2^53), then identical sqrt/division
+# sequences. The argmax dimension rides the (|shift| DESC, dim) total
+# order.
+#
+# Scale notes (100 TB): posexplode -> ONE (half, dim) shuffle with
+# map-side partials (no vector crosses the wire whole); everything after
+# runs on the bounded 2 x n_dims relation.
+def _drift_oracle() -> str:
+    from ..functions import oracle_exact_double as xd
+
+    return f"""
+    WITH pe AS (
+        SELECT vec_id % 2 AS half, g.i - 1 AS dim,
+               CAST(floor(emb[g.i] * 1000000000.0 + 0.5) AS HUGEINT) AS u9
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) v,
+             LATERAL (SELECT unnest(generate_series(1, len(v.emb))) AS i) g
+    ),
+    m AS (
+        SELECT half, dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(u9) AS DOUBLE) / (1000000000.0 * count(*)) AS mv
+        FROM pe GROUP BY 1, 2
+    ),
+    q AS (SELECT half, dim, n,
+                 CAST(floor(mv * 1000000000.0 + 0.5) AS HUGEINT) AS m9
+          FROM m),
+    j AS (
+        SELECT a.dim, a.m9 AS ma, b.m9 AS mb, a.n AS n_a, b.n AS n_b
+        FROM q a JOIN q b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+    ),
+    mom AS (
+        SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+               sum(ma * mb) AS sxy, sum(ma * ma) AS sxx,
+               sum(mb * mb) AS syy,
+               sum((ma - mb) * (ma - mb)) AS sd2
+        FROM j
+    ),
+    top AS (
+        SELECT dim, abs(ma - mb) AS d9,
+               row_number() OVER (ORDER BY abs(ma - mb) DESC, dim) AS rn
+        FROM j
+    )
+    SELECT mom.n_a, mom.n_b,
+           {xd('sxy')} / (sqrt({xd('sxx')}) * sqrt({xd('syy')}))
+               AS cos_centroids,
+           sqrt({xd('sd2')}) / 1e9 AS l2_shift,
+           top.dim AS max_shift_dim,
+           CAST(top.d9 AS DOUBLE) / 1e9 AS max_shift
+    FROM mom CROSS JOIN top WHERE top.rn = 1
+    """
+
+
+@query("embedding_centroid_drift", oracle=_drift_oracle())
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import widen_small_scan
+
+    pe = widen_small_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            (F.col("vec_id") % 2).alias("half"),
+            vec_double("embedding").alias("emb"),
+        )
+    ).select("half", F.posexplode("emb").alias("dim", "val"))
+    u9 = F.floor(
+        F.col("val") * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    m = pe.groupBy("half", "dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(u9).cast("double")
+            / (F.lit(1_000_000_000.0) * F.count("*"))
+        ).alias("mv"),
+    )
+    q = m.select(
+        "half",
+        "dim",
+        "n",
+        F.floor(F.col("mv") * F.lit(1_000_000_000.0) + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("m9"),
+    )
+    a = q.where(F.col("half") == 0).select(
+        "dim", F.col("m9").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = q.where(F.col("half") == 1).select(
+        "dim", F.col("m9").alias("mb"), F.col("n").alias("n_b")
+    )
+    j = a.join(b, "dim")
+    mom = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("ma") * F.col("ma")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("mb") * F.col("mb")).cast("decimal(38,0)").alias("syy"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+    )
+    wt = W.orderBy(F.abs(F.col("ma") - F.col("mb")).desc(), "dim")
+    top = (
+        j.select(
+            "dim",
+            F.abs(F.col("ma") - F.col("mb")).alias("d9"),
+            F.row_number().over(wt).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return mom.join(F.broadcast(top)).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("sxy").cast("double")
+            / (
+                F.sqrt(F.col("sxx").cast("double"))
+                * F.sqrt(F.col("syy").cast("double"))
+            )
+        ).alias("cos_centroids"),
+        (F.sqrt(F.col("sd2").cast("double")) / F.lit(1e9)).alias(
+            "l2_shift"
+        ),
+        F.col("dim").alias("max_shift_dim"),
+        (F.col("d9").cast("double") / F.lit(1e9)).alias("max_shift"),
+    )

@@ -1256,3 +1256,100 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("max_drawdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data restatement audit: for each event-time day, compare the
+# total a report CLOSED at day-end + 6h grace would have published
+# (only events ARRIVED by then) against the final total once stragglers
+# landed - the "how much do closed reports restate" number that decides
+# both the streaming watermark and the batch re-statement window.
+# Arrival time reuses watermark_delay_profile's deterministic md5 ingest
+# delay (0..48h), so the two operators describe the same simulated
+# transport: the profile says how LATE events run, this says what that
+# lateness COSTS each daily metric.
+#
+# Determinism: close boundary and arrival are exact epoch-micro
+# integers (no float time math); totals are exact micro-unit sums;
+# the restatement share divides once, guarded by the exact integer
+# final != 0 test.
+#
+# Scale notes (100 TB): one stateless projection (day, late flag) then
+# ONE calendar-bounded day-keyed agg with map-side partials; no window,
+# no join beyond none - the cheapest possible shape for a corpus audit.
+_LATE_GRACE_US = 6 * 3600 * 1_000_000
+
+
+def _late_oracle() -> str:
+    from .dedup import _DUCK_H32
+
+    h = _DUCK_H32.format(s="concat('delay-', CAST(event_id AS VARCHAR))")
+    return f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000000) AS BIGINT) AS y6,
+               epoch_us(ts) + ({h}) % {_WM_DELAY_MOD_US} AS arrival_us,
+               epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                   + {24 * 3600 * 1_000_000 + _LATE_GRACE_US} AS close_us
+        FROM events
+    ),
+    d AS (
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN arrival_us > close_us THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_late,
+               CAST(sum(y6) AS BIGINT) AS final_u6,
+               CAST(sum(CASE WHEN arrival_us <= close_us THEN y6 ELSE 0 END)
+                   AS BIGINT) AS ontime_u6
+        FROM e GROUP BY day
+    )
+    SELECT day, n_events, n_late,
+           CAST(final_u6 AS DOUBLE) / 1e6 AS final_value,
+           CAST(ontime_u6 AS DOUBLE) / 1e6 AS ontime_value,
+           CASE WHEN final_u6 <> 0
+                THEN CAST(final_u6 - ontime_u6 AS DOUBLE)
+                     / CAST(final_u6 AS DOUBLE)
+           END AS restatement_share
+    FROM d
+    """
+
+
+@query("late_data_restatement", oracle=_late_oracle())
+def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _SPARK_H32
+
+    h = _SPARK_H32.format(s="concat('delay-', cast(event_id as string))")
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(1_000_000)).cast("bigint").alias("y6"),
+        (F.unix_micros("ts") + F.expr(h) % F.lit(_WM_DELAY_MOD_US)).alias(
+            "arrival_us"
+        ),
+        (
+            F.unix_micros(F.to_date("ts").cast("timestamp"))
+            + F.lit(24 * 3600 * 1_000_000 + _LATE_GRACE_US)
+        ).alias("close_us"),
+    )
+    late = F.col("arrival_us") > F.col("close_us")
+    d = e.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.sum("y6").cast("bigint").alias("final_u6"),
+        F.sum(F.when(~late, F.col("y6")).otherwise(0))
+        .cast("bigint")
+        .alias("ontime_u6"),
+    )
+    return d.select(
+        "day",
+        "n_events",
+        "n_late",
+        (F.col("final_u6").cast("double") / F.lit(1e6)).alias("final_value"),
+        (F.col("ontime_u6").cast("double") / F.lit(1e6)).alias(
+            "ontime_value"
+        ),
+        F.when(
+            F.col("final_u6") != 0,
+            (F.col("final_u6") - F.col("ontime_u6")).cast("double")
+            / F.col("final_u6").cast("double"),
+        ).alias("restatement_share"),
+    )

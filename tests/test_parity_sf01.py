@@ -105,6 +105,10 @@ AT_RISK = [
     "topk_plus_other_parts",
     "event_type_gram_matrix",
     "freshness_sla_by_type",
+    # re-quantized centroid moments through the VARCHAR hop; close-
+    # boundary membership + share division on 10x daily totals
+    "embedding_centroid_drift",
+    "late_data_restatement",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
