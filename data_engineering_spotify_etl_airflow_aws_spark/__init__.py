@@ -183,7 +183,8 @@ AUDIT_FIRST: list[str] = [
     #    nested_subsample_curve, pca_power_iteration,
     #    topk_plus_other_parts, event_type_gram_matrix,
     #    freshness_sla_by_type, embedding_centroid_drift,
-    #    late_data_restatement).
+    #    late_data_restatement, cdc_changelog_compaction,
+    #    rollup_lattice_profile).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

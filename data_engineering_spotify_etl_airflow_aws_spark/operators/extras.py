@@ -2949,3 +2949,177 @@ def freshness_sla_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_minutes"),
         F.when(lag > _SLA_MINUTES, 1).otherwise(0).alias("sla_breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction: collapse a multi-batch insert/update/delete
+# changelog into one NET operation per key - the Debezium-style compaction
+# every warehouse sink runs before applying CDC to a table (N ops become
+# <=1). The op algebra: I..D cancels to nothing, I..(I|U) stays an
+# INSERT carrying the last payload, (U|D)..D nets to DELETE, and
+# (U|D)..(I|U) nets to UPDATE with the last payload. The changelog here
+# is derived deterministically from orders (seq 1 inserts, seq 2 price
+# updates, seq 3 deletes on overlapping key subsets) so keys exercise
+# every composition.
+#
+# Determinism: first/last ops ride arg_min/arg_max on the unique
+# (key, seq) order; prices stay exact DECIMAL until one double cast.
+#
+# Scale notes (100 TB): ONE shuffle on the high-entropy key with
+# map-side combinable min_by/max_by partials - compaction cost is
+# O(changelog), never O(table); the net batch then applies with the
+# standard MERGE (merge_upsert_customer).
+@query(
+    "cdc_changelog_compaction",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+               CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'U',
+               CAST(o_totalprice AS DECIMAL(30,2))
+                   * CAST(1.1 AS DECIMAL(3,1))
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    c AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_ops,
+               arg_min(op, seq) AS first_op,
+               arg_max(op, seq) AS last_op,
+               arg_max(price, seq) AS last_price
+        FROM log GROUP BY k
+    )
+    SELECT k AS o_orderkey, n_ops,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op,
+           CASE WHEN last_op <> 'D'
+                THEN CAST(last_price AS DOUBLE) END AS net_price
+    FROM c
+    """,
+)
+def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def batch(mod: int, seq: int, op: str, price):
+        return o.where(F.col("o_orderkey") % mod == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+        )
+
+    p = F.col("o_totalprice").cast("decimal(30,2)")
+    log = (
+        batch(5, 1, "I", p)
+        .unionByName(
+            batch(3, 2, "U", p * F.lit("1.1").cast("decimal(3,1)"))
+        )
+        .unionByName(
+            batch(7, 3, "D", F.lit(None).cast("decimal(33,3)"))
+        )
+    )
+    c = log.groupBy("k").agg(
+        F.count("*").alias("n_ops"),
+        F.min_by("op", "seq").alias("first_op"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("price", "seq").alias("last_price"),
+    )
+    return c.select(
+        F.col("k").alias("o_orderkey"),
+        "n_ops",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+        .alias("net_op"),
+        F.when(
+            F.col("last_op") != "D", F.col("last_price").cast("double")
+        ).alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup-lattice profile: for every non-empty subset of the candidate
+# dimensions {status, priority, order-month}, the exact group count and
+# its reduction ratio vs the base table - the cube-materialization sizing
+# table (Harinarayan et al.'s lattice view selection input): a subset
+# with few groups is cheap to materialize and answers its ancestors.
+# One GROUPING SETS pass computes all 7 subsets; a second bounded agg
+# counts groups per subset.
+#
+# Determinism: subset identity comes from per-column GROUPING() flags
+# (0/1 per dim - engine-neutral), NOT the packed grouping_id, whose bit
+# order is an engine implementation detail. All counts exact integers;
+# one ratio division.
+#
+# Scale notes (100 TB): the GROUPING SETS expansion is Spark's native
+# Expand node - one pass over the fact table, 7x rows into a
+# map-side-combined agg keyed by the (bounded) group values; the outer
+# agg and ratio run on |lattice| rows.
+@query(
+    "rollup_lattice_profile",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+        FROM orders
+    ),
+    g AS (
+        SELECT GROUPING(s) AS gs, GROUPING(p) AS gp, GROUPING(m) AS gm
+        FROM base
+        GROUP BY GROUPING SETS ((s), (p), (m), (s, p), (s, m), (p, m),
+                                (s, p, m))
+    ),
+    c AS (
+        SELECT gs, gp, gm, CAST(count(*) AS BIGINT) AS n_groups
+        FROM g GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base)
+    SELECT concat(CASE WHEN gs = 0 THEN 's' ELSE '' END,
+                  CASE WHEN gp = 0 THEN 'p' ELSE '' END,
+                  CASE WHEN gm = 0 THEN 'm' ELSE '' END) AS dims,
+           n_groups,
+           CAST(n_groups AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               AS groups_per_row
+    FROM c CROSS JOIN tot
+    """,
+)
+def rollup_lattice_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.date_trunc("month", F.to_date("o_orderdate")).alias("m"),
+    )
+    g = base.groupingSets(
+        [["s"], ["p"], ["m"], ["s", "p"], ["s", "m"], ["p", "m"],
+         ["s", "p", "m"]],
+        "s",
+        "p",
+        "m",
+    ).agg(
+        F.grouping("s").alias("gs"),
+        F.grouping("p").alias("gp"),
+        F.grouping("m").alias("gm"),
+    )
+    c = g.groupBy("gs", "gp", "gm").agg(F.count("*").alias("n_groups"))
+    tot = base.agg(F.count("*").alias("n_rows"))
+    lab = F.concat(
+        F.when(F.col("gs") == 0, "s").otherwise(""),
+        F.when(F.col("gp") == 0, "p").otherwise(""),
+        F.when(F.col("gm") == 0, "m").otherwise(""),
+    )
+    return c.join(F.broadcast(tot)).select(
+        lab.alias("dims"),
+        "n_groups",
+        (
+            F.col("n_groups").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("groups_per_row"),
+    )

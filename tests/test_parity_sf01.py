@@ -109,6 +109,10 @@ AT_RISK = [
     # boundary membership + share division on 10x daily totals
     "embedding_centroid_drift",
     "late_data_restatement",
+    # decimal op-algebra payloads at 10x keys; GROUPING() flags across a
+    # wider month domain
+    "cdc_changelog_compaction",
+    "rollup_lattice_profile",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
