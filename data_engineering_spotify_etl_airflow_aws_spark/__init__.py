@@ -184,7 +184,8 @@ AUDIT_FIRST: list[str] = [
     #    topk_plus_other_parts, event_type_gram_matrix,
     #    freshness_sla_by_type, embedding_centroid_drift,
     #    late_data_restatement, cdc_changelog_compaction,
-    #    rollup_lattice_profile).
+    #    rollup_lattice_profile, trailing_7d_sum_per_event,
+    #    interarrival_stats_by_type, churn_label_generation).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -1353,3 +1353,199 @@ def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("final_u6").cast("double"),
         ).alias("restatement_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day sum per EVENT - the time-RANGE window frame
+# (rolling_value_7d rolls at day grain over the calendar spine; this is
+# the per-row sliding frame "this event plus everything this user did in
+# the preceding week"), the feature-store freshness feature computed
+# with Spark's rangeBetween over epoch micros. RANGE (not ROWS): events
+# sharing a timestamp are frame PEERS, included together regardless of
+# physical order - which is also what makes the result deterministic
+# without an event_id tiebreak.
+#
+# Determinism: the frame boundary is exact integer micros; sums are
+# exact micro-unit integers; one /1e6 per row.
+#
+# Scale notes (100 TB): ONE shuffle on the high-entropy user_id; the
+# range frame is a single forward scan per user partition (Spark keeps a
+# sliding aggregate, not a per-row rescan). Output is row-per-event by
+# design - a projection, not a reduction.
+_TRAIL_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "trailing_7d_sum_per_event",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(floor(value * 1000000) AS BIGINT) AS y6
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(y6) OVER w AS DOUBLE) / 1e6 AS trail_7d_value,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_TRAIL_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_7d_sum_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * F.lit(1_000_000)).cast("bigint").alias("y6"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_TRAIL_7D_US, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum("y6").over(w).cast("double") / F.lit(1e6)).alias(
+            "trail_7d_value"
+        ),
+        F.count("*").over(w).cast("bigint").alias("n_in_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics per event type: mean gap and coefficient
+# of variation of the per-user event cadence - CV ~ 1 reads "memoryless/
+# Poisson-like", CV >> 1 reads "bursty", the load-model fact capacity
+# planning and anomaly baselines start from. Gaps are computed WITHIN
+# each (user, type) stream - the high-entropy key that keeps the window
+# scalable; a global per-type ordering would serialize each type into
+# one partition.
+#
+# Determinism: gaps are exact integer micros on the (us, event_id)
+# total order; moments are exact integer sums (squares of ~2.6e12 us
+# gaps overflow int64 -> decimal/HUGEINT), converted once through the
+# VARCHAR-hop exact-double cast; mean/CV are the same IEEE sequence both
+# engines.
+#
+# Scale notes (100 TB): one (user, type)-keyed window shuffle, then a
+# map-side-combinable agg onto the bounded type vocabulary.
+@query(
+    "interarrival_stats_by_type",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               us - lag(us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY us, event_id) AS gap
+        FROM e
+    ),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS HUGEINT) AS s,
+               CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sq
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_gaps) / 1e6
+               AS mean_gap_sec,
+           sqrt(CAST(CAST(n_gaps * sq - s * s AS VARCHAR) AS DOUBLE))
+               / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS cv_gap
+    FROM m
+    """,
+)
+def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    wl = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(wl)).alias("gap")
+    )
+    m = (
+        g.where(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap"))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    n38 = F.col("n_gaps").cast("decimal(38,0)")
+    return m.select(
+        "event_type",
+        "n_gaps",
+        (
+            (F.col("s").cast("double") / F.col("n_gaps")) / F.lit(1e6)
+        ).alias("mean_gap_sec"),
+        (
+            F.sqrt((n38 * F.col("sq") - F.col("s") * F.col("s")).cast("double"))
+            / F.col("s").cast("double")
+        ).alias("cv_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Churn label generation with censoring - the ML labeler that turns a
+# raw event stream into supervised targets: an event is labeled churned
+# (1) if its user has NO further event within the next 14 days, active
+# (0) if they do, and NULL (censored) when the observation window ends
+# before the 14 days are up - the label is UNKNOWABLE there, and
+# emitting 1 instead (the naive query) teaches the model that the
+# dataset's last two weeks are all churn.
+#
+# Determinism: the next-event time is lead() on the (us, event_id)
+# total order; the 14-day boundary and the censor horizon (global max
+# ts - 14d, a broadcast scalar) are exact integer micros.
+#
+# Scale notes (100 TB): one user_id window shuffle + a broadcast 1-row
+# horizon; stateless per-row labeling after that.
+_CHURN_GAP_US = 14 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "churn_label_generation",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    ),
+    n AS (
+        SELECT event_id, user_id, us,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS next_us
+        FROM e
+    ),
+    h AS (SELECT max(us) - {_CHURN_GAP_US} AS horizon_us FROM e)
+    SELECT event_id, user_id,
+           CASE WHEN next_us IS NOT NULL
+                     AND next_us - us <= {_CHURN_GAP_US} THEN 0
+                WHEN us <= horizon_us THEN 1
+           END AS churned_14d
+    FROM n CROSS JOIN h
+    """,
+)
+def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    n = e.select(
+        "event_id", "user_id", "us", F.lead("us").over(wl).alias("next_us")
+    )
+    h = e.agg((F.max("us") - F.lit(_CHURN_GAP_US)).alias("horizon_us"))
+    return n.join(F.broadcast(h)).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("next_us").isNotNull()
+            & (F.col("next_us") - F.col("us") <= F.lit(_CHURN_GAP_US)),
+            0,
+        )
+        .when(F.col("us") <= F.col("horizon_us"), 1)
+        .alias("churned_14d"),
+    )

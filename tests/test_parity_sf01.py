@@ -113,6 +113,11 @@ AT_RISK = [
     # wider month domain
     "cdc_changelog_compaction",
     "rollup_lattice_profile",
+    # RANGE-frame peers over 10x denser timestamps; gap-moment VARCHAR
+    # hop; censor-horizon boundary membership
+    "trailing_7d_sum_per_event",
+    "interarrival_stats_by_type",
+    "churn_label_generation",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
