@@ -185,7 +185,9 @@ AUDIT_FIRST: list[str] = [
     #    freshness_sla_by_type, embedding_centroid_drift,
     #    late_data_restatement, cdc_changelog_compaction,
     #    rollup_lattice_profile, trailing_7d_sum_per_event,
-    #    interarrival_stats_by_type, churn_label_generation).
+    #    interarrival_stats_by_type, churn_label_generation,
+    #    simhash_hamming_pairs, macro_session_rollup,
+    #    k_anonymity_profile).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

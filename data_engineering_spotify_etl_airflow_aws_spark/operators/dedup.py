@@ -886,3 +886,121 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS: close the loop on simhash_fingerprints (which
+# emits per-doc fingerprints) by finding document pairs within Hamming
+# distance 2 - byte-band blocking on the 32-bit fingerprint, then an
+# exact XOR-popcount verify. The 4x8-bit banding is lossless for d <= 3
+# by pigeonhole (3 flipped bits touch at most 3 bands, so one band
+# matches exactly), which covers the d <= 2 emit threshold with margin;
+# the all-pairs oracle hash-match PROVES no pair is lost.
+#
+# 32-bit simhash trades precision for the cross-engine exactness the
+# fingerprint op established; the fixture's shared word-soup vocabulary
+# puts the random-pair noise floor near d ~ 4-5 (measured: 174 pairs at
+# d <= 2 vs 125k total), so tau = 2 reads "same dominant vocabulary" -
+# a 64-bit production simhash separates further, same plan shape.
+#
+# Scale notes (100 TB): fingerprints are one (doc, token) shuffle; the
+# band equi-join shuffles 4 small (band_id, byte) keys per doc and the
+# verify is an integer XOR per candidate - no shingle arrays move at
+# all (cheaper than the MinHash verify join).
+_SH_TAU = 2
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest({_OT}) AS t FROM documents) GROUP BY 1, 2
+    ),
+    hashed AS (
+        SELECT doc_id, cnt, {_DUCK_H32.format(s='token')} AS h FROM tok
+    ),
+    bitsums AS (
+        SELECT doc_id, {_DUCK_BIT_SUMS} FROM hashed GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({_DUCK_ASSEMBLE} AS BIGINT) AS f
+           FROM bitsums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {_SH_TAU}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id", "cnt", F.expr(_SPARK_H32.format(s="token")).alias("h")
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    assembled = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(_SIMHASH_BITS)
+        ],
+        F.lit(0),
+    )
+    fp = (
+        tok.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", assembled.cast("bigint").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SHINGLE_BASE_CACHE.append(fp)
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright("f", 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "f", "bk.band_id", "bk.byte")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.where(ham <= _SH_TAU)
+        .select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+        )
+    )

@@ -3123,3 +3123,69 @@ def rollup_lattice_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows").cast("double")
         ).alias("groups_per_row"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity profile: group the fact table by its quasi-identifier
+# tuple (event type, ISO weekday, value-magnitude bucket) and report the
+# minimum group size k plus how many rows sit in groups below the
+# k = 5 disclosure threshold - the re-identification risk audit run
+# before sharing "anonymized" event data (small QI groups single people
+# out even with ids stripped).
+#
+# Determinism: the QI tuple is all-integer/string (weekday via the
+# weekday()+1 == isodow bridge; the value bucket is sign + DIGIT COUNT
+# of the integer magnitude - exact floor/abs/string ops, no float
+# boundary); counts exact, one risk-share division.
+#
+# Scale notes (100 TB): ONE shuffle on the bounded QI key space
+# (types x 7 x ~digit buckets) with map-side partials, then a 1-row
+# reduction - the audit never moves the fact table.
+@query(
+    "k_anonymity_profile",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               isodow(CAST(ts AS DATE)) AS dow_iso,
+               concat(CASE WHEN value < 0 THEN 'n' ELSE 'p' END,
+                      CAST(length(CAST(CAST(floor(abs(value)) AS BIGINT)
+                          AS VARCHAR)) AS VARCHAR)) AS vbucket
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, dow_iso, vbucket,
+               CAST(count(*) AS BIGINT) AS k
+        FROM q GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM q)
+    SELECT CAST(min(k) AS BIGINT) AS k_min,
+           CAST(count(*) AS BIGINT) AS n_qi_groups,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS n_rows_below_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+               / max(n_rows) AS risk_share
+    FROM g CROSS JOIN t
+    """,
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).alias("dow_iso"),
+        F.concat(
+            F.when(F.col("value") < 0, "n").otherwise("p"),
+            F.length(
+                F.floor(F.abs("value")).cast("bigint").cast("string")
+            ).cast("string"),
+        ).alias("vbucket"),
+    )
+    g = q.groupBy("event_type", "dow_iso", "vbucket").agg(
+        F.count("*").alias("k")
+    )
+    t = q.agg(F.count("*").alias("n_rows"))
+    below = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    return g.join(F.broadcast(t)).agg(
+        F.min("k").cast("bigint").alias("k_min"),
+        F.count("*").alias("n_qi_groups"),
+        below.cast("bigint").alias("n_rows_below_5"),
+        (below.cast("double") / F.max("n_rows")).alias("risk_share"),
+    )

@@ -1549,3 +1549,114 @@ def churn_label_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("us") <= F.col("horizon_us"), 1)
         .alias("churned_14d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level sessionization: micro sessions at a 30-minute gap, then
+# MACRO visits grouping session starts at a 24-hour gap - the product-
+# analytics hierarchy ("user came back twice within the evening" vs
+# "user returned next day") that single-gap sessionization flattens.
+# Emits per user: events, sessions, visits, sessions per visit.
+#
+# Determinism: both levels are running sums of exact integer-micro gap
+# flags on explicit ROWS frames over total orders ((us, event_id) at
+# level 1; the unique per-user session id at level 2).
+#
+# Scale notes (100 TB): level 1 is the standard user_id window shuffle;
+# level 2 runs on the SESSION table (one row per session - already
+# reduced), reusing the same user_id partitioning; the final rollup is
+# a per-user agg on the same key. One corpus shuffle total.
+_MICRO_GAP_US = 30 * 60 * 1_000_000
+_MACRO_GAP_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "macro_session_rollup",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    s AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN lag(us) OVER w1 IS NULL
+                         OR us - lag(us) OVER w1 > {_MICRO_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sid AS (
+        SELECT user_id, us,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+        FROM s
+    ),
+    starts AS (
+        SELECT user_id, sid, min(us) AS start_us,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM sid GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT user_id, n_ev,
+               CASE WHEN lag(start_us) OVER w2 IS NULL
+                         OR start_us - lag(start_us) OVER w2
+                            > {_MACRO_GAP_US}
+                    THEN 1 ELSE 0 END AS new_v
+        FROM starts
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY sid)
+    )
+    SELECT user_id,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(new_v) AS BIGINT) AS n_visits,
+           CAST(count(*) AS DOUBLE) / CAST(sum(new_v) AS DOUBLE)
+               AS sessions_per_visit
+    FROM v GROUP BY user_id
+    """,
+)
+def macro_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w1 = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(
+            F.lag("us").over(w1).isNull()
+            | (F.col("us") - F.lag("us").over(w1) > F.lit(_MICRO_GAP_US)),
+            1,
+        )
+        .otherwise(0)
+    )
+    s = e.select("user_id", "us", "event_id", new_s.alias("new_s"))
+    wc = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sid = s.select(
+        "user_id",
+        "us",
+        F.sum("new_s").over(wc).cast("bigint").alias("sid"),
+    )
+    starts = sid.groupBy("user_id", "sid").agg(
+        F.min("us").alias("start_us"), F.count("*").alias("n_ev")
+    )
+    w2 = W.partitionBy("user_id").orderBy("sid")
+    new_v = (
+        F.when(
+            F.lag("start_us").over(w2).isNull()
+            | (
+                F.col("start_us") - F.lag("start_us").over(w2)
+                > F.lit(_MACRO_GAP_US)
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    v = starts.select("user_id", "n_ev", new_v.alias("new_v"))
+    return v.groupBy("user_id").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count("*").alias("n_sessions"),
+        F.sum("new_v").cast("bigint").alias("n_visits"),
+        (
+            F.count("*").cast("double")
+            / F.sum("new_v").cast("double")
+        ).alias("sessions_per_visit"),
+    )

@@ -118,6 +118,11 @@ AT_RISK = [
     "trailing_7d_sum_per_event",
     "interarrival_stats_by_type",
     "churn_label_generation",
+    # band-blocked hamming pairs at 10x doc count (lossless claim);
+    # two-level gap flags on denser streams; QI buckets over wider values
+    "simhash_hamming_pairs",
+    "macro_session_rollup",
+    "k_anonymity_profile",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
