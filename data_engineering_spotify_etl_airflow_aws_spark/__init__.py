@@ -187,7 +187,8 @@ AUDIT_FIRST: list[str] = [
     #    rollup_lattice_profile, trailing_7d_sum_per_event,
     #    interarrival_stats_by_type, churn_label_generation,
     #    simhash_hamming_pairs, macro_session_rollup,
-    #    k_anonymity_profile).
+    #    k_anonymity_profile, negative_sampling_recs,
+    #    dup_ngram_span_share, label_propagation_communities).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

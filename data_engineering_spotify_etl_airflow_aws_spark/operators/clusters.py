@@ -651,3 +651,111 @@ def khop_part_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach = reach.unionByName(new.select("node", F.lit(k).alias("hop")))
         frontier = new
     return reach.select("node", F.col("hop").cast("bigint").alias("hop"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous LPA, fixed 3 rounds) on the
+# part co-purchase graph: each node adopts the most frequent label among
+# its neighbors, ties to the smallest label - the community-detection
+# semantics (dense neighborhoods agree on a label) that min-label
+# CC cannot express: CC converges to one label per CONNECTED component;
+# LPA splits a connected graph into locally-dense communities.
+# Completes the graph family: CC (closure), PageRank (global weights),
+# triangles (density), Adamic-Adar (scoring), BFS (distance), LPA
+# (communities).
+#
+# Determinism: synchronous updates (round k reads only round k-1's
+# labels), fixed round count, and the (count DESC, label ASC) tie order
+# make every round a pure function of the edge set - no convergence
+# detection, no randomized update order (the classic async LPA pitfall).
+#
+# Scale notes (100 TB): per round, one join of the node-sized label
+# relation against the edge relation CACHED pre-partitioned on the join
+# key (src - the khop device, so rounds reuse the exchange), a
+# (dst, lab) partial-agg shuffle, and a dst-keyed struct-max (no window
+# sort). Labels are localCheckpoint'ed per round - the CC lineage
+# lesson (module docstring). Nothing O(nodes) is broadcast or
+# collected; round count is fixed, so zero driver traffic.
+_LPA_ROUNDS = 3
+
+_LPA_CACHE: list[DataFrame] = register_cache([])
+
+
+def _lpa_oracle() -> str:
+    from .insights import _PART_EDGES_SQL
+
+    rounds = []
+    prev = "l0"
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+    n{k} AS (
+        SELECT e.dst AS node, l.lab, count(*) AS c
+        FROM dedges e JOIN {prev} l ON l.node = e.src
+        GROUP BY 1, 2
+    ),
+    l{k} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, lab) AS rn
+            FROM n{k}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{k}"
+    return f"""
+    WITH {_PART_EDGES_SQL},
+    dedges AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v, u FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM dedges),
+    {','.join(rounds)}
+    SELECT node, CAST(lab AS BIGINT) AS community FROM {prev}
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .insights import _basket_pairs, _order_baskets
+
+    while _LPA_CACHE:
+        _LPA_CACHE.pop().unpersist()
+    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct()
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+    _LPA_CACHE.append(edges)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(edges.dst, "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        # struct-max picks (max count, then min label) without a window
+        # sort; -lab flips the tie order inside the max
+        labels = (
+            cnt.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("b"))
+            .select(
+                F.col("dst").alias("node"), (-F.col("b.nl")).alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        "node", F.col("lab").cast("bigint").alias("community")
+    )

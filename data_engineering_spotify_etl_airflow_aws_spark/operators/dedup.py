@@ -1004,3 +1004,95 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram span share: for every document, the fraction of its
+# 8-gram positions whose 8-gram also occurs in at least one OTHER
+# document - the per-doc "how much of me is corpus-duplicated text"
+# exposure metric behind exact-substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): docs
+# with a high share get their duplicated spans cut (or are dropped)
+# before LM training. Complements doc_repetition_stats (INTRA-doc
+# repetition) and the near-dup families (whole-doc similarity) with the
+# span-level CROSS-doc signal none of them expose.
+#
+# Grams travel as 16-hex-char md5 prefixes (64 bits - collision odds
+# ~1e-11 at a billion distinct grams), computed identically in both
+# engines, so the shuffle moves 16-byte keys instead of 8-word strings.
+#
+# Scale notes (100 TB): gram fan-out is ~1 row per token (linear);
+# the plan is two gram-keyed shuffles (per-(doc,gram) counts, then the
+# docs-per-gram agg whose join back REUSES the gram partitioning) and
+# one doc-keyed rollup - no broadcast, no arrays through the shuffle.
+# The share division is a single IEEE double op on exact counts.
+_DUPSPAN_N = 8
+
+
+@query(
+    "dup_ngram_span_share",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_OT} AS tk FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               substring(md5(array_to_string(
+                   list_slice(tk, i, i + {_DUPSPAN_N - 1}), ' ')), 1, 16)
+                   AS gk
+        FROM toks, unnest(generate_series(1, len(tk) - {_DUPSPAN_N - 1}))
+                   AS t(i)
+        WHERE len(tk) >= {_DUPSPAN_N}
+    ),
+    dg AS (
+        SELECT doc_id, gk, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    gd AS (SELECT gk, CAST(count(*) AS BIGINT) AS n_docs FROM dg GROUP BY 1),
+    per AS (
+        SELECT dg.doc_id,
+               CAST(sum(dg.c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN gd.n_docs >= 2 THEN dg.c ELSE 0 END)
+                   AS BIGINT) AS n_dup_grams
+        FROM dg JOIN gd USING (gk) GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+               AS dup_share
+    FROM per
+    """,
+)
+def dup_ngram_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    gram = (
+        f"transform(sequence(1, size(tk) - {_DUPSPAN_N - 1}), "
+        f"i -> substring(md5(cast(concat_ws(' ', "
+        f"slice(tk, i, {_DUPSPAN_N})) as binary)), 1, 16))"
+    )
+    g = (
+        docs.select("doc_id", F.expr(toks).alias("tk"))
+        .where(F.size("tk") >= _DUPSPAN_N)
+        .select("doc_id", F.explode(F.expr(gram)).alias("gk"))
+    )
+    dg = g.groupBy("doc_id", "gk").agg(F.count("*").alias("c"))
+    gd = dg.groupBy("gk").agg(F.count("*").alias("n_docs"))
+    per = (
+        dg.join(gd, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        (
+            F.col("n_dup_grams").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("dup_share"),
+    )

@@ -921,3 +921,91 @@ def _pca_oracle() -> str:
 from ..registry import ORACLES as _ML_ORACLES  # noqa: E402
 
 _ML_ORACLES["pca_power_iteration"] = _pca_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for recommender training: for every
+# customer, pick K parts they have NEVER ordered, drawn from a fixed
+# candidate pool by hash order - the (user, item, label=0) rows a
+# two-tower / matrix-factorization trainer pairs with the observed
+# positives. Hash-derived "randomness" (the shared md5 h32) makes the
+# draw reproducible across engines and runs - the property a training
+# pipeline needs for resumable jobs and A/B-stable datasets.
+#
+# Scale notes (100 TB): the candidate pool is a FIXED-COUNT pick
+# (_NEG_POOL rows, broadcast - bounded at any N, the round-6 seed
+# rule), so users x pool is a linear _NEG_POOL-way fan-out, never a
+# users x parts cross product. The anti-join against interactions and
+# the per-user rank both key on high-entropy ids; row_number + rank<=K
+# gets Catalyst's WindowGroupLimit map-side prune.
+_NEG_POOL = 128
+_NEG_K = 5
+
+_NEG_POOL_H_S = _SPARK_H32.format(s="concat('negpool:', cast(p_partkey as string))")
+_NEG_POOL_H_D = _DUCK_H32.format(s="concat('negpool:', CAST(p_partkey AS VARCHAR))")
+_NEG_RANK_H_S = _SPARK_H32.format(
+    s="concat('neg:', cast(o_custkey as string), ':', cast(p_partkey as string))"
+)
+_NEG_RANK_H_D = _DUCK_H32.format(
+    s="concat('neg:', CAST(o_custkey AS VARCHAR), ':', CAST(p_partkey AS VARCHAR))"
+)
+
+
+@query(
+    "negative_sampling_recs",
+    oracle=f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey AS p_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pool AS (
+        SELECT p_partkey FROM part
+        ORDER BY {_NEG_POOL_H_D}, p_partkey LIMIT {_NEG_POOL}
+    ),
+    cust AS (SELECT DISTINCT o_custkey FROM orders),
+    cand AS (SELECT c.o_custkey, p.p_partkey FROM cust c CROSS JOIN pool p),
+    neg AS (
+        SELECT cand.o_custkey, cand.p_partkey
+        FROM cand ANTI JOIN inter USING (o_custkey, p_partkey)
+    ),
+    r AS (
+        SELECT o_custkey, p_partkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY {_NEG_RANK_H_D}, p_partkey) AS neg_rank
+        FROM neg
+    )
+    SELECT o_custkey, p_partkey, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM r WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def negative_sampling_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    pool = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .withColumn("h", F.expr(_NEG_POOL_H_S))
+        .orderBy("h", "p_partkey")
+        .limit(_NEG_POOL)
+        .select("p_partkey")
+    )
+    cand = (
+        orders.select("o_custkey").distinct().crossJoin(F.broadcast(pool))
+    )
+    neg = cand.join(inter, ["o_custkey", "p_partkey"], "left_anti")
+    w = W.partitionBy("o_custkey").orderBy(F.expr(_NEG_RANK_H_S), "p_partkey")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= _NEG_K)
+        .select(
+            "o_custkey",
+            "p_partkey",
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        )
+    )

@@ -123,6 +123,11 @@ AT_RISK = [
     "simhash_hamming_pairs",
     "macro_session_rollup",
     "k_anonymity_profile",
+    # hash-rank draws at 10x users; 64-bit gram keys at 10x gram count;
+    # LPA tie flips on denser co-purchase neighborhoods
+    "negative_sampling_recs",
+    "dup_ngram_span_share",
+    "label_propagation_communities",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
