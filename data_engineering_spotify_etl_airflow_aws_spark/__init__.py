@@ -188,7 +188,9 @@ AUDIT_FIRST: list[str] = [
     #    interarrival_stats_by_type, churn_label_generation,
     #    simhash_hamming_pairs, macro_session_rollup,
     #    k_anonymity_profile, negative_sampling_recs,
-    #    dup_ngram_span_share, label_propagation_communities).
+    #    dup_ngram_span_share, label_propagation_communities,
+    #    recsys_holdout_eval, logodds_distinctive_terms,
+    #    rank_movers_wow).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -3189,3 +3189,109 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         below.cast("bigint").alias("n_rows_below_5"),
         (below.cast("double") / F.max("n_rows")).alias("risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week rank movers: rank parts by revenue inside each of the
+# two most recent ship weeks, then report the 20 parts whose rank moved
+# the most - the "top movers" panel on every merchandising dashboard
+# (rank deltas, not revenue deltas: a mover is a change in RELATIVE
+# position, robust to corpus-wide seasonality that shifts all revenue).
+#
+# Determinism: revenue accumulates as exact micro-unit ints (the tpch
+# device) and BOTH rank cuts order by the exact integer sum with the
+# part id tiebreak; the only double is the final /1e6 display
+# conversion. Week identity comes from date_trunc('week') - ISO Monday
+# in both engines.
+#
+# Scale notes (100 TB): the max-week anchor is a 1-row aggregate
+# broadcast back (no collect); the two-week filter then prunes the
+# corpus BEFORE the (part, week) shuffle, so the ranked relation is two
+# weeks of per-part rows; both week ranks come from ONE window over the
+# same (wk-partitioned) relation, and the movers join keys on part.
+# Final top-20 is a TakeOrderedAndProject, never a global sort.
+_WOW_TOP = 20
+
+
+@query(
+    "rank_movers_wow",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey,
+               date_trunc('week', l_shipdate) AS wk,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                   + 0.5) AS BIGINT) AS rev_micro
+        FROM lineitem
+    ),
+    mx AS (
+        SELECT max(wk) AS w_curr, max(wk) - INTERVAL 7 DAY AS w_prev
+        FROM li
+    ),
+    weekly AS (
+        SELECT l.l_partkey, l.wk, m.w_curr,
+               CAST(sum(l.rev_micro) AS HUGEINT) AS rev_m
+        FROM li l CROSS JOIN mx m
+        WHERE l.wk = m.w_curr OR l.wk = m.w_prev
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT l_partkey, wk, w_curr, rev_m,
+               row_number() OVER (
+                   PARTITION BY wk ORDER BY rev_m DESC, l_partkey
+               ) AS rnk
+        FROM weekly
+    )
+    SELECT c.l_partkey AS part_key,
+           CAST(p.rnk AS BIGINT) AS rank_prev,
+           CAST(c.rnk AS BIGINT) AS rank_curr,
+           CAST(p.rnk - c.rnk AS BIGINT) AS rank_delta,
+           CAST(c.rev_m AS DOUBLE) / 1000000 AS revenue_curr
+    FROM ranked c
+    JOIN ranked p ON p.l_partkey = c.l_partkey AND p.wk <> c.wk
+    WHERE c.wk = c.w_curr
+    ORDER BY abs(p.rnk - c.rnk) DESC, c.l_partkey
+    LIMIT {_WOW_TOP}
+    """,
+)
+def rank_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_micro"),
+    )
+    mx = li.agg(F.max("wk").alias("w_curr")).withColumn(
+        "w_prev", F.col("w_curr") - F.expr("INTERVAL 7 DAYS")
+    )
+    weekly = (
+        li.crossJoin(F.broadcast(mx))
+        .where((F.col("wk") == F.col("w_curr")) | (F.col("wk") == F.col("w_prev")))
+        .groupBy("l_partkey", "wk", "w_curr")
+        .agg(F.sum(F.col("rev_micro").cast("decimal(38,0)")).alias("rev_m"))
+    )
+    w = W.partitionBy("wk").orderBy(F.desc("rev_m"), "l_partkey")
+    ranked = weekly.withColumn("rnk", F.row_number().over(w))
+    c, p = ranked.alias("c"), ranked.alias("p")
+    return (
+        c.where(F.col("c.wk") == F.col("c.w_curr"))
+        .join(
+            p,
+            (F.col("p.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("p.wk") != F.col("c.wk")),
+        )
+        .select(
+            F.col("c.l_partkey").alias("part_key"),
+            F.col("p.rnk").cast("bigint").alias("rank_prev"),
+            F.col("c.rnk").cast("bigint").alias("rank_curr"),
+            (F.col("p.rnk") - F.col("c.rnk")).cast("bigint").alias("rank_delta"),
+            (F.col("c.rev_m").cast("double") / F.lit(1_000_000)).alias(
+                "revenue_curr"
+            ),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "part_key")
+        .limit(_WOW_TOP)
+    )

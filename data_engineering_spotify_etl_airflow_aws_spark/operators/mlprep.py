@@ -1009,3 +1009,146 @@ def negative_sampling_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neg_rank").cast("bigint").alias("neg_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recsys offline evaluation harness: hash-split the (customer, part)
+# interaction set 80/20 into train/test, build item-item co-occurrence
+# recommendations FROM TRAIN ONLY, score each test user's candidates as
+# sum of co-occurrence counts with their train items, and report global
+# hit-rate@K - the leakage-safe offline eval loop every recommender
+# ships with (the hash split is the same device as hash_split_assignment,
+# so membership is reproducible row-by-row across engines and runs).
+#
+# Determinism: split membership and all scores are exact integers; both
+# rank cuts (top-M co-items per item, top-K candidates per user) break
+# ties by id. The final hit_rate is one IEEE division of exact counts.
+#
+# Scale notes (100 TB): customer baskets are activity-bounded (~tens of
+# parts at any SF in this schema), so in-group pair fan-out is C(basket,2)
+# per user - linear in interactions; the per-item candidate list is
+# capped at M=20 BEFORE the user join (WindowGroupLimit map-side prune),
+# bounding the scoring fan-out at |train(u)| x M per user. Every join
+# keys on a high-entropy id (user or item); the result is a 1-row
+# reduction, nothing is broadcast or collected.
+_REC_M = 20  # co-item candidates kept per item
+_REC_K = 10  # recommendations evaluated per user
+_REC_SPLIT_H_S = _SPARK_H32.format(
+    s="concat('recsplit:', cast(u as string), ':', cast(i as string))"
+)
+_REC_SPLIT_H_D = _DUCK_H32.format(
+    s="concat('recsplit:', CAST(u AS VARCHAR), ':', CAST(i AS VARCHAR))"
+)
+
+
+@query(
+    "recsys_holdout_eval",
+    oracle=f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    tagged AS (
+        SELECT u, i, ({_REC_SPLIT_H_D}) % 5 = 0 AS is_test FROM inter
+    ),
+    train AS (SELECT u, i FROM tagged WHERE NOT is_test),
+    test AS (SELECT u, i FROM tagged WHERE is_test),
+    cooc AS (
+        SELECT a.i AS j, b.i AS i, CAST(count(*) AS BIGINT) AS c
+        FROM train a JOIN train b ON a.u = b.u AND a.i <> b.i
+        GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT j, i, c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY j ORDER BY c DESC, i) AS rm
+            FROM cooc
+        ) WHERE rm <= {_REC_M}
+    ),
+    scored AS (
+        SELECT t.u, cp.i, CAST(sum(cp.c) AS BIGINT) AS score
+        FROM train t JOIN capped cp ON cp.j = t.i
+        GROUP BY 1, 2
+    ),
+    fresh AS (
+        SELECT s.u, s.i, s.score
+        FROM scored s ANTI JOIN train tr ON s.u = tr.u AND s.i = tr.i
+    ),
+    recs AS (
+        SELECT u, i FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY u ORDER BY score DESC, i) AS rk
+            FROM fresh
+        ) WHERE rk <= {_REC_K}
+    ),
+    evalp AS (
+        SELECT t.u, t.i FROM test t
+        SEMI JOIN (SELECT DISTINCT u FROM train) tu ON t.u = tu.u
+    ),
+    hits AS (
+        SELECT e.u, e.i FROM evalp e SEMI JOIN recs r
+            ON e.u = r.u AND e.i = r.i
+    )
+    SELECT CAST((SELECT count(DISTINCT u) FROM evalp) AS BIGINT)
+               AS n_eval_users,
+           CAST((SELECT count(*) FROM evalp) AS BIGINT) AS n_eval_pairs,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM evalp) AS DOUBLE)
+               AS hit_rate
+    """,
+)
+def recsys_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    tagged = inter.withColumn(
+        "is_test", F.expr(_REC_SPLIT_H_S) % 5 == 0
+    )
+    train = tagged.where(~F.col("is_test")).select("u", "i")
+    test = tagged.where("is_test").select("u", "i")
+    a, b = train.alias("a"), train.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("j"), F.col("b.i").alias("i"))
+        .agg(F.count("*").alias("c"))
+    )
+    wm = W.partitionBy("j").orderBy(F.desc("c"), "i")
+    capped = (
+        cooc.withColumn("rm", F.row_number().over(wm))
+        .where(F.col("rm") <= _REC_M)
+        .select("j", "i", "c")
+    )
+    scored = (
+        train.withColumnRenamed("i", "j")
+        .join(capped, "j")
+        .groupBy("u", "i")
+        .agg(F.sum("c").alias("score"))
+    )
+    fresh = scored.join(train, ["u", "i"], "left_anti")
+    wk = W.partitionBy("u").orderBy(F.desc("score"), "i")
+    recs = (
+        fresh.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _REC_K)
+        .select("u", "i")
+    )
+    evalp = test.join(train.select("u").distinct(), "u", "left_semi")
+    hits = evalp.join(recs, ["u", "i"], "left_semi")
+    eu = evalp.agg(
+        F.count_distinct("u").alias("n_eval_users"),
+        F.count("*").alias("n_eval_pairs"),
+    )
+    hc = hits.agg(F.count("*").alias("n_hits"))
+    return eu.crossJoin(hc).select(
+        F.col("n_eval_users").cast("bigint").alias("n_eval_users"),
+        F.col("n_eval_pairs").cast("bigint").alias("n_eval_pairs"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (
+            F.col("n_hits").cast("double")
+            / F.col("n_eval_pairs").cast("double")
+        ).alias("hit_rate"),
+    )

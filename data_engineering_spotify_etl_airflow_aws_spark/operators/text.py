@@ -652,3 +652,119 @@ def _register_zipf() -> None:
 
 
 _register_zipf()
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source via log-odds with an informative Dirichlet
+# prior (Monroe/Colaresi/Quinn 2008, "Fightin' Words") - the corpus-
+# comparison op behind "what vocabulary distinguishes source X from the
+# rest": z = delta / sqrt(var) where delta is the prior-smoothed
+# log-odds-ratio of the term in the source vs the remaining corpus and
+# the prior alpha_i is proportional to the term's global frequency.
+# Raw count ratios overweight rare terms and TF-IDF ignores the
+# comparison corpus; the Dirichlet z-score fixes both - the standard
+# tool for corpus-drift reports and source-bias audits.
+#
+# Determinism: all counts are exact ints; alpha, delta, var, z are a
+# fixed-association chain of IEEE double ops (ln/sqrt on identical
+# inputs - the zipf_token_slope trust model) mirrored exactly in the
+# oracle; the per-source rank breaks ties by token.
+#
+# Scale notes (100 TB): one (source, token) shuffle with map-side
+# partials, a token-keyed join against the global term counts (both
+# sides vocabulary-sized, high-entropy key), per-source totals join
+# (bounded - one row per source), and a per-source top-5 window that
+# gets the WindowGroupLimit map-side prune. The corpus moves once.
+_LO_A0 = "100.0"  # total prior mass (dyadic parse-identical literal)
+_LO_TOP = 5
+
+
+@query(
+    "logodds_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, t AS token
+        FROM (SELECT source, unnest({_OT}) AS t FROM documents)
+    ),
+    st AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS y_si
+        FROM tok GROUP BY 1, 2
+    ),
+    gt AS (SELECT token, CAST(sum(y_si) AS BIGINT) AS y_i FROM st GROUP BY 1),
+    srct AS (SELECT source, CAST(sum(y_si) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(y_si) AS BIGINT) AS n FROM st),
+    z AS (
+        SELECT s.source, s.token, s.y_si,
+               CAST(s.y_si AS DOUBLE) + {_LO_A0} * CAST(g.y_i AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS num_s,
+               CAST(c.n_s - s.y_si AS DOUBLE) + {_LO_A0}
+                   - {_LO_A0} * CAST(g.y_i AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   AS den_s,
+               CAST(g.y_i - s.y_si AS DOUBLE) + {_LO_A0}
+                   * CAST(g.y_i AS DOUBLE) / CAST(t.n AS DOUBLE) AS num_r,
+               CAST(t.n - c.n_s - (g.y_i - s.y_si) AS DOUBLE) + {_LO_A0}
+                   - {_LO_A0} * CAST(g.y_i AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   AS den_r
+        FROM st s
+        JOIN gt g USING (token)
+        JOIN srct c USING (source)
+        CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT source, token, y_si,
+               (ln(num_s / den_s) - ln(num_r / den_r))
+                   / sqrt(1.0 / num_s + 1.0 / num_r) AS zscore
+        FROM z
+    )
+    SELECT source, token, y_si, round(zscore, 6) AS z_round
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY zscore DESC, token) AS rk
+        FROM scored
+    ) WHERE rk <= {_LO_TOP}
+    """,
+)
+def logodds_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("y_si"))
+    )
+    gt = st.groupBy("token").agg(F.sum("y_si").alias("y_i"))
+    srct = st.groupBy("source").agg(F.sum("y_si").alias("n_s"))
+    tot = st.agg(F.sum("y_si").alias("n"))
+    a0 = F.expr(_LO_A0)
+    j = (
+        st.join(gt, "token")
+        .join(F.broadcast(srct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    alpha = a0 * F.col("y_i").cast("double") / F.col("n").cast("double")
+    num_s = F.col("y_si").cast("double") + alpha
+    den_s = (F.col("n_s") - F.col("y_si")).cast("double") + a0 - alpha
+    num_r = (F.col("y_i") - F.col("y_si")).cast("double") + alpha
+    den_r = (
+        (F.col("n") - F.col("n_s") - (F.col("y_i") - F.col("y_si"))).cast(
+            "double"
+        )
+        + a0
+        - alpha
+    )
+    zscore = (F.log(num_s / den_s) - F.log(num_r / den_r)) / F.sqrt(
+        F.lit(1.0) / num_s + F.lit(1.0) / num_r
+    )
+    scored = j.select("source", "token", "y_si", zscore.alias("zscore"))
+    w = W.partitionBy("source").orderBy(F.desc("zscore"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _LO_TOP)
+        .select(
+            "source",
+            "token",
+            F.col("y_si").cast("bigint").alias("y_si"),
+            F.round("zscore", 6).alias("z_round"),
+        )
+    )

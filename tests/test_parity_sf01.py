@@ -128,6 +128,11 @@ AT_RISK = [
     "negative_sampling_recs",
     "dup_ngram_span_share",
     "label_propagation_communities",
+    # split-hash membership at 10x interactions; ln/sqrt z-score chain
+    # on a 10x vocabulary; rank ties on denser weekly revenue
+    "recsys_holdout_eval",
+    "logodds_distinctive_terms",
+    "rank_movers_wow",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
