@@ -3295,3 +3295,47 @@ def rank_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_delta")).desc(), "part_key")
         .limit(_WOW_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity profile: the companion audit to k_anonymity_profile
+# (above) - group size alone does not stop attribute disclosure: a QI
+# group of 50 rows that all share ONE sensitive value still reveals it
+# for every member. Per quasi-identifier group (ISO weekday x value-
+# magnitude bucket, the k-anonymity QI minus event_type) report k
+# (size), l (distinct sensitive values - here event_type plays the
+# sensitive attribute), and whether the group meets l >= 3.
+#
+# Scale notes (100 TB): ONE shuffle on the bounded QI key space with
+# map-side partials (count + count-distinct over a 5-value sensitive
+# domain); output is QI-space-sized, never corpus-sized.
+@query(
+    "l_diversity_profile",
+    oracle="""
+    SELECT isodow(CAST(ts AS DATE)) AS dow_iso,
+           concat(CASE WHEN value < 0 THEN 'n' ELSE 'p' END,
+                  CAST(length(CAST(CAST(floor(abs(value)) AS BIGINT)
+                      AS VARCHAR)) AS VARCHAR)) AS vbucket,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS l,
+           count(DISTINCT event_type) >= 3 AS meets_l3
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.weekday("ts") + F.lit(1)).alias("dow_iso"),
+        F.concat(
+            F.when(F.col("value") < 0, "n").otherwise("p"),
+            F.length(
+                F.floor(F.abs("value")).cast("bigint").cast("string")
+            ).cast("string"),
+        ).alias("vbucket"),
+        "event_type",
+    )
+    return ev.groupBy("dow_iso", "vbucket").agg(
+        F.count("*").alias("k"),
+        F.count_distinct("event_type").alias("l"),
+        (F.count_distinct("event_type") >= 3).alias("meets_l3"),
+    )

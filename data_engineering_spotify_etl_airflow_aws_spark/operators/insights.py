@@ -1994,3 +1994,138 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("wau").cast("double")
         ).alias("dau_wau_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table: the third leg of the propensity-eval
+# triad (auc_click_propensity ranks, calibration_curve_clicks checks
+# probability fit; the lift table answers the CAMPAIGN question: "if I
+# target the top 10/20/...% by score, what conversion rate and what
+# share of all converters do I capture?"). Users rank by the same
+# (click-count score, purchase-conversion label) construction as the
+# AUC op; deciles are EXACT ntile(10) over (score DESC, user_id).
+#
+# Scale notes (100 TB): exact ntile WITHOUT the single-partition global
+# sort - the banded device of ntile_price_deciles (extras.py): approx
+# boundaries on the negated score split users into ordered bands (a
+# broadcast 1-row array - correctness never depends on boundary
+# quality), ONE per-band row_number shuffle, then band offsets from a
+# window over the BAND-COUNT-sized table. All per-decile math is exact
+# ints; rates/lift/cum-capture are the final IEEE divisions, mirrored
+# association-for-association in the oracle.
+_LIFT_MIN_BANDS = 8
+_LIFT_MAX_BANDS = 65536
+
+
+@query(
+    "decile_lift_table",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS score,
+               CASE WHEN count(*) FILTER (event_type = 'purchase') >= 15
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT label,
+               ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM per_user
+    ),
+    g AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(label) AS BIGINT) AS n_pos
+        FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tn,
+                 CAST(sum(n_pos) AS BIGINT) AS tp FROM g)
+    SELECT decile, n_users, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+           (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
+               / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(tp AS DOUBLE) AS cum_capture
+    FROM g CROSS JOIN t
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("score"),
+        F.when(F.count(F.when(F.col("event_type") == "purchase", 1)) >= 15, 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    n_bands = max(
+        _LIFT_MIN_BANDS, min(_LIFT_MAX_BANDS, 2 * len(ev.inputFiles()))
+    )
+    pu = per_user.select(
+        "user_id", "label", (-F.col("score")).alias("key")
+    )
+    probs = [i / n_bands for i in range(1, n_bands)]
+    bounds = pu.agg(
+        F.percentile_approx("key", probs, max(10_000, 4 * n_bands)).alias(
+            "_bounds"
+        )
+    )
+    banded = (
+        pu.join(F.broadcast(bounds))
+        .withColumn(
+            "_band", F.size(F.filter("_bounds", lambda x: x < F.col("key")))
+        )
+        .drop("_bounds")
+    )
+    wb = W.partitionBy("_band").orderBy("key", "user_id")
+    ranked = banded.withColumn("_lrn", F.row_number().over(wb))
+    counts = banded.groupBy("_band").agg(F.count("*").alias("_bn"))
+    w_cum = W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_band").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_band",
+        F.coalesce(F.sum("_bn").over(w_cum), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(w_all).alias("_n"),
+    )
+    r = F.col("_off") + F.col("_lrn")
+    q = F.floor(F.col("_n") / 10)
+    rem = F.col("_n") % 10
+    cut = rem * (q + 1)
+    decile = (
+        F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - cut - 1) / q) + 1)
+        .cast("int")
+    )
+    g = (
+        ranked.join(F.broadcast(offsets), "_band")
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_users").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tp"),
+    )
+    w_cap = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    conv = F.col("n_pos").cast("double") / F.col("n_users").cast("double")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            conv.alias("conv_rate"),
+            (
+                conv
+                / (F.col("tp").cast("double") / F.col("tn").cast("double"))
+            ).alias("lift"),
+            (
+                F.sum("n_pos").over(w_cap).cast("double")
+                / F.col("tp").cast("double")
+            ).alias("cum_capture"),
+        )
+    )

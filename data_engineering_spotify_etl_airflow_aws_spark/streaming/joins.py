@@ -268,3 +268,94 @@ def stream_left_join_click_purchase(
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER stream-stream join - the last member of the interval-join
+# family (inner above, left above): purchases with no preceding click
+# AND clicks that never led to a purchase both surface as NULL-extended
+# rows. Spark supports this since 3.1 with watermarks on BOTH sides;
+# each side's unmatched state flushes only when the OTHER side's
+# watermark proves no partner can arrive, so both sentinels matter here
+# (the left form only needed the click-side flush). Use case: the
+# attribution audit that wants orphaned clicks (wasted ad spend) and
+# un-attributed purchases (organic conversions) in one result.
+#
+# Scale notes (100 TB/day): state is O(rate x (window + watermark)) per
+# side, identical to the inner/left forms - full outer changes WHEN
+# rows emit, not what is kept.
+@query(
+    "stream_full_join_click_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def stream_full_join_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = run_scratch("click_purchase_full_join")
+    shutil.rmtree(base, ignore_errors=True)
+
+    chunks = outer_event_feed(spark, sf_dir)
+    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(chunks)
+    clicks = (
+        raw.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", _WATERMARK)
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND "
+            f"c_ts BETWEEN p_ts - INTERVAL {_JOIN_WINDOW} AND p_ts"
+        ),
+        "full_outer",
+    )
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(base / "data"))
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .option("maxFilesPerTrigger", "3")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    back = spark.read.parquet(str(base / "data"))
+    return back.where(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )

@@ -133,6 +133,10 @@ AT_RISK = [
     "recsys_holdout_eval",
     "logodds_distinctive_terms",
     "rank_movers_wow",
+    # full-outer watermark flush on 10x stream volume; band-boundary
+    # decile arithmetic on a 10x user population
+    "stream_full_join_click_purchase",
+    "decile_lift_table",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
