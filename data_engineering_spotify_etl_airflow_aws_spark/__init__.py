@@ -191,7 +191,9 @@ AUDIT_FIRST: list[str] = [
     #    dup_ngram_span_share, label_propagation_communities,
     #    recsys_holdout_eval, logodds_distinctive_terms,
     #    rank_movers_wow, stream_full_join_click_purchase,
-    #    l_diversity_profile, decile_lift_table).
+    #    l_diversity_profile, decile_lift_table,
+    #    sre_error_budget_burn, order_header_reconcile,
+    #    heaps_law_curve).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

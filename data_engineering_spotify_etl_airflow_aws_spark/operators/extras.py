@@ -3339,3 +3339,159 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("l"),
         (F.count_distinct("event_type") >= 3).alias("meets_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRE error-budget burn: per day, the error rate (error events / all
+# events) against a 1% SLO, the burn-rate multiple (rate/SLO), and the
+# share of the running monthly budget consumed so far - the
+# Google-SRE-workbook alerting table ("burn rate > 14x for an hour =
+# page"). Daily counts are exact ints; the three ratios are final IEEE
+# divisions; the running budget consumption is a cumulative sum over
+# the bounded day axis.
+#
+# Scale notes (100 TB): ONE shuffle on the bounded day key with
+# map-side partials (conditional counts); the cumulative window runs
+# over the day-count-sized table, not the corpus.
+_SLO_ERR = "0.01"  # 1% error budget (dyadic-exact literal not needed:
+# both engines parse the same decimal to the same nearest double)
+
+
+@query(
+    "sre_error_budget_burn",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_errors
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM d)
+    SELECT day, n_events, n_errors,
+           CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS err_rate,
+           (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+               / {_SLO_ERR} AS burn_rate,
+           CAST(sum(n_errors) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / ({_SLO_ERR} * CAST(tot AS DOUBLE)) AS budget_consumed
+    FROM d CROSS JOIN t
+    """,
+)
+def sre_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "n_errors"
+            ),
+        )
+    )
+    t = d.agg(F.sum("n_events").cast("bigint").alias("tot"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    slo = F.expr(_SLO_ERR)
+    return d.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+        rate.alias("err_rate"),
+        (rate / slo).alias("burn_rate"),
+        (
+            F.sum("n_errors").over(w).cast("double")
+            / (slo * F.col("tot").cast("double"))
+        ).alias("budget_consumed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Header-vs-detail reconciliation: per order, the header's o_totalprice
+# against the recomputed line total sum(extendedprice x (1-discount) x
+# (1+tax)), with the mismatch classified into exact / within-1% /
+# beyond-1% - the daily tie-out every finance pipeline runs between an
+# order header feed and its line-item feed. Line totals accumulate as
+# exact micro-unit ints (the tpch device); the header lands in the same
+# micro grid, so "exact" means integer equality, not a float epsilon.
+# Output is the per-status reconciliation summary (bounded rows).
+#
+# Scale notes (100 TB): one orderkey-keyed shuffle for the line rollup,
+# one join back to headers on the same key, then a bounded-key summary
+# agg with map-side partials. Nothing is broadcast or collected.
+@query(
+    "order_header_reconcile",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                   * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS line_total_micro
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 1000000 + 0.5) AS BIGINT)
+                   AS header_micro,
+               l.line_total_micro
+        FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+    ),
+    c AS (
+        SELECT CASE
+                 WHEN header_micro = line_total_micro THEN 'exact'
+                 WHEN abs(header_micro - line_total_micro) * 100
+                      <= abs(header_micro) THEN 'within_1pct'
+                 ELSE 'beyond_1pct'
+               END AS status,
+               abs(header_micro - line_total_micro) AS adiff
+        FROM j
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(adiff) AS DOUBLE) / 1000000 AS max_abs_diff,
+           CAST(sum(adiff) AS DOUBLE) / 1000000 AS total_abs_diff
+    FROM c GROUP BY status
+    """,
+)
+def order_header_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    line_micro = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    lines = (
+        li.select("l_orderkey", line_micro.alias("lm"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("lm").cast("decimal(38,0)")).cast("bigint").alias(
+            "line_total_micro"
+        ))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("header_micro"),
+    )
+    j = orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+    adiff = F.abs(F.col("header_micro") - F.col("line_total_micro"))
+    status = (
+        F.when(F.col("header_micro") == F.col("line_total_micro"), "exact")
+        .when(adiff * 100 <= F.abs(F.col("header_micro")), "within_1pct")
+        .otherwise("beyond_1pct")
+    )
+    return (
+        j.select(status.alias("status"), adiff.alias("adiff"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.max("adiff").cast("double") / F.lit(1_000_000)).alias(
+                "max_abs_diff"
+            ),
+            (
+                F.sum(F.col("adiff").cast("decimal(38,0)")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("total_abs_diff"),
+        )
+    )

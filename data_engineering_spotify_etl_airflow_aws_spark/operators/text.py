@@ -768,3 +768,94 @@ def logodds_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("zscore", 6).alias("z_round"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve: order the corpus by ingestion
+# (doc_id), cut it into 10 equal-count buckets, and report per bucket
+# the token volume, the NEW types first seen in that bucket, and the
+# cumulative vocabulary - the V(n) ~ K·n^beta curve that sizes
+# tokenizer vocabularies and predicts how much new data still grows the
+# vocab (flat new-type counts = the corpus is saturating; linear =
+# far from it). Complements zipf_token_slope (frequency SHAPE) with
+# vocabulary GROWTH.
+#
+# Determinism: bucket identity is exact integer arithmetic on the
+# doc_id rank (ntile-free: bucket = floor(10 * (rank-1) / n_docs) works
+# because doc_ids are dense-ranked first); first-seen bucket is a
+# min() over exact ints.
+#
+# Scale notes (100 TB): bucket assignment is pure per-row math after a
+# 1-row (n_docs, min_id) broadcast - no rank window over the corpus.
+# That leans on the fixture contract that doc_ids are dense (0..n-1);
+# for sparse ids the banded-ntile boundary device (extras.py) slots in
+# with the same downstream plan. Token first-seen is one token-keyed
+# min-agg; per-bucket rollups are bounded-key aggs with map-side
+# partials; the cumulative window runs over 10 rows.
+@query(
+    "heaps_law_curve",
+    oracle=f"""
+    WITH meta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         min(doc_id) AS id0 FROM documents),
+    tok AS (
+        SELECT CAST(floor(10 * (d.doc_id - m.id0)
+                   / CAST(m.n_docs AS DOUBLE)) AS BIGINT) AS bucket,
+               t AS token
+        FROM (SELECT doc_id, unnest({_OT}) AS t FROM documents) d
+        CROSS JOIN meta m
+    ),
+    firsts AS (SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY 1),
+    vol AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY 1),
+    news AS (SELECT first_bucket AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_new_types
+             FROM firsts GROUP BY 1)
+    SELECT v.bucket, v.n_tokens,
+           coalesce(n.n_new_types, 0) AS n_new_types,
+           CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY v.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+    FROM vol v LEFT JOIN news n ON n.bucket = v.bucket
+    """,
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("id0"),
+    )
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            F.floor(
+                10
+                * (F.col("doc_id") - F.col("id0"))
+                / F.col("n_docs").cast("double")
+            )
+            .cast("bigint")
+            .alias("bucket"),
+            "token",
+        )
+    )
+    firsts = tok.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    vol = tok.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    news = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count("*").alias("n_new_types")
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        vol.join(news, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_types"),
+        )
+        .withColumn(
+            "cum_vocab", F.sum("n_new_types").over(w).cast("bigint")
+        )
+    )

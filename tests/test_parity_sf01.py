@@ -137,6 +137,10 @@ AT_RISK = [
     # decile arithmetic on a 10x user population
     "stream_full_join_click_purchase",
     "decile_lift_table",
+    # micro-grid equality classification on 10x orders; first-seen
+    # bucket ties on a 10x vocabulary
+    "order_header_reconcile",
+    "heaps_law_curve",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
