@@ -193,7 +193,8 @@ AUDIT_FIRST: list[str] = [
     #    rank_movers_wow, stream_full_join_click_purchase,
     #    l_diversity_profile, decile_lift_table,
     #    sre_error_budget_burn, order_header_reconcile,
-    #    heaps_law_curve).
+    #    heaps_law_curve, simplified_silhouette_by_label,
+    #    interval_union_coverage, user_event_bitmask_segments).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

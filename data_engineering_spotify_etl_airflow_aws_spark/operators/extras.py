@@ -3495,3 +3495,79 @@ def order_header_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_abs_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral bitmask segments: encode each user's event-type repertoire
+# as a 5-bit mask (click=1, view=2, purchase=4, signup=8, error=16),
+# then count users per mask with a readable segment label - the
+# "which behavior combinations exist and how big is each" cube that
+# powers segment dashboards. The bitmask form is the roaring-bitmap/
+# audience-index idea expressed relationally: set membership becomes
+# integer algebra, and ANY combination query (has A and B but not C)
+# is a mask filter on this 32-row summary instead of a corpus pass.
+#
+# Scale notes (100 TB): one user_id shuffle with map-side partial
+# max-flags, then a bounded 32-key agg; output is mask-space-sized.
+_MASK_BITS = (("click", 1), ("view", 2), ("purchase", 4), ("signup", 8),
+              ("error", 16))
+
+
+def _mask_label_sql() -> str:
+    parts = ", ".join(
+        f"CASE WHEN mask & {bit} <> 0 THEN '{name}' END"
+        for name, bit in _MASK_BITS
+    )
+    return f"concat_ws('+', {parts})"
+
+
+@query(
+    "user_event_bitmask_segments",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {' + '.join(
+                   f"max(CASE WHEN event_type = '{name}' THEN {bit} ELSE 0 END)"
+                   for name, bit in _MASK_BITS
+               )} AS mask
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(mask AS BIGINT) AS mask,
+           {_mask_label_sql()} AS segment,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY mask
+    """,
+)
+def user_event_bitmask_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == name, F.lit(bit)).otherwise(0)
+        ).alias(f"b_{name}")
+        for name, bit in _MASK_BITS
+    ]
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(*flags)
+        .select(
+            sum(
+                [F.col(f"b_{name}") for name, _ in _MASK_BITS], F.lit(0)
+            ).alias("mask")
+        )
+    )
+    label = F.concat_ws(
+        "+",
+        *[
+            F.when(F.col("mask").bitwiseAND(F.lit(bit)) != 0, F.lit(name))
+            for name, bit in _MASK_BITS
+        ],
+    )
+    return per_user.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    ).select(
+        F.col("mask").cast("bigint").alias("mask"),
+        label.alias("segment"),
+        "n_users",
+    )

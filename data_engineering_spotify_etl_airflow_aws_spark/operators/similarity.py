@@ -1514,3 +1514,146 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").alias("max_shift_dim"),
         (F.col("d9").cast("double") / F.lit(1e9)).alias("max_shift"),
     )
+
+
+_U9_SIL = "CAST(floor({v} * 1000000000.0 + 0.5) AS HUGEINT)"
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per label (centroid silhouette): for each vector,
+# a = L2 distance to its OWN label centroid, b = distance to the nearest
+# OTHER label centroid, s = (b - a) / max(a, b); report the per-label
+# mean and the share of negative-s vectors (likely mislabels). This is
+# the standard cluster-quality score at corpus scale - exact silhouette
+# is O(N^2) pairwise; the centroid form is the linear-time variant every
+# large-scale eval uses (and the one sklearn's docs recommend beyond
+# memory limits). Complements label_centroids (the centroids
+# themselves), knn_label_accuracy (local consistency), and
+# embedding_centroid_drift (temporal stability) with a global
+# separation-vs-cohesion score.
+#
+# Determinism: centroids ride the label_centroids micro-unit device
+# (floor(v*1e9+0.5) -> exact int sums -> one double division); distances
+# are sequential zip_with folds (the functions.dot order contract);
+# per-label means re-quantize s at 1e9 before the exact sum.
+#
+# Scale notes (100 TB): the centroid table is bounded (labels x dims),
+# built from one (label, dim)-keyed shuffle with map-side partials and
+# broadcast back; the per-vector work is an L-way bounded fan-out
+# against the broadcast followed by ONE vec_id-keyed partial agg and a
+# bounded per-label rollup. The corpus moves once.
+@query(
+    "simplified_silhouette_by_label",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    cd AS (
+        SELECT label, dim,
+               CAST(sum({_U9_SIL.format(v='val')}) AS DOUBLE)
+                   / (1000000000.0 * count(*)) AS c
+        FROM (
+            SELECT label,
+                   unnest(range(len(emb))) AS dim,
+                   unnest(emb) AS val
+            FROM e
+        )
+        GROUP BY label, dim
+    ),
+    cents AS (
+        SELECT label AS clabel, list(c ORDER BY dim) AS cent
+        FROM cd GROUP BY label
+    ),
+    d AS (
+        SELECT v.vec_id, v.label, c.clabel,
+               sqrt(list_sum(list_transform(list_zip(v.emb, c.cent),
+                   s -> (s[1] - s[2]) * (s[1] - s[2])))) AS dist
+        FROM e v CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN label = clabel THEN dist END) AS a,
+               min(CASE WHEN label <> clabel THEN dist END) AS b
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT label,
+               CAST(floor(((b - a) / greatest(a, b)) * 1000000000.0 + 0.5)
+                   AS HUGEINT) AS s9
+        FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(s9) AS DOUBLE) / (1000000000.0 * count(*))
+               AS mean_silhouette,
+           CAST(count(*) FILTER (s9 < 0) AS BIGINT) AS n_negative
+    FROM s GROUP BY label
+    """,
+)
+def simplified_silhouette_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec_double("embedding").alias("emb")
+    )
+    cd = (
+        e.select("label", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / (F.lit(1000000000.0) * F.count("*"))
+            ).alias("c")
+        )
+    )
+    cents = cd.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.c,
+        ).alias("cent")
+    )
+    d = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"),
+                    F.col("cent"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("dist"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("clabel"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s9 = F.floor(
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    return (
+        ab.select("label", s9.alias("s9"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            (
+                F.sum("s9").cast("double")
+                / (F.lit(1000000000.0) * F.count("*"))
+            ).alias("mean_silhouette"),
+            F.count(F.when(F.col("s9") < 0, 1))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+    )

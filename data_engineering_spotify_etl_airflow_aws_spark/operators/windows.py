@@ -1660,3 +1660,104 @@ def macro_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("new_v").cast("double")
         ).alias("sessions_per_visit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage per user: give every event a synthetic
+# activity interval (1 + floor(|value|) mod 60 minutes - deterministic
+# integer minutes off the fixture's value column), merge overlapping
+# intervals per user, and report total covered time, the merged-island
+# count, and the longest island. This is the 1-D interval-union
+# primitive (machine uptime, ad exposure, on-call coverage) that
+# max_concurrent_per_user (overlap COUNT) and sessionization (gap-based
+# grouping of POINT events) do not express: here events carry
+# DURATIONS, and the union length must not double-count overlap.
+#
+# Plan: the classic running-max sweep - per user, order by (start,
+# event_id); an island starts where start > max(end) over all prior
+# rows; island id = running sum of start flags; per island coverage =
+# max(end) - min(start). Exact integer micros throughout.
+#
+# Scale notes (100 TB): both windows and the island rollup key on
+# user_id - ONE corpus shuffle, reused across the two window passes and
+# the groupBy (same partitioning); per-user output is island-bounded.
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + (1 + CAST(floor(abs(value)) AS BIGINT) % 60)
+                   * 60000000 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island_id,
+               max(e) - min(s) AS cover_us
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cover_us) AS BIGINT) AS covered_us,
+           CAST(max(cover_us) AS BIGINT) AS longest_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (1 + F.floor(F.abs("value")).cast("bigint") % 60)
+            * F.lit(60_000_000)
+        ).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island_id"),
+    )
+    per_island = isl.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("cover_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("cover_us").cast("bigint").alias("covered_us"),
+        F.max("cover_us").cast("bigint").alias("longest_us"),
+    )

@@ -141,6 +141,10 @@ AT_RISK = [
     # bucket ties on a 10x vocabulary
     "order_header_reconcile",
     "heaps_law_curve",
+    # micro-quantized silhouette on 10x vectors; running-max island
+    # merges on denser per-user streams
+    "simplified_silhouette_by_label",
+    "interval_union_coverage",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
