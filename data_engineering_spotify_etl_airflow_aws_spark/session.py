@@ -74,6 +74,17 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", sp)
+        # local mode puts EVERY executor thread inside the driver JVM, so
+        # the driver heap must be sized for the whole workload - the
+        # unset default is 1g, which 32 threads exhaust mid-suite
+        # (observed: GCLocker allocation-retry storms, then JVM death).
+        # Static conf: only takes effect for the process that launches
+        # the JVM; a pre-existing session (the round driver's) keeps its
+        # own sizing, which apply_runtime_confs tolerates.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
