@@ -194,7 +194,10 @@ AUDIT_FIRST: list[str] = [
     #    l_diversity_profile, decile_lift_table,
     #    sre_error_budget_burn, order_header_reconcile,
     #    heaps_law_curve, simplified_silhouette_by_label,
-    #    interval_union_coverage, user_event_bitmask_segments).
+    #    interval_union_coverage, user_event_bitmask_segments,
+    #    feature_store_training_set, bigram_pmi_collocations,
+    #    ewma_control_chart, golden_doc_selection,
+    #    stl_daily_decomposition, asof_forward_next_purchase).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -1096,3 +1096,126 @@ def dup_ngram_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_grams").cast("double")
         ).alias("dup_share"),
     )
+
+
+_GOLD_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (golden-record selection) over topic-signature groups:
+# where dedup_exact_content keeps the SMALLEST doc_id (a stable but
+# arbitrary rule), real curation picks the BEST copy. Groups are docs
+# sharing a TOPIC SIGNATURE - the sorted top-5 tokens by (count DESC,
+# token) - the cheap blocking key for "retellings of the same content"
+# (this fixture has zero byte-exact duplicates, so exact-hash groups
+# are all singletons; the signature groups are where a survivorship
+# rule has actual work to do). Within each group the survivor is the
+# argmax of the text_quality_stats score with doc_id as tiebreak; the
+# output records group size, the survivor, and the quality spread the
+# rule exercised.
+#
+# Determinism: the quality score is the established fixed-association
+# IEEE chain (text.py) on exact counts, PRE-QUANTIZED to micro ints;
+# the argmax rides the composite integer key q_micro*1e12 - doc_id
+# (exact in int64: q_micro <= 1e6 so the key tops out ~1e18 < 2^63 and
+# quality strictly dominates for any doc_id < 1e12 - the
+# latest_order_per_segment device).
+#
+# Scale notes (100 TB): the signature needs one (doc, token) count
+# shuffle + a per-doc top-5 window (WindowGroupLimit map-side prune) +
+# a doc-keyed rollup; the survivor pass is ONE signature-keyed shuffle
+# with map-side partial arg-max. Only multi-doc groups survive the
+# HAVING; nothing broadcasts.
+@query(
+    "golden_doc_selection",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS c
+        FROM (SELECT doc_id, unnest({_OT}) AS t FROM documents)
+        GROUP BY 1, 2
+    ),
+    r5 AS (
+        SELECT doc_id, token, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, token) AS rn
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id, array_to_string(list_sort(list(token)), ' ')
+               AS signature
+        FROM r5 WHERE rn <= 5 GROUP BY doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(floor((
+                   (0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                          x -> list_contains([{', '.join(
+                              f"'{w}'" for w in _GOLD_STOP)}], x)))
+                          AS DOUBLE) / len(toks)))
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))) * 1000000 + 0.5) AS BIGINT)
+                   AS q_micro
+        FROM (SELECT doc_id, {_OT} AS toks FROM documents)
+        WHERE len(toks) > 0
+    )
+    SELECT s.signature,
+           CAST(count(*) AS BIGINT) AS group_size,
+           arg_max(q.doc_id, q.q_micro * 1000000000000 - q.doc_id)
+               AS survivor_doc_id,
+           CAST(max(q.q_micro) AS DOUBLE) / 1000000 AS survivor_quality,
+           CAST(max(q.q_micro) - min(q.q_micro) AS DOUBLE) / 1000000
+               AS quality_spread
+    FROM sig s JOIN q ON q.doc_id = s.doc_id
+    GROUP BY s.signature HAVING count(*) >= 2
+    """,
+)
+def golden_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w5 = W.partitionBy("doc_id").orderBy(F.desc("c"), "token")
+    sig = (
+        tok.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("token")), " ").alias(
+                "signature"
+            )
+        )
+    )
+    stop_lst = ", ".join(f"'{w}'" for w in _GOLD_STOP)
+    q_expr = (
+        f"cast(floor(((0.4 * least(cast(size(t) as double) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - cast(size(filter(t, x -> array_contains("
+        f"array({stop_lst}), x))) as double) / size(t)))"
+        f" + 0.3 * (cast(size(array_distinct(t)) as double) / size(t)))"
+        f" * 1000000 + 0.5) as bigint)"
+    )
+    q = (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .where(F.size("t") > 0)
+        .select("doc_id", F.expr(q_expr).alias("q_micro"))
+    )
+    key = F.col("q_micro") * F.lit(1_000_000_000_000) - F.col("doc_id")
+    return (
+        sig.join(q, "doc_id")
+        .select("signature", "doc_id", "q_micro", key.alias("k"))
+        .groupBy("signature")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.max_by("doc_id", "k").alias("survivor_doc_id"),
+            (F.max("q_micro").cast("double") / F.lit(1_000_000)).alias(
+                "survivor_quality"
+            ),
+            (
+                (F.max("q_micro") - F.min("q_micro")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("quality_spread"),
+        )
+        .where(F.col("group_size") >= 2)
+    )

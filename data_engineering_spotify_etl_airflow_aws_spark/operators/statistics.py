@@ -1591,3 +1591,261 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_reps").cast("bigint").alias("n_replicas"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart per event type: daily event counts smoothed with a
+# truncated exponentially-weighted moving average (alpha = 0.25, lookback
+# 20 days), banded at +-3 sigma of the type's daily-count distribution,
+# with out-of-control flags - the monitoring chart (NIST/SPC "EWMA
+# chart") that catches small sustained shifts a fixed-threshold alert
+# misses. Complements cusum_changepoint_daily (retrospective change
+# point) with the ONLINE control-limit form.
+#
+# Determinism: the 20 weights (0.75^j) are exact dyadic doubles emitted
+# as literals - both engines parse the identical values; the weighted
+# sum is a join-ordered agg over exact int counts x literal weights
+# (each product exact-input IEEE, summed via a fixed small set); sigma
+# comes from exact integer moments with one sqrt.
+#
+# Scale notes (100 TB): the corpus collapses to the bounded
+# (type x day) table in ONE map-side-partial shuffle; the 20-day
+# lag self-join and every window run on that bounded table.
+_EWMA_LOOKBACK = 20
+# 0.75^j is dyadic (3^j / 4^j), exactly representable for j <= 33, so
+# repr() round-trips to the identical double in Spark and DuckDB
+_EWMA_W = [repr(0.75**j) for j in range(_EWMA_LOOKBACK)]
+
+
+@query(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY 1
+    ),
+    lagged AS (
+        SELECT c.event_type, c.day, c.x,
+               CASE date_diff('day', p.day, c.day)
+                 {' '.join(f"WHEN {j} THEN {w}" for j, w in enumerate(_EWMA_W))}
+               END AS w,
+               p.x AS px
+        FROM d c JOIN d p
+          ON p.event_type = c.event_type
+         AND date_diff('day', p.day, c.day)
+             BETWEEN 0 AND {_EWMA_LOOKBACK - 1}
+    ),
+    ew AS (
+        SELECT event_type, day, min(x) AS x,
+               sum(w * CAST(px AS DOUBLE)) / sum(w) AS ewma
+        FROM lagged GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.day, e.x, round(e.ewma, 6) AS ewma_round,
+           round(sqrt((CAST(s.sxx AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                         / CAST(s.n_days AS DOUBLE))
+                      / CAST(s.n_days AS DOUBLE)), 6) AS sigma_round,
+           abs(CAST(e.x AS DOUBLE) - e.ewma)
+               > 3.0 * sqrt((CAST(s.sxx AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                         / CAST(s.n_days AS DOUBLE))
+                      / CAST(s.n_days AS DOUBLE)) AS out_of_control
+    FROM ew e JOIN sig s ON s.event_type = e.event_type
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    sig = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    c, p = d.alias("c"), d.alias("p")
+    dd = F.datediff(F.col("c.day"), F.col("p.day"))
+    w = F.when(dd == 0, F.expr(_EWMA_W[0]))
+    for j in range(1, _EWMA_LOOKBACK):
+        w = w.when(dd == j, F.expr(_EWMA_W[j]))
+    lagged = c.join(
+        p,
+        (F.col("p.event_type") == F.col("c.event_type"))
+        & dd.between(0, _EWMA_LOOKBACK - 1),
+    ).select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.day").alias("day"),
+        F.col("c.x").alias("x"),
+        w.alias("w"),
+        F.col("p.x").alias("px"),
+    )
+    ew = lagged.groupBy("event_type", "day").agg(
+        F.min("x").alias("x"),
+        (
+            F.sum(F.col("w") * F.col("px").cast("double")) / F.sum("w")
+        ).alias("ewma"),
+    )
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double")
+        * F.col("sx").cast("double")
+        / F.col("n_days").cast("double")
+    ) / F.col("n_days").cast("double")
+    return ew.join(sig, "event_type").select(
+        "event_type",
+        "day",
+        F.col("x").cast("bigint").alias("x"),
+        F.round("ewma", 6).alias("ewma_round"),
+        F.round(F.sqrt(var), 6).alias("sigma_round"),
+        (
+            F.abs(F.col("x").cast("double") - F.col("ewma"))
+            > F.lit(3.0) * F.sqrt(var)
+        ).alias("out_of_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily value series: for each
+# day, total = trend + seasonal + residual, with trend = centered 7-day
+# moving average, seasonal = per-weekday mean of the detrended series
+# (re-centered to sum to zero), residual = the remainder - the additive
+# classical decomposition behind every "is this dip seasonality or a
+# real drop?" question. Complements dow_seasonality_profile (the
+# seasonal FACTORS alone) and holt_linear_forecast (trend
+# extrapolation) with the full per-day decomposition.
+#
+# Determinism: daily totals are exact micro ints; the trend average is
+# one IEEE division; the detrended values are RE-QUANTIZED to micro
+# ints before the per-weekday mean and the zero-centering (exact sums,
+# two divisions), so no order-dependent double accumulation exists.
+#
+# Scale notes (100 TB): the corpus collapses to the bounded day table
+# in one map-side-partial shuffle; every window/join after that runs on
+# day-count-sized relations.
+@query(
+    "stl_daily_decomposition",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x_micro
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, x_micro,
+               CAST(sum(x_micro) OVER w AS DOUBLE)
+                   / CAST(count(*) OVER w AS DOUBLE) AS trend_micro
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, x_micro, trend_micro,
+               isodow(day) AS dow,
+               CAST(floor(CAST(x_micro AS DOUBLE) - trend_micro + 0.5)
+                   AS BIGINT) AS det_micro
+        FROM tr
+    ),
+    s AS (
+        SELECT dow,
+               CAST(sum(det_micro) AS BIGINT) AS sd,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM det GROUP BY 1
+    ),
+    g AS (SELECT CAST(sum(sd) AS BIGINT) AS gs,
+                 CAST(sum(nd) AS BIGINT) AS gn FROM s)
+    SELECT det.day,
+           CAST(det.x_micro AS DOUBLE) / 1000000 AS value_total,
+           floor(det.trend_micro + 0.5) / 1000000 AS trend,
+           floor((CAST(s.sd AS DOUBLE) / CAST(s.nd AS DOUBLE)
+                  - CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE))
+                 + 0.5) / 1000000 AS seasonal,
+           floor((CAST(det.x_micro AS DOUBLE) - det.trend_micro
+                  - (CAST(s.sd AS DOUBLE) / CAST(s.nd AS DOUBLE)
+                     - CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+                 + 0.5) / 1000000 AS residual
+    FROM det JOIN s ON s.dow = det.dow CROSS JOIN g
+    """,
+)
+def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("x_micro")
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day",
+        "x_micro",
+        (
+            F.sum("x_micro").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("trend_micro"),
+    )
+    det = tr.select(
+        "day",
+        "x_micro",
+        "trend_micro",
+        (F.weekday("day") + F.lit(1)).alias("dow"),
+        F.floor(
+            F.col("x_micro").cast("double") - F.col("trend_micro") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("det_micro"),
+    )
+    s = det.groupBy("dow").agg(
+        F.sum("det_micro").cast("bigint").alias("sd"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    g = s.agg(
+        F.sum("sd").cast("bigint").alias("gs"),
+        F.sum("nd").cast("bigint").alias("gn"),
+    )
+    seasonal = (
+        F.col("sd").cast("double") / F.col("nd").cast("double")
+        - F.col("gs").cast("double") / F.col("gn").cast("double")
+    )
+    return (
+        det.join(F.broadcast(s), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            (F.col("x_micro").cast("double") / F.lit(1_000_000)).alias(
+                "value_total"
+            ),
+            # floor(x + 0.5)/1e6, not round(,6): round() half-boundary
+            # behavior differs between the engines on doubles (found at
+            # sf0.1); floor is pure IEEE arithmetic, bit-deterministic
+            (
+                F.floor(F.col("trend_micro") + F.lit(0.5)) / F.lit(1_000_000)
+            ).alias("trend"),
+            (F.floor(seasonal + F.lit(0.5)) / F.lit(1_000_000)).alias(
+                "seasonal"
+            ),
+            (
+                F.floor(
+                    F.col("x_micro").cast("double")
+                    - F.col("trend_micro")
+                    - seasonal
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000)
+            ).alias("residual"),
+        )
+    )

@@ -798,3 +798,238 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hw.b").alias("trend"),
         (F.col("hw.l") + F.col("hw.b")).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store point-in-time training set: for every CLICK event, the
+# features a model would have been allowed to see AT THAT INSTANT -
+# last purchase value, purchase count/total so far (strictly before),
+# clicks in the trailing 7 days - plus the 24-hour forward conversion
+# label. This is the feature-store correctness contract (no leakage:
+# every feature frame ends at -1 row / -1 microsecond; the label frame
+# STARTS at +1) that asof_join (one feature, one build side) does not
+# generalize to. All features and the label come from ONE stream pass.
+#
+# Determinism: total order (us, event_id) per user; purchase totals ride
+# exact micro ints; last_purchase_value is a value copy, not arithmetic.
+#
+# Scale notes (100 TB): every window keys on user_id - ONE corpus
+# shuffle feeds all five window frames (same partitioning, Catalyst
+# plans one Window node per frame spec over the sorted run); no joins,
+# no broadcast, output is click-row-sized.
+_FS_7D_US = 7 * 86400 * 1_000_000
+_FS_24H_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "feature_store_training_set",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(ts) AS us,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, user_id, event_type, us,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_purchase_value,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_purchases_before,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN v_micro END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS purchase_total_micro,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {_FS_7D_US} PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS clicks_7d,
+               CASE WHEN coalesce(max(CASE WHEN event_type = 'purchase'
+                       THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 1 FOLLOWING AND {_FS_24H_US} FOLLOWING),
+                   0) = 1 THEN 1 ELSE 0 END AS label_purchase_24h
+        FROM e
+    )
+    SELECT event_id AS click_id, user_id, us,
+           last_purchase_value, n_purchases_before,
+           purchase_total_micro, clicks_7d,
+           CAST(label_purchase_24h AS BIGINT) AS label_purchase_24h
+    FROM f WHERE event_type = 'click'
+    """,
+)
+def feature_store_training_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    w_rows = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_7d = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_FS_7D_US, -1)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, _FS_24H_US)
+    )
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    f = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last(F.when(is_p, F.col("value")), ignorenulls=True)
+        .over(w_rows)
+        .alias("last_purchase_value"),
+        F.coalesce(F.sum(F.when(is_p, 1)).over(w_rows), F.lit(0))
+        .cast("bigint")
+        .alias("n_purchases_before"),
+        F.coalesce(F.sum(F.when(is_p, F.col("v_micro"))).over(w_rows), F.lit(0))
+        .cast("bigint")
+        .alias("purchase_total_micro"),
+        F.coalesce(F.sum(F.when(is_c, 1)).over(w_7d), F.lit(0))
+        .cast("bigint")
+        .alias("clicks_7d"),
+        F.when(
+            F.coalesce(F.max(F.when(is_p, 1)).over(w_fwd), F.lit(0)) == 1, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label_purchase_24h"),
+    )
+    return f.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "us",
+        "last_purchase_value",
+        "n_purchases_before",
+        "purchase_total_micro",
+        "clicks_7d",
+        "label_purchase_24h",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join: for every click, the NEXT purchase by the same
+# user at-or-after the click instant - the mirror of
+# asof_join_purchase_click (backward: last click before a purchase).
+# Backward as-of answers attribution ("what caused this?"); forward
+# as-of answers outcome lookup ("what did this lead to?") - the shape
+# behind time-to-repair, next-maintenance, and per-impression
+# conversion joins. Completes the temporal family: backward as-of,
+# range join, gap fill, and now forward as-of.
+#
+# Tie contract (shared with the oracle): among purchases at the same
+# (user_id, ts) the SMALLEST event_id wins; a purchase exactly at the
+# click instant matches (inclusive >=).
+#
+# Scale notes (100 TB): the same union trick as asof_join - tag sides,
+# union, ONE window per user ordered by ts DESCENDING carrying the
+# nearest following purchase backward; a single user_id shuffle, O(1)
+# running state, no range-join candidate blowup.
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (  -- one row per (user, instant): smallest event_id survives
+        SELECT user_id, ts, min(event_id) AS event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           p.event_id AS next_purchase_id,
+           epoch_us(p.ts) AS next_purchase_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_forward_next_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("us"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    b = purchases.select(
+        "user_id",
+        "us",
+        "purchase_id",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("click_id"),
+    )
+    p = clicks.select(
+        "user_id",
+        "us",
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(1).alias("side"),
+        "click_id",
+    )
+    # DESC time order: the window carries the nearest FOLLOWING purchase
+    # backward onto each click; at equal us the purchase row (side 0)
+    # precedes the click row, making >= inclusive.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("us"), "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_b = F.col("side") == 0
+    return (
+        b.unionByName(p)
+        .select(
+            "side",
+            "click_id",
+            "user_id",
+            F.col("us").alias("click_us"),
+            F.last(F.when(is_b, F.col("purchase_id")), ignorenulls=True)
+            .over(w)
+            .alias("next_purchase_id"),
+            F.last(F.when(is_b, F.col("us")), ignorenulls=True)
+            .over(w)
+            .alias("next_purchase_us"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "click_us",
+            "next_purchase_id",
+            "next_purchase_us",
+            (F.col("next_purchase_us") - F.col("click_us")).alias("wait_us"),
+        )
+    )

@@ -859,3 +859,108 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_vocab", F.sum("n_new_types").over(w).cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations: adjacent token pairs scored by pointwise
+# mutual information ln(p(ab) / (p(a) p(b))) with a minimum pair count -
+# the collocation-mining op ("new york", "machine learning") behind
+# phrase-aware tokenizers and vocab merges (it is literally the
+# word2phrase score). Complements pmi_lang_source (PMI on bounded
+# metadata) by running PMI over the open token-pair space, and
+# bpe_pair_counts (raw adjacent-pair frequencies) by normalizing for
+# unigram frequency - frequency finds "of the", PMI finds collocations.
+#
+# Determinism: counts are exact ints; PMI is one ln() on an IEEE ratio
+# chain mirrored association-for-association; rank ties break by bigram.
+#
+# Scale notes (100 TB): bigram fan-out is ~1 row per token (linear);
+# one (pair)-keyed count shuffle, two token-keyed joins against the
+# unigram counts (high-entropy keys, vocabulary-sized relations), and a
+# min-count filter BEFORE the joins cuts the pair tail; final top-15 is
+# a TakeOrderedAndProject.
+_PMI_MIN_COUNT = 20
+_PMI_TOP = 15
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_OT} AS t FROM documents),
+    uni AS (
+        SELECT u AS token, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1
+    ),
+    n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bi),
+    scored AS (
+        SELECT concat(bi.a, ' ', bi.b) AS bigram, bi.c_ab,
+               ln((CAST(bi.c_ab AS DOUBLE) / CAST(n_bi.nb AS DOUBLE))
+                  / ((CAST(ua.c AS DOUBLE) / CAST(n_uni.n AS DOUBLE))
+                     * (CAST(ub.c AS DOUBLE) / CAST(n_uni.n AS DOUBLE))))
+                   AS pmi
+        FROM bi
+        JOIN uni ua ON ua.token = bi.a
+        JOIN uni ub ON ub.token = bi.b
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE bi.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, round(pmi, 6) AS pmi_round
+    FROM scored
+    ORDER BY pmi DESC, bigram LIMIT {_PMI_TOP}
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens(F.col("text")).alias("t"))
+    uni = (
+        tk.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+    )
+    bi = (
+        tk.where(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    n_bi = (
+        tk.select(
+            F.greatest(F.size("t") - 1, F.lit(0)).cast("bigint").alias("nb")
+        )
+        .agg(F.sum("nb").cast("bigint").alias("nb"))
+    )
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("nb").cast("double"))
+        / (
+            (F.col("ca").cast("double") / F.col("n").cast("double"))
+            * (F.col("cb").cast("double") / F.col("n").cast("double"))
+        )
+    )
+    return (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(_PMI_TOP)
+        .select("bigram", "c_ab", F.round("pmi", 6).alias("pmi_round"))
+    )

@@ -78,12 +78,16 @@ def get_spark(
         # the driver heap must be sized for the whole workload - the
         # unset default is 1g, which 32 threads exhaust mid-suite
         # (observed: GCLocker allocation-retry storms, then JVM death).
-        # Static conf: only takes effect for the process that launches
-        # the JVM; a pre-existing session (the round driver's) keeps its
-        # own sizing, which apply_runtime_confs tolerates.
+        # 8g measured best: 1g dies late in the 270-query suite; 64g is
+        # 3-4x SLOWER on the iterative ops (G1 young-gen bloat + page-
+        # commit churn dominate short jobs: dedup_clusters 23s @64g vs
+        # 6.7s @1-8g). Static conf: only takes effect for the process
+        # that launches the JVM; a pre-existing session (the round
+        # driver's) keeps its own sizing, which apply_runtime_confs
+        # tolerates.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")

@@ -145,6 +145,16 @@ AT_RISK = [
     # merges on denser per-user streams
     "simplified_silhouette_by_label",
     "interval_union_coverage",
+    # range-frame boundaries on denser per-user streams; dyadic-weight
+    # sums at 10x daily counts; PMI rank ties on a 10x pair space
+    "feature_store_training_set",
+    "bigram_pmi_collocations",
+    "ewma_control_chart",
+    # signature-group ties at 10x docs; quantized decomposition on
+    # 10x daily sums; forward-carry ties on denser purchase streams
+    "golden_doc_selection",
+    "stl_daily_decomposition",
+    "asof_forward_next_purchase",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
