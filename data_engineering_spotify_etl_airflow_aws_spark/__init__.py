@@ -197,7 +197,9 @@ AUDIT_FIRST: list[str] = [
     #    interval_union_coverage, user_event_bitmask_segments,
     #    feature_store_training_set, bigram_pmi_collocations,
     #    ewma_control_chart, golden_doc_selection,
-    #    stl_daily_decomposition, asof_forward_next_purchase).
+    #    stl_daily_decomposition, asof_forward_next_purchase,
+    #    lateral_topk_per_nation, business_day_latency,
+    #    near_dup_removal_impact).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

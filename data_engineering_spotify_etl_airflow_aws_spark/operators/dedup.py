@@ -1219,3 +1219,93 @@ def golden_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("group_size") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup removal impact report: what deduplication actually SAVES.
+# Removal set = every doc that loses at least one verified MinHash+LSH
+# near-dup pair (survivor = smaller doc_id, the pair contract above);
+# the report is one row - corpus size, docs removed, chars/tokens
+# removed, and the char share - the number a curation run publishes to
+# justify itself (and the capacity-planning input for the next stage).
+#
+# The oracle WRAPS the minhash_lsh_near_dup oracle verbatim as a
+# subquery, so the impact numbers are proven against the exact pair set
+# the pair query itself is audited on - one contract, two views.
+#
+# Scale notes (100 TB): the pair pipeline is the audited sub-quadratic
+# banding path; the removal set is a distinct on the loser column, the
+# stats one semi-join-shaped aggregation over documents (doc_id-keyed),
+# and the output is a single row. Nothing new shuffles the corpus.
+def _impact_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({{pair_oracle}}),
+    removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    d AS (
+        SELECT doc_id, n_chars, len({_OT}) AS n_toks,
+               doc_id IN (SELECT doc_id FROM removed) AS is_removed
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (is_removed) AS BIGINT) AS n_removed,
+           CAST(coalesce(sum(n_chars) FILTER (is_removed), 0) AS BIGINT)
+               AS removed_chars,
+           CAST(coalesce(sum(n_toks) FILTER (is_removed), 0) AS BIGINT)
+               AS removed_tokens,
+           CAST(coalesce(sum(n_chars) FILTER (is_removed), 0) AS DOUBLE)
+               / CAST(sum(n_chars) AS DOUBLE) AS removed_char_share
+    FROM d
+    """
+
+
+@query("near_dup_removal_impact", oracle="__PLACEHOLDER_IMPACT__")
+def near_dup_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(_shingle_base(spark, sf_dir))
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "n_chars", F.size(F.expr(toks)).alias("n_toks")
+        )
+        .join(
+            removed.withColumn("is_removed", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "n_chars",
+            "n_toks",
+            F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+        )
+    )
+    rem = F.when(F.col("is_removed"), 1).otherwise(0)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(rem).cast("bigint").alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_removed"), F.col("n_chars"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("removed_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_removed"), F.col("n_toks"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("removed_tokens"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("is_removed"), F.col("n_chars"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("n_chars").cast("double")
+        ).alias("removed_char_share"),
+    )
+
+
+# resolve the impact oracle now that the registry holds the pair oracle
+from ..registry import ORACLES as _DD_ORACLES  # noqa: E402
+
+_DD_ORACLES["near_dup_removal_impact"] = _impact_oracle().format(
+    pair_oracle=_DD_ORACLES["minhash_lsh_near_dup"]
+)

@@ -3571,3 +3571,75 @@ def user_event_bitmask_segments(
         label.alias("segment"),
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day fulfillment latency: order date -> last ship date
+# measured in WEEKDAYS, the SLA arithmetic ops teams actually commit to
+# ("ships within 3 business days" - calendar-day latency penalizes
+# weekend spans). Weekday counting is closed-form integer math, not a
+# calendar join: with d' = epoch_day + 3 (so d' = 0 is a Monday),
+# weekdays-before(d) = 5 * (d' div 7) + least(d' mod 7, 5); the span is
+# the difference of two such prefix counts - exact, branch-free, and
+# identical in both engines. Grouped per order priority with exact
+# micro-precision averages.
+#
+# Scale notes (100 TB): one orderkey shuffle for the per-order ship
+# max, a same-key join back to orders, then a bounded-priority rollup
+# with map-side partials.
+def _wd_before(col_sql: str) -> str:
+    """SQL fragment: weekdays from the Monday epoch to {col} (DuckDB)."""
+    d = f"(datediff('day', DATE '1970-01-01', {col_sql}) + 3)"
+    return f"(5 * ({d} // 7) + least({d} % 7, 5))"
+
+
+@query(
+    "business_day_latency",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_day
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               {_wd_before('s.ship_day')}
+                   - {_wd_before('CAST(o.o_orderdate AS DATE)')} AS bdays
+        FROM orders o JOIN shipped s ON s.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(bdays) AS BIGINT) AS total_bdays,
+           CAST(sum(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM j GROUP BY 1
+    """,
+)
+def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("ship_day"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+
+    def wd_before(c):
+        d = F.datediff(c, F.lit("1970-01-01").cast("date")) + F.lit(3)
+        return F.lit(5) * F.floor(d / 7) + F.least(d % 7, F.lit(5))
+
+    j = orders.join(shipped, orders.o_orderkey == shipped.l_orderkey).select(
+        "o_orderpriority",
+        (wd_before(F.col("ship_day")) - wd_before(F.col("od"))).alias(
+            "bdays"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("bdays").cast("bigint").alias("total_bdays"),
+        (F.sum("bdays").cast("double") / F.count("*").cast("double")).alias(
+            "avg_bdays"
+        ),
+        F.max("bdays").cast("bigint").alias("max_bdays"),
+    )

@@ -871,3 +871,49 @@ def tpch_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery surface: top-2 customers by account
+# balance PER NATION, written as SQL `FROM nation, LATERAL (SELECT ...
+# WHERE correlated ORDER BY ... LIMIT 2)` - the per-row-subquery idiom
+# SQL users reach for before they learn window functions. Spark 4
+# decorrelates it (DecorrelateInnerQuery) into the same
+# window-rank-filter plan topk_per_group builds explicitly, so the
+# surface costs nothing at scale; the op exists to prove the engine
+# accepts the SQL form (the reference's users live in SQL).
+#
+# Scale notes (100 TB): after decorrelation, one customer-side shuffle
+# partitioned by nationkey with the rank cut applied map-side
+# (WindowGroupLimit); the nation relation never drives row-at-a-time
+# execution despite the lateral syntax.
+@query(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "__lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM __lat_nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM __lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )

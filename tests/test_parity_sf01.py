@@ -155,6 +155,10 @@ AT_RISK = [
     "golden_doc_selection",
     "stl_daily_decomposition",
     "asof_forward_next_purchase",
+    # decorrelated-lateral rank ties at 10x customers; removal share on
+    # a 10x pair set
+    "lateral_topk_per_nation",
+    "near_dup_removal_impact",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
