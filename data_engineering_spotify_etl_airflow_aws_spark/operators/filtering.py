@@ -483,3 +483,105 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-pruning operating curve: bucket every document by its quality
+# score (the text_quality_stats chain, micro-quantized) into 0.1-wide
+# bands and report, per band, the doc/token volume plus the DESCENDING
+# cumulative share retained if the cutoff were set at that band - the
+# operating curve a curation run reads to pick its quality threshold
+# ("keeping q >= 0.6 retains 71% of tokens"). One corpus pass answers
+# every candidate cutoff; corpus_curation_stats reports ONE pipeline's
+# outcome, this sweeps the whole dial.
+#
+# Scale notes (100 TB): per-row quality math, ONE bounded-key (11-band)
+# shuffle with map-side partials; the cumulative windows run over the
+# band table. Nothing joins, nothing broadcasts.
+_QPC_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "quality_pruning_curve",
+    oracle=f"""
+    WITH q AS (
+        SELECT len(toks) AS n_toks,
+               CAST(floor((
+                   (0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                          x -> list_contains([{', '.join(
+                              f"'{w}'" for w in _QPC_STOP)}], x)))
+                          AS DOUBLE) / len(toks)))
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))) * 1000000 + 0.5) AS BIGINT)
+                   AS q_micro
+        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    b AS (
+        SELECT q_micro // 100000 AS band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM q GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                 CAST(sum(n_tokens) AS BIGINT) AS tt FROM b)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(band AS DOUBLE) / 10 AS cutoff,
+           n_docs, n_tokens,
+           CAST(sum(n_docs) OVER w AS DOUBLE) / CAST(t.td AS DOUBLE)
+               AS doc_share_retained,
+           CAST(sum(n_tokens) OVER w AS DOUBLE) / CAST(t.tt AS DOUBLE)
+               AS token_share_retained
+    FROM b CROSS JOIN t
+    WINDOW w AS (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def quality_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    stop_lst = ", ".join(f"'{w}'" for w in _QPC_STOP)
+    q_expr = (
+        f"cast(floor(((0.4 * least(cast(size(t) as double) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - cast(size(filter(t, x -> array_contains("
+        f"array({stop_lst}), x))) as double) / size(t)))"
+        f" + 0.3 * (cast(size(array_distinct(t)) as double) / size(t)))"
+        f" * 1000000 + 0.5) as bigint)"
+    )
+    q = (
+        docs.select(F.expr(toks).alias("t"))
+        .where(F.size("t") > 0)
+        .select(F.size("t").alias("n_toks"), F.expr(q_expr).alias("q_micro"))
+    )
+    b = (
+        q.select(
+            F.floor(F.col("q_micro") / 100000).cast("bigint").alias("band"),
+            "n_toks",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    t = b.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    w = W.orderBy(F.desc("band")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "band",
+        (F.col("band").cast("double") / 10).alias("cutoff"),
+        "n_docs",
+        "n_tokens",
+        (
+            F.sum("n_docs").over(w).cast("double") / F.col("td").cast("double")
+        ).alias("doc_share_retained"),
+        (
+            F.sum("n_tokens").over(w).cast("double")
+            / F.col("tt").cast("double")
+        ).alias("token_share_retained"),
+    )

@@ -1657,3 +1657,73 @@ def simplified_silhouette_by_label(
             .alias("n_negative"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold calibration sweep: the cosine-score histogram of
+# ALL hyperplane-LSH bucket pairs in 0.05 bins, with the descending
+# cumulative pair count - the curve a curation engineer reads to CHOOSE
+# tau before running embedding_near_dup_pairs (pick the knee; the
+# fixture's near-uniform sphere shows the natural noise decay a planted-
+# duplicate corpus would break with a spike at the top bins). One
+# distance computation, every threshold answered.
+#
+# Determinism: scores are the established per-pair IEEE chain; the bin
+# is floor(score * 20) on bit-identical doubles; counts exact; the
+# cumulative window runs over <= 41 bin rows.
+#
+# Scale notes (100 TB): identical candidate cost to the pair query (the
+# 16-bit bucket equi-join; the signature table is persisted across the
+# self-join sides) - the sweep REPLACES per-threshold reruns, which is
+# the point; the histogram agg is bounded-key with map-side partials.
+@query(
+    "near_dup_threshold_sweep",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sig AS (SELECT vec_id, emb, {{bucket}} AS bucket FROM v),
+    p AS (
+        SELECT {_OCOS} AS score
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    h AS (
+        SELECT CAST(floor(score * 20) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1
+    )
+    SELECT bin, CAST(bin AS DOUBLE) / 20 AS bin_lo, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pairs_at_or_above
+    FROM h
+    """,
+)
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb")
+    )
+    pairs = near_dup_pairs(v, tau=-1.0)  # keep every bucket pair
+    h = (
+        pairs.select(
+            F.floor(F.col("score") * 20).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = W.orderBy(F.desc("bin")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return h.select(
+        "bin",
+        (F.col("bin").cast("double") / 20).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias(
+            "cum_pairs_at_or_above"
+        ),
+    )
+
+
+from ..registry import ORACLES as _SIM_OR2  # noqa: E402
+
+_SIM_OR2["near_dup_threshold_sweep"] = _SIM_OR2[
+    "near_dup_threshold_sweep"
+].format(bucket=_duck_bucket("emb"))

@@ -964,3 +964,94 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOP)
         .select("bigram", "c_ab", F.round("pmi", 6).alias("pmi_round"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (one training step): find the most frequent
+# adjacent token pair in the corpus (count DESC, pair ASC - the
+# bpe_pair_counts statistic), APPLY it greedily left-to-right in every
+# document (merged token a_b), and emit the top-10 adjacent-pair counts
+# of the REWRITTEN corpus - i.e. one full iteration of the BPE training
+# loop (Sennrich 2016), which is count -> merge -> recount repeated.
+# bpe_pair_counts shows the statistic; this op proves the engine can
+# run the loop's mutation step distributed.
+#
+# The greedy rewrite is a sequential left fold over the token array
+# (Spark aggregate() with the first token as init / DuckDB list_reduce,
+# which folds from the first element - the SAME association): append
+# each token, or fuse it into the accumulator's tail when the tail is
+# exactly the merge's left side. After a fusion the tail contains '_',
+# which no raw [a-z0-9]+ token equals, so overlapping triples ("a a a"
+# with merge (a,a)) fuse leftmost-first exactly like BPE.
+#
+# Scale notes (100 TB): the winning pair is a 1-row TakeOrdered
+# broadcast; the rewrite is per-row map work; the recount is the same
+# one pair-keyed shuffle as bpe_pair_counts. The fold is O(doc chars)
+# per doc (string accumulator) - linear, JVM-side, no UDFs.
+@query(
+    "bpe_apply_top_merge",
+    oracle=f"""
+    WITH tk AS (SELECT {_OT} AS t FROM documents WHERE len({_OT}) >= 1),
+    pairs AS (
+        SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    top1 AS (
+        SELECT a, b FROM pairs ORDER BY c DESC, a, b LIMIT 1
+    ),
+    merged AS (
+        SELECT string_split(
+            list_reduce(tk.t, (acc, x) ->
+                CASE WHEN x = top1.b AND (acc = top1.a
+                         OR acc LIKE '%' || ' ' || top1.a)
+                     THEN acc || '_' || x
+                     ELSE acc || ' ' || x END), ' ') AS t
+        FROM tk CROSS JOIN top1
+    ),
+    re AS (
+        SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS c
+        FROM merged, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1, 2
+    )
+    SELECT concat(a, ' ', b) AS pair, c
+    FROM re ORDER BY c DESC, a, b LIMIT 10
+    """,
+)
+def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 1
+    )
+    adj = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+    )
+    pairs = (
+        tk.where(F.size("t") >= 2)
+        .select(F.explode(adj).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    top1 = pairs.orderBy(F.desc("c"), "a", "b").limit(1).select("a", "b")
+    fold = (
+        "aggregate(slice(t, 2, size(t) - 1), element_at(t, 1), "
+        "(acc, x) -> CASE WHEN x = b AND (acc = a "
+        "OR acc LIKE concat('%', ' ', a)) "
+        "THEN concat(acc, '_', x) ELSE concat(acc, ' ', x) END)"
+    )
+    merged = (
+        tk.crossJoin(F.broadcast(top1))
+        .select(F.split(F.expr(fold), " ").alias("t"))
+    )
+    re = (
+        merged.where(F.size("t") >= 2)
+        .select(F.explode(adj).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        re.orderBy(F.desc("c"), "a", "b")
+        .limit(10)
+        .select(F.concat_ws(" ", "a", "b").alias("pair"), "c")
+    )

@@ -159,6 +159,11 @@ AT_RISK = [
     # a 10x pair set
     "lateral_topk_per_nation",
     "near_dup_removal_impact",
+    # bin-boundary floors on a 10x pair set; band cumulative shares at
+    # 10x docs; greedy-fold merge ties on a 10x pair table
+    "near_dup_threshold_sweep",
+    "quality_pruning_curve",
+    "bpe_apply_top_merge",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
