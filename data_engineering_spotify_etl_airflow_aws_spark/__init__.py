@@ -200,7 +200,9 @@ AUDIT_FIRST: list[str] = [
     #    stl_daily_decomposition, asof_forward_next_purchase,
     #    lateral_topk_per_nation, business_day_latency,
     #    near_dup_removal_impact, near_dup_threshold_sweep,
-    #    quality_pruning_curve, bpe_apply_top_merge).
+    #    quality_pruning_curve, bpe_apply_top_merge,
+    #    char_entropy_gate, discount_elasticity_profile,
+    #    except_all_priorities).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

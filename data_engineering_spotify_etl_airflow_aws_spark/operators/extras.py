@@ -3643,3 +3643,114 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("bdays").cast("bigint").alias("max_bdays"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity profile: per discount level (the fixture's 2-
+# decimal 0.00-0.10 grid - a BOUNDED key by data contract), average
+# quantity, order-line volume, and revenue - the "does discounting move
+# volume" table a pricing analyst reads before touching the dial.
+# Discount identity is exact: the 2-decimal values are keyed by
+# round-half-up micro-unit ints, never compared as raw doubles.
+#
+# Scale notes (100 TB): ONE shuffle on the bounded discount grid with
+# map-side partials; revenue rides exact micro sums.
+@query(
+    "discount_elasticity_profile",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
+               AS DOUBLE) / (1000000.0 * count(*)) AS avg_quantity,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+               AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def discount_elasticity_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_micro = F.floor(
+        F.col("l_quantity") * F.lit(1_000_000) + F.lit(0.5)
+    ).cast("bigint")
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("discount_pct")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(qty_micro.cast("decimal(38,0)")).cast("double")
+                / (F.lit(1_000_000.0) * F.count("*"))
+            ).alias("avg_quantity"),
+            (
+                F.sum(rev_micro.cast("decimal(38,0)")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (ALL) set operations: EXCEPT ALL keeps duplicate
+# MULTIPLICITY - "orders minus one occurrence per match" - which the
+# DISTINCT set ops (except_small_orders, intersect_segment_buyers)
+# cannot express. Here: the multiset of order PRIORITIES from the
+# BUILDING segment minus the multiset from AUTOMOBILE, i.e. per
+# priority max(n_building - n_automobile, 0) surviving copies - the
+# duplicate-aware reconciliation shape (bag difference) used when
+# comparing feeds that legitimately contain repeats. The output
+# aggregates survivors per priority so the contract is explicit.
+#
+# Scale notes (100 TB): Spark plans exceptAll as a counted union
+# (generate/replicate), all keyed on the value - one shuffle on the
+# (bounded here, high-entropy in general) value key; the final rollup
+# is bounded.
+@query(
+    "except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_surviving
+    FROM (
+        SELECT o.o_orderpriority
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        EXCEPT ALL
+        SELECT o.o_orderpriority
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+    )
+    GROUP BY 1
+    """,
+)
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def seg(name: str) -> DataFrame:
+        return (
+            orders.join(
+                cust.where(F.col("c_mktsegment") == name),
+                orders.o_custkey == cust.c_custkey,
+            )
+            .select("o_orderpriority")
+        )
+
+    return (
+        seg("BUILDING")
+        .exceptAll(seg("AUTOMOBILE"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_surviving"))
+    )

@@ -585,3 +585,86 @@ def quality_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tt").cast("double")
         ).alias("token_share_retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality gate: per-document Shannon entropy of the
+# character distribution, with the low-entropy flag (repetitive /
+# degenerate text - the Gopher-rules cousin of doc_repetition_stats,
+# which counts repeated n-grams; entropy catches single-char floods and
+# keyboard mash that n-gram ratios miss). H = ln(n) - sum(c*ln(c))/n.
+#
+# Determinism: character counts are exact ints; each c*ln(c) term is
+# quantized to picounits BEFORE the per-doc sum (exact integer
+# accumulation, order-free - the mlprep ln contract); the final H is
+# two IEEE ops on the exact sums.
+#
+# Scale notes (100 TB): explode to (doc, char) -> one doc+char-keyed
+# partial agg -> one doc-keyed rollup; both shuffles on high-entropy
+# keys, output is doc-sized. No joins, no broadcast.
+_ENT_FLAG_NATS = "2.9"  # flag docs with char entropy below ~2.9 nats
+
+
+@query(
+    "char_entropy_gate",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents WHERE length(text) > 0)
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_chars_tot,
+               CAST(sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                   * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_pico
+        FROM ch GROUP BY 1
+    )
+    SELECT doc_id, n_chars_tot,
+           floor((ln(CAST(n_chars_tot AS DOUBLE))
+               - (CAST(s_pico AS DOUBLE) / 1000000000000)
+                 / CAST(n_chars_tot AS DOUBLE)) * 1000000000 + 0.5)
+               / 1000000000 AS entropy_nats,
+           floor((ln(CAST(n_chars_tot AS DOUBLE))
+               - (CAST(s_pico AS DOUBLE) / 1000000000000)
+                 / CAST(n_chars_tot AS DOUBLE)) * 1000000000 + 0.5)
+               / 1000000000 < {_ENT_FLAG_NATS} AS low_entropy_flag
+    FROM d
+    """,
+)
+def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    ch = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    term_pico = F.floor(
+        F.col("n").cast("double")
+        * F.log(F.col("n").cast("double"))
+        * F.lit(1_000_000_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    d = ch.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars_tot"),
+        F.sum(term_pico.cast("decimal(38,0)")).cast("bigint").alias("s_pico"),
+    )
+    h_raw = F.log(F.col("n_chars_tot").cast("double")) - (
+        F.col("s_pico").cast("double") / F.lit(1_000_000_000_000)
+    ) / F.col("n_chars_tot").cast("double")
+    # quantize the post-ln chain (ln differs at the last ulp between
+    # engines - the established quantize-after-ln contract)
+    h = F.floor(h_raw * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
+        1_000_000_000
+    )
+    return d.select(
+        "doc_id",
+        "n_chars_tot",
+        h.alias("entropy_nats"),
+        (h < F.expr(_ENT_FLAG_NATS)).alias("low_entropy_flag"),
+    )

@@ -164,6 +164,8 @@ AT_RISK = [
     "near_dup_threshold_sweep",
     "quality_pruning_curve",
     "bpe_apply_top_merge",
+    # quantized-ln entropy boundaries on 10x docs
+    "char_entropy_gate",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
