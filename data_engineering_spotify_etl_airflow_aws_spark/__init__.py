@@ -202,7 +202,8 @@ AUDIT_FIRST: list[str] = [
     #    near_dup_removal_impact, near_dup_threshold_sweep,
     #    quality_pruning_curve, bpe_apply_top_merge,
     #    char_entropy_gate, discount_elasticity_profile,
-    #    except_all_priorities).
+    #    except_all_priorities, price_volume_mix_bridge,
+    #    diurnal_circular_profile, degree_powerlaw_check).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -759,3 +759,105 @@ def label_propagation_communities(
     return labels.select(
         "node", F.col("lab").cast("bigint").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law check: the co-purchase graph's degree
+# histogram plus the log-log OLS slope over it - the "is this graph
+# scale-free?" diagnostic that sizes hub-handling strategies (a slope
+# near -2..-3 means hubs exist and skew mitigation matters; a flat
+# decay means uniform-degree assumptions hold). The zipf_token_slope
+# machinery applied to GRAPH degrees instead of token frequencies.
+#
+# Determinism: degrees and histogram counts are exact ints; each
+# ln(degree)/ln(count) is floor-quantized to micro before the exact
+# moment sums; the slope is one IEEE division chain on exact ints.
+#
+# Scale notes (100 TB): degree = one node-keyed count over the edge
+# relation; the histogram collapses to the bounded distinct-degree
+# table, and the regression runs on THAT (the skew_profile collapse).
+@query(
+    "degree_powerlaw_check",
+    oracle=None,
+)
+def degree_powerlaw_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .insights import _basket_pairs, _order_baskets
+
+    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    lx = F.floor(
+        F.log(F.col("degree").cast("double")) * F.lit(1_000_000) + F.lit(0.5)
+    ).cast("bigint")
+    ly = F.floor(
+        F.log(F.col("n_nodes").cast("double")) * F.lit(1_000_000) + F.lit(0.5)
+    ).cast("bigint")
+    pts = hist.select(lx.alias("x"), ly.alias("y"))
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("bigint").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        "n",
+        F.floor(slope * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+
+
+def _degree_powerlaw_oracle() -> str:
+    from .insights import _PART_EDGES_SQL
+
+    return f"""
+    WITH {_PART_EDGES_SQL},
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY 1
+    ),
+    hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY 1),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS x,
+               CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000 + 0.5)
+                   AS BIGINT) AS y
+        FROM hist
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM pts
+    )
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS slope_micro
+    FROM m
+    """
+
+
+from ..registry import ORACLES as _CL_OR  # noqa: E402
+
+_CL_OR["degree_powerlaw_check"] = _degree_powerlaw_oracle()

@@ -3754,3 +3754,185 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_surviving"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix bridge: decompose the week-over-week revenue change
+# into price effect (unit-price moves at current volume), volume effect
+# (quantity moves at prior prices), and new/discontinued assortment -
+# the FP&A "why did revenue change" waterfall. Per part present in both
+# weeks the exact identity rev1 - rev0 = (p1-p0)q1 + (q1-q0)p0 splits
+# the delta; parts only in one week land in the new/discontinued
+# buckets whole. rank_movers_wow says WHICH parts moved; this says WHY
+# the total moved.
+#
+# Determinism: weekly revenue/quantity are exact micro ints; unit
+# prices are one IEEE division each; every per-part effect is quantized
+# to micro ints BEFORE the corpus-wide sum (exact, order-free).
+#
+# Scale notes (100 TB): the two-week filter prunes at the scan (1-row
+# max-week broadcast), ONE (part, week) shuffle builds both weekly
+# grids, the bridge join keys on part, and the waterfall is a 1-row
+# reduction.
+@query(
+    "price_volume_mix_bridge",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                   + 0.5) AS BIGINT) AS rev_micro,
+               CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS qty_micro
+        FROM lineitem
+    ),
+    mx AS (SELECT max(wk) AS w1, max(wk) - INTERVAL 7 DAY AS w0 FROM li),
+    wk AS (
+        SELECT l.l_partkey, l.wk = m.w1 AS is_curr,
+               CAST(sum(l.rev_micro) AS BIGINT) AS rev,
+               CAST(sum(l.qty_micro) AS BIGINT) AS qty
+        FROM li l CROSS JOIN mx m
+        WHERE l.wk = m.w1 OR l.wk = m.w0
+        GROUP BY 1, 2
+    ),
+    c AS (SELECT l_partkey, rev AS rev1, qty AS qty1 FROM wk WHERE is_curr),
+    p AS (SELECT l_partkey, rev AS rev0, qty AS qty0 FROM wk WHERE NOT is_curr),
+    b AS (
+        SELECT coalesce(c.l_partkey, p.l_partkey) AS part,
+               c.rev1, c.qty1, p.rev0, p.qty0,
+               CASE WHEN p.l_partkey IS NULL THEN 'new'
+                    WHEN c.l_partkey IS NULL THEN 'discontinued'
+                    ELSE 'common' END AS kind
+        FROM c FULL JOIN p ON c.l_partkey = p.l_partkey
+    ),
+    eff AS (
+        SELECT kind,
+               coalesce(rev1, 0) - coalesce(rev0, 0) AS delta,
+               CASE WHEN kind = 'common' THEN CAST(floor(
+                   (CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)
+                    - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                   * CAST(qty1 AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END
+                   AS price_eff,
+               CASE WHEN kind = 'common' THEN CAST(floor(
+                   CAST(qty1 - qty0 AS DOUBLE)
+                   * (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+                   + 0.5) AS BIGINT) ELSE 0 END AS vol_eff
+        FROM b
+    )
+    SELECT CAST(sum(delta) AS DOUBLE) / 1000000 AS total_delta,
+           CAST(sum(price_eff) AS DOUBLE) / 1000000 AS price_effect,
+           CAST(sum(vol_eff) AS DOUBLE) / 1000000 AS volume_effect,
+           CAST(sum(CASE WHEN kind = 'new' THEN delta ELSE 0 END)
+               AS DOUBLE) / 1000000 AS new_effect,
+           CAST(sum(CASE WHEN kind = 'discontinued' THEN delta ELSE 0 END)
+               AS DOUBLE) / 1000000 AS discontinued_effect,
+           CAST(count(*) FILTER (kind = 'common') AS BIGINT) AS n_common,
+           CAST(count(*) FILTER (kind = 'new') AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (kind = 'discontinued') AS BIGINT)
+               AS n_discontinued
+    FROM eff
+    """,
+)
+def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_micro"),
+        F.floor(F.col("l_quantity") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty_micro"),
+    )
+    mx = li.agg(F.max("wk").alias("w1")).withColumn(
+        "w0", F.col("w1") - F.expr("INTERVAL 7 DAYS")
+    )
+    wk = (
+        li.crossJoin(F.broadcast(mx))
+        .where((F.col("wk") == F.col("w1")) | (F.col("wk") == F.col("w0")))
+        .groupBy("l_partkey", (F.col("wk") == F.col("w1")).alias("is_curr"))
+        .agg(
+            F.sum(F.col("rev_micro").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.col("qty_micro").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    c = wk.where("is_curr").select(
+        F.col("l_partkey").alias("pk_c"),
+        F.col("rev").alias("rev1"),
+        F.col("qty").alias("qty1"),
+    )
+    p = wk.where(~F.col("is_curr")).select(
+        F.col("l_partkey").alias("pk_p"),
+        F.col("rev").alias("rev0"),
+        F.col("qty").alias("qty0"),
+    )
+    b = c.join(p, c.pk_c == p.pk_p, "full_outer").select(
+        F.when(F.col("pk_p").isNull(), "new")
+        .when(F.col("pk_c").isNull(), "discontinued")
+        .otherwise("common")
+        .alias("kind"),
+        "rev1",
+        "qty1",
+        "rev0",
+        "qty0",
+    )
+    p1 = F.col("rev1").cast("double") / F.col("qty1").cast("double")
+    p0 = F.col("rev0").cast("double") / F.col("qty0").cast("double")
+    delta = F.coalesce("rev1", F.lit(0)) - F.coalesce("rev0", F.lit(0))
+    price_eff = F.when(
+        F.col("kind") == "common",
+        F.floor((p1 - p0) * F.col("qty1").cast("double") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    ).otherwise(0)
+    vol_eff = F.when(
+        F.col("kind") == "common",
+        F.floor(
+            (F.col("qty1") - F.col("qty0")).cast("double") * p0 + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(0)
+    eff = b.select(
+        "kind",
+        delta.alias("delta"),
+        price_eff.alias("price_eff"),
+        vol_eff.alias("vol_eff"),
+    )
+    m = F.lit(1_000_000)
+    return eff.agg(
+        (F.sum(F.col("delta").cast("decimal(38,0)")).cast("double") / m).alias(
+            "total_delta"
+        ),
+        (
+            F.sum(F.col("price_eff").cast("decimal(38,0)")).cast("double") / m
+        ).alias("price_effect"),
+        (
+            F.sum(F.col("vol_eff").cast("decimal(38,0)")).cast("double") / m
+        ).alias("volume_effect"),
+        (
+            F.sum(
+                F.when(F.col("kind") == "new", F.col("delta")).otherwise(0)
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / m
+        ).alias("new_effect"),
+        (
+            F.sum(
+                F.when(F.col("kind") == "discontinued", F.col("delta"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / m
+        ).alias("discontinued_effect"),
+        F.count(F.when(F.col("kind") == "common", 1))
+        .cast("bigint")
+        .alias("n_common"),
+        F.count(F.when(F.col("kind") == "new", 1)).cast("bigint").alias("n_new"),
+        F.count(F.when(F.col("kind") == "discontinued", 1))
+        .cast("bigint")
+        .alias("n_discontinued"),
+    )

@@ -1849,3 +1849,97 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Diurnal circular profile: per event type, the CIRCULAR mean hour-of-
+# day and resultant length R (0 = uniform around the clock, 1 = all at
+# one instant) - the correct average for clock arithmetic, where the
+# linear mean of 23:00 and 01:00 is the absurd 12:00 but the circular
+# mean is 00:00. R is the concentration gauge behind "is this event
+# type diurnal or flat?". Angles theta = 2*pi*second_of_day/86400.
+#
+# Determinism: each sin/cos term is quantized to picounits BEFORE the
+# per-type sums (exact int accumulation - the quantize-after-library-
+# call contract); atan2/sqrt run once on the exact-sum-derived doubles
+# and the final hour/R are floor-quantized at 1e9.
+#
+# Scale notes (100 TB): per-row trig + ONE bounded-key (5-type) shuffle
+# with map-side partials. No joins, no windows.
+@query(
+    "diurnal_circular_profile",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               2 * pi() * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+                   / 86400000000.0) AS theta
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(floor(sin(theta) * 1000000000000 + 0.5) AS BIGINT) AS s_p,
+               CAST(floor(cos(theta) * 1000000000000 + 0.5) AS BIGINT) AS c_p
+        FROM t
+    ),
+    a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s_p) AS BIGINT) AS ss, CAST(sum(c_p) AS BIGINT) AS cc
+        FROM q GROUP BY 1
+    )
+    SELECT event_type, n,
+           floor(((atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))
+                   + 2 * pi()) -- into [0, 2pi) before the hour scaling
+                  % (2 * pi())) / (2 * pi()) * 24 * 1000000000 + 0.5)
+               / 1000000000 AS mean_hour,
+           floor(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                      + CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE))
+                 / (1000000000000.0 * CAST(n AS DOUBLE))
+                 * 1000000000 + 0.5) / 1000000000 AS resultant_r
+    FROM a
+    """,
+)
+def diurnal_circular_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    two_pi = F.lit(2 * math.pi)
+    theta = two_pi * (
+        (F.unix_micros("ts") % F.lit(86_400_000_000)).cast("double")
+        / F.lit(86_400_000_000.0)
+    )
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.sin(theta) * F.lit(1_000_000_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("s_p"),
+        F.floor(F.cos(theta) * F.lit(1_000_000_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c_p"),
+    )
+    a = q.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("s_p").cast("decimal(38,0)")).cast("bigint").alias("ss"),
+        F.sum(F.col("c_p").cast("decimal(38,0)")).cast("bigint").alias("cc"),
+    )
+    ang = F.atan2(F.col("ss").cast("double"), F.col("cc").cast("double"))
+    mean_hour = (
+        F.floor(
+            ((ang + two_pi) % two_pi) / two_pi * 24 * F.lit(1_000_000_000)
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000_000)
+    )
+    r = (
+        F.floor(
+            F.sqrt(
+                F.col("ss").cast("double") * F.col("ss").cast("double")
+                + F.col("cc").cast("double") * F.col("cc").cast("double")
+            )
+            / (F.lit(1_000_000_000_000.0) * F.col("n").cast("double"))
+            * F.lit(1_000_000_000)
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000_000)
+    )
+    return a.select(
+        "event_type", "n", mean_hour.alias("mean_hour"), r.alias("resultant_r")
+    )

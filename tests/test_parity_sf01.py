@@ -166,6 +166,11 @@ AT_RISK = [
     "bpe_apply_top_merge",
     # quantized-ln entropy boundaries on 10x docs
     "char_entropy_gate",
+    # per-part effect quantization at 10x volume; trig-term sums on 10x
+    # events; quantized-ln regression on denser degree histograms
+    "price_volume_mix_bridge",
+    "diurnal_circular_profile",
+    "degree_powerlaw_check",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
