@@ -203,7 +203,9 @@ AUDIT_FIRST: list[str] = [
     #    quality_pruning_curve, bpe_apply_top_merge,
     #    char_entropy_gate, discount_elasticity_profile,
     #    except_all_priorities, price_volume_mix_bridge,
-    #    diurnal_circular_profile, degree_powerlaw_check).
+    #    diurnal_circular_profile, degree_powerlaw_check,
+    #    session_type_affinity, error_burst_peaks,
+    #    order_shipping_span).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -1761,3 +1761,265 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cover_us").cast("bigint").alias("covered_us"),
         F.max("cover_us").cast("bigint").alias("longest_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level type affinity: which event types co-OCCUR in the same
+# session (30-min gap sessions, the macro_session_rollup level-1 rule),
+# scored by lift = P(a,b together) / (P(a)P(b)) - the co-presence
+# complement of event_transition_counts (which is SEQUENCE: a then b;
+# affinity asks "do these belong to the same visit at all?"). Lift > 1
+# means the types cluster into the same sessions.
+#
+# Determinism: session ids are exact running sums; pair counts are
+# exact set-presence ints over a bounded (5-type) domain; the lift is
+# one IEEE ratio chain on exact counts.
+#
+# Scale notes (100 TB): one user-keyed window pass builds sessions;
+# distinct (session, type) collapses the stream; the in-session pair
+# fan-out is C(5,2)-bounded per session via the sorted-array combine
+# (no self-join); the affinity table is 10 rows.
+@query(
+    "session_type_affinity",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {_MICRO_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sid AS (
+        SELECT user_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM s
+    ),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
+    sess AS (
+        SELECT user_id, sid, list_sort(list(event_type)) AS types
+        FROM st GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess),
+    tp AS (
+        SELECT t AS typ, CAST(count(*) AS BIGINT) AS n_t
+        FROM (SELECT unnest(types) AS t FROM sess) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT types[i] AS a, types[j] AS b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM sess,
+             unnest(generate_series(1, len(types) - 1)) AS gi(i),
+             unnest(generate_series(1, len(types))) AS gj(j)
+        WHERE j > i
+        GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, p.n_ab,
+           (CAST(p.n_ab AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
+               / ((CAST(ta.n_t AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
+                  * (CAST(tb.n_t AS DOUBLE) / CAST(n.n_sessions AS DOUBLE)))
+               AS lift
+    FROM pairs p
+    JOIN tp ta ON ta.typ = p.a
+    JOIN tp tb ON tb.typ = p.b
+    CROSS JOIN n
+    """,
+)
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w1 = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(
+            F.lag("us").over(w1).isNull()
+            | (F.col("us") - F.lag("us").over(w1) > F.lit(_MICRO_GAP_US)),
+            1,
+        )
+        .otherwise(0)
+    )
+    s = e.select("user_id", "event_type", "us", new_s.alias("new_s"))
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    st = (
+        s.select(
+            "user_id",
+            "event_type",
+            F.sum("new_s").over(wc).alias("sid"),
+        )
+        .distinct()
+    )
+    sess = st.groupBy("user_id", "sid").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types")
+    )
+    n = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    tp = (
+        sess.select(F.explode("types").alias("typ"))
+        .groupBy("typ")
+        .agg(F.count("*").alias("n_t"))
+    )
+    combos = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(types, (x, i) -> transform("
+                "slice(types, i + 2, size(types)), "
+                "y -> struct(x AS a, y AS b)))"
+            )
+        )
+    )
+    pairs = (
+        sess.select(combos.alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ns = F.col("n_sessions").cast("double")
+    lift = (F.col("n_ab").cast("double") / ns) / (
+        (F.col("n_t_a").cast("double") / ns)
+        * (F.col("n_t_b").cast("double") / ns)
+    )
+    return (
+        pairs.join(
+            F.broadcast(tp.select(F.col("typ").alias("a"),
+                                  F.col("n_t").alias("n_t_a"))), "a"
+        )
+        .join(
+            F.broadcast(tp.select(F.col("typ").alias("b"),
+                                  F.col("n_t").alias("n_t_b"))), "b"
+        )
+        .crossJoin(F.broadcast(n))
+        .select("a", "b", F.col("n_ab").cast("bigint").alias("n_ab"),
+                lift.alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-burst peaks: per day, the maximum number of error events inside
+# any trailing 5-minute window, and when that peak ended - the
+# sub-hour burst detector that pages before sre_error_budget_burn's
+# daily budget math notices (a 100-error minute inside a quiet day is
+# invisible to the daily rate). Classic sliding-window-max over event
+# time.
+#
+# Determinism: window counts are exact ints over a RANGE frame on
+# epoch micros (frame peers make timestamp ties deterministic); the
+# peak picks the earliest window-end via the composite arg-min key.
+#
+# Scale notes (100 TB): the error filter prunes at the scan; the RANGE
+# window partitions by day (bounded skew: one day of ERRORS per
+# partition - at extreme rates repartition by (day, hour) and take a
+# two-level max); the per-day rollup reuses the day partitioning.
+_BURST_WIN_US = 5 * 60 * 1_000_000
+
+
+@query(
+    "error_burst_peaks",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'error'
+    ),
+    w AS (
+        SELECT day, us,
+               CAST(count(*) OVER (PARTITION BY day ORDER BY us
+                   RANGE BETWEEN {_BURST_WIN_US} PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS burst
+        FROM e
+    )
+    SELECT day,
+           max(burst) AS peak_5min_errors,
+           CAST(min(CASE WHEN burst = mx THEN us END) AS BIGINT)
+               AS peak_window_end_us
+    FROM (SELECT day, us, burst, max(burst) OVER (PARTITION BY day) AS mx
+          FROM w)
+    GROUP BY day
+    """,
+)
+def error_burst_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(F.to_date("ts").alias("day"), F.unix_micros("ts").alias("us"))
+    )
+    w_range = (
+        W.partitionBy("day")
+        .orderBy("us")
+        .rangeBetween(-_BURST_WIN_US, W.currentRow)
+    )
+    w_day = W.partitionBy("day")
+    wdf = e.select(
+        "day", "us", F.count("*").over(w_range).alias("burst")
+    ).withColumn("mx", F.max("burst").over(w_day))
+    return wdf.groupBy("day").agg(
+        F.max("burst").cast("bigint").alias("peak_5min_errors"),
+        F.min(F.when(F.col("burst") == F.col("mx"), F.col("us")))
+        .cast("bigint")
+        .alias("peak_window_end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order shipping span: how many days an order stays "open" between its
+# first and last line shipment, profiled per priority with span-bucket
+# counts - the fulfillment-sprawl metric (a 1-line order ships once; a
+# 7-line order shipping over 3 weeks ties up packing, billing, and
+# customer patience). Pure exact date arithmetic.
+#
+# Scale notes (100 TB): one orderkey-keyed min/max rollup, a same-key
+# join to order priority, then a bounded (priority x bucket) agg.
+@query(
+    "order_shipping_span",
+    oracle="""
+    WITH spans AS (
+        SELECT l_orderkey,
+               datediff('day', min(CAST(l_shipdate AS DATE)),
+                        max(CAST(l_shipdate AS DATE))) AS span_days
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               CASE WHEN s.span_days = 0 THEN 'same_day'
+                    WHEN s.span_days <= 7 THEN 'within_week'
+                    WHEN s.span_days <= 30 THEN 'within_month'
+                    ELSE 'over_month' END AS span_bucket,
+               s.span_days
+        FROM orders o JOIN spans s ON s.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, span_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(span_days) AS BIGINT) AS total_span_days,
+           CAST(max(span_days) AS BIGINT) AS max_span_days
+    FROM j GROUP BY 1, 2
+    """,
+)
+def order_shipping_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))
+            ).alias("span_days")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    bucket = (
+        F.when(F.col("span_days") == 0, "same_day")
+        .when(F.col("span_days") <= 7, "within_week")
+        .when(F.col("span_days") <= 30, "within_month")
+        .otherwise("over_month")
+    )
+    j = orders.join(spans, orders.o_orderkey == spans.l_orderkey).select(
+        "o_orderpriority", bucket.alias("span_bucket"), "span_days"
+    )
+    return j.groupBy("o_orderpriority", "span_bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("span_days").cast("bigint").alias("total_span_days"),
+        F.max("span_days").cast("bigint").alias("max_span_days"),
+    )

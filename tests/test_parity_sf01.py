@@ -171,6 +171,10 @@ AT_RISK = [
     "price_volume_mix_bridge",
     "diurnal_circular_profile",
     "degree_powerlaw_check",
+    # lift ratios on 10x sessions; range-frame burst ties on denser
+    # error streams
+    "session_type_affinity",
+    "error_burst_peaks",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
