@@ -205,7 +205,8 @@ AUDIT_FIRST: list[str] = [
     #    except_all_priorities, price_volume_mix_bridge,
     #    diurnal_circular_profile, degree_powerlaw_check,
     #    session_type_affinity, error_burst_peaks,
-    #    order_shipping_span).
+    #    order_shipping_span, weighted_median_price_by_brand,
+    #    part_adoption_speed, lang_id_confusion).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

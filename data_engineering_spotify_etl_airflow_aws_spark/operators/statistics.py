@@ -1943,3 +1943,152 @@ def diurnal_circular_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "event_type", "n", mean_hour.alias("mean_hour"), r.alias("resultant_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median price per brand: the retail price at which HALF THE
+# SHIPPED QUANTITY sits below - the volume-weighted center the plain
+# median (one vote per part) misstates whenever cheap parts ship in
+# bulk. Exact lower-weighted-median contract: the smallest price whose
+# cumulative quantity weight reaches half the brand total (no
+# interpolation - deterministic on int weights).
+#
+# Scale notes (100 TB): quantities roll up per (brand, part) in one
+# shuffle; the cumulative window partitions by brand over the
+# parts-per-brand relation (dimension-sized, not fact-sized) and the
+# winner is a min-agg on the qualifying prices. The fact table moves
+# once.
+@query(
+    "weighted_median_price_by_brand",
+    oracle="""
+    WITH w AS (
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+               CAST(sum(CAST(floor(l.l_quantity * 1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS qty_micro
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT p_brand, p_retailprice, qty_micro,
+               sum(qty_micro) OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(qty_micro) OVER (PARTITION BY p_brand) AS tot
+        FROM w
+    )
+    SELECT p_brand,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN p_retailprice END)
+               AS DOUBLE) AS weighted_median_price,
+           CAST(max(tot) AS BIGINT) AS total_qty_micro,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM c GROUP BY p_brand
+    """,
+)
+def weighted_median_price_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qm"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    w = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_retailprice")
+        .agg(F.sum(F.col("qm").cast("decimal(38,0)")).cast("bigint").alias(
+            "qty_micro"
+        ))
+    )
+    w_cum = (
+        W.partitionBy("p_brand")
+        .orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("p_brand")
+    c = w.select(
+        "p_brand",
+        "p_retailprice",
+        "qty_micro",
+        F.sum("qty_micro").over(w_cum).alias("cum"),
+        F.sum("qty_micro").over(w_tot).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("p_retailprice"))
+        )
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("tot").cast("bigint").alias("total_qty_micro"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part adoption speed: per part, its FIRST order date and how many
+# orders it accumulated in the 30 days after launch - the cold-start /
+# new-product traction metric merchandising reads weekly ("parts
+# launched in March that got >= 5 orders in their first month").
+# Rolled up per launch month with exact counts.
+#
+# Scale notes (100 TB): one part-keyed min-agg for the launch date, a
+# same-key re-join to count the early orders (the min must be known
+# before the window test - two passes over the fact, both part-keyed,
+# the second reusing the partitioning), then a bounded month rollup.
+@query(
+    "part_adoption_speed",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_partkey, CAST(o.o_orderdate AS DATE) AS od
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    launch AS (SELECT l_partkey, min(od) AS launch_day FROM lo GROUP BY 1),
+    early AS (
+        SELECT lo.l_partkey, la.launch_day,
+               CAST(count(*) AS BIGINT) AS n_orders_30d
+        FROM lo JOIN launch la ON la.l_partkey = lo.l_partkey
+        WHERE lo.od <= la.launch_day + INTERVAL 30 DAY
+        GROUP BY 1, 2
+    )
+    SELECT date_trunc('month', launch_day) AS launch_month,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_orders_30d) AS BIGINT) AS total_early_orders,
+           CAST(sum(n_orders_30d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_early_orders,
+           CAST(count(*) FILTER (n_orders_30d >= 5) AS BIGINT)
+               AS n_fast_starters
+    FROM early GROUP BY 1
+    """,
+)
+def part_adoption_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey", "od"
+    )
+    launch = lo.groupBy("l_partkey").agg(F.min("od").alias("launch_day"))
+    early = (
+        lo.join(launch, "l_partkey")
+        .where(F.col("od") <= F.date_add(F.col("launch_day"), 30))
+        .groupBy("l_partkey", "launch_day")
+        .agg(F.count("*").alias("n_orders_30d"))
+    )
+    return early.groupBy(
+        F.trunc("launch_day", "month").alias("launch_month")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("n_orders_30d").cast("bigint").alias("total_early_orders"),
+        (
+            F.sum("n_orders_30d").cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_early_orders"),
+        F.count(F.when(F.col("n_orders_30d") >= 5, 1))
+        .cast("bigint")
+        .alias("n_fast_starters"),
+    )

@@ -1055,3 +1055,83 @@ def bpe_apply_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.concat_ws(" ", "a", "b").alias("pair"), "c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the (actual lang x predicted lang)
+# count grid of the stopword-profile classifier plus per-cell share of
+# the actual class - the evaluation artifact lang_id_stopword (the
+# classifier itself) ships without. On this synthetic corpus every
+# text is English-like so the matrix degenerates to columns of 'en'
+# predictions - which is exactly what the artifact is FOR: a confusion
+# matrix that collapses to one column is how you DISCOVER a degenerate
+# classifier before trusting its labels downstream.
+#
+# Scale notes (100 TB): per-row classification (bounded set-membership
+# counting), ONE bounded-key (langs^2) shuffle with map-side partials.
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang,
+               CASE WHEN hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+                    WHEN hits_de >= hits_es THEN 'de'
+                    ELSE 'es' END AS pred_lang
+        FROM (
+            SELECT lang,
+                   {_oracle_stop_hits('toks', _STOP_EN)} AS hits_en,
+                   {_oracle_stop_hits('toks', _STOP_DE)} AS hits_de,
+                   {_oracle_stop_hits('toks', _STOP_ES)} AS hits_es
+            FROM (SELECT lang, {_OT} AS toks FROM documents)
+        )
+    ),
+    g AS (
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_class
+          FROM g GROUP BY 1)
+    SELECT g.lang, g.pred_lang, g.n_docs,
+           CAST(g.n_docs AS DOUBLE) / CAST(t.n_class AS DOUBLE)
+               AS class_share,
+           g.lang = g.pred_lang AS is_correct
+    FROM g JOIN t ON t.lang = g.lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    d = docs.select("lang", tokens("text").alias("t")).select(
+        "lang",
+        _stop_hits(t, _STOP_EN).alias("hits_en"),
+        _stop_hits(t, _STOP_DE).alias("hits_de"),
+        _stop_hits(t, _STOP_ES).alias("hits_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_es")),
+            "en",
+        )
+        .when(F.col("hits_de") >= F.col("hits_es"), "de")
+        .otherwise("es")
+    )
+    g = (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tt = g.groupBy(F.col("lang").alias("lang_t")).agg(
+        F.sum("n_docs").alias("n_class")
+    )
+    return g.join(
+        F.broadcast(tt), g.lang == tt.lang_t
+    ).select(
+        "lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.col("n_docs").cast("double") / F.col("n_class").cast("double")
+        ).alias("class_share"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+    )

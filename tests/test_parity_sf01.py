@@ -175,6 +175,10 @@ AT_RISK = [
     # error streams
     "session_type_affinity",
     "error_burst_peaks",
+    # cumulative-weight median boundary at 10x quantities; 30-day
+    # launch-window edges on a 10x order stream
+    "weighted_median_price_by_brand",
+    "part_adoption_speed",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
