@@ -206,7 +206,9 @@ AUDIT_FIRST: list[str] = [
     #    diurnal_circular_profile, degree_powerlaw_check,
     #    session_type_affinity, error_burst_peaks,
     #    order_shipping_span, weighted_median_price_by_brand,
-    #    part_adoption_speed, lang_id_confusion).
+    #    part_adoption_speed, lang_id_confusion,
+    #    map_type_roundtrip_shares, calendar_dim_generation,
+    #    segment_price_quartiles_exact).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

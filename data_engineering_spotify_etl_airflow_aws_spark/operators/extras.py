@@ -3936,3 +3936,131 @@ def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_discontinued"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType round-trip: build each user's map<event_type, count> with
+# map_from_entries, derive per-type SHARES with transform_values (the
+# map-native higher-order function), and explode back to rows - the
+# Spark MAP column surface (build -> transform -> explode) a schema
+# with semi-structured per-entity attributes lives on. The relational
+# OUTPUT is deliberately map-free so the DuckDB oracle states the same
+# contract without MAP support; what is under test is that the map
+# pipeline reproduces it exactly.
+#
+# Scale notes (100 TB): one user-keyed agg builds the bounded (<= 5
+# entry) maps; transform_values/explode are per-row; output rows =
+# (user, type) pairs. The map never exceeds the type domain, so state
+# per user is bounded by contract.
+@query(
+    "map_type_roundtrip_shares",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id, c.event_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+    FROM c JOIN t ON t.user_id = c.user_id
+    """,
+)
+def map_type_roundtrip_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    tot = F.aggregate(
+        F.map_values("counts"), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    shares = F.transform_values(
+        "counts", lambda k, v: v.cast("double") / F.col("tot").cast("double")
+    )
+    return (
+        m.withColumn("tot", tot)
+        .withColumn("shares", shares)
+        .select(
+            "user_id",
+            F.explode("counts").alias("event_type", "n"),
+            "shares",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.element_at("shares", F.col("event_type")).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension generation: the warehouse date spine - every day
+# between the first and last order date with dow / ISO week / month /
+# quarter / weekend attributes, validated by LEFT-joining daily order
+# counts (zero-order days surface as n_orders = 0, which is the point
+# of a spine: gaps become rows, not absences). Generated with
+# sequence() from a 1-row min/max aggregate - no source table holds
+# the calendar.
+#
+# Scale notes (100 TB): the spine is bounded by the date RANGE (days,
+# not rows); generation is one explode off a 1-row broadcast; the
+# validation join keys on day against the pre-aggregated (bounded)
+# daily counts.
+@query(
+    "calendar_dim_generation",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+               max(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT s.day,
+           CAST(isodow(s.day) AS BIGINT) AS dow_iso,
+           CAST(weekofyear(s.day) AS BIGINT) AS iso_week,
+           CAST(month(s.day) AS BIGINT) AS month,
+           CAST(quarter(s.day) AS BIGINT) AS quarter,
+           isodow(s.day) >= 6 AS is_weekend,
+           coalesce(d.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def calendar_dim_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    bounds = orders.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = orders.groupBy("day").agg(F.count("*").alias("n_orders"))
+    dow_iso = (F.weekday("day") + F.lit(1)).cast("bigint")
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            dow_iso.alias("dow_iso"),
+            F.weekofyear("day").cast("bigint").alias("iso_week"),
+            F.month("day").cast("bigint").alias("month"),
+            F.quarter("day").cast("bigint").alias("quarter"),
+            (dow_iso >= 6).alias("is_weekend"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )

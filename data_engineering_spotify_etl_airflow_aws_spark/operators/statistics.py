@@ -2092,3 +2092,85 @@ def part_adoption_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_fast_starters"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-segment price quartiles: p25/p50/p75 of order totals per
+# market segment under the exact LOWER-QUANTILE contract (smallest
+# value whose cumulative count reaches ceil(q*n) - set-defined, no
+# interpolation, deterministic on any data). The per-group exact twin
+# of value_quantiles_exact (global) and the exact counterpart of
+# percent_rank_acctbal (per-row ranks, no cuts).
+#
+# Scale notes (100 TB): prices pre-aggregate to (segment, price) with
+# multiplicity in ONE fact shuffle; the cumulative window then runs per
+# segment over the DISTINCT-price relation (value-domain-sized), and
+# the quartile picks are conditional min-aggs on the same key.
+@query(
+    "segment_price_quartiles_exact",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS price
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+        SELECT seg, price, CAST(count(*) AS BIGINT) AS m
+        FROM j GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT seg, price, m,
+               sum(m) OVER (PARTITION BY seg ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(m) OVER (PARTITION BY seg) AS n
+        FROM g
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN 4 * cum >= n THEN price END) AS DOUBLE) AS p25,
+           CAST(min(CASE WHEN 2 * cum >= n THEN price END) AS DOUBLE) AS p50,
+           CAST(min(CASE WHEN 4 * cum >= 3 * n THEN price END) AS DOUBLE)
+               AS p75
+    FROM c GROUP BY seg
+    """,
+)
+def segment_price_quartiles_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(F.count("*").alias("m"))
+    )
+    w_cum = (
+        W.partitionBy("seg")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("seg")
+    c = g.select(
+        "seg",
+        "price",
+        F.sum("m").over(w_cum).alias("cum"),
+        F.sum("m").over(w_all).alias("n"),
+    )
+    return c.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("price")))
+        .cast("double")
+        .alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("price")))
+        .cast("double")
+        .alias("p50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("price")))
+        .cast("double")
+        .alias("p75"),
+    )

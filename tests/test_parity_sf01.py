@@ -179,6 +179,8 @@ AT_RISK = [
     # launch-window edges on a 10x order stream
     "weighted_median_price_by_brand",
     "part_adoption_speed",
+    # cumulative quartile cuts on a 10x price domain
+    "segment_price_quartiles_exact",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
