@@ -4064,3 +4064,121 @@ def calendar_dim_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LTV by order index: rank each customer's orders chronologically and
+# report, per order INDEX (1st, 2nd, ... capped at 10+), how many
+# customers reached it and the average order value at that depth - the
+# cohort-free lifetime-value curve ("the 3rd order is worth 12% more
+# than the 1st, and only 40% of customers get there") behind every
+# retention-spend model. repeat_purchase_gap_days times the gaps; this
+# values the sequence positions.
+#
+# Determinism: order ranks ride (date, orderkey) total order; values
+# are exact micro sums; averages are single divisions.
+#
+# Scale notes (100 TB): ONE customer-keyed window ranks the orders
+# (partitioned high-entropy), then a bounded (<= 10-row) index rollup
+# with map-side partials.
+@query(
+    "ltv_by_order_index",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               least(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey), 10)
+                   AS order_idx,
+               CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS v_micro
+        FROM orders
+    )
+    SELECT CAST(order_idx AS BIGINT) AS order_idx,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(v_micro) AS DOUBLE) / (1000000.0 * count(*))
+               AS avg_order_value
+    FROM r GROUP BY 1
+    """,
+)
+def ltv_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.floor(F.col("o_totalprice") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    r = orders.select(
+        "o_custkey",
+        F.least(F.row_number().over(w), F.lit(10)).alias("order_idx"),
+        "v_micro",
+    )
+    return r.groupBy(F.col("order_idx").cast("bigint").alias("order_idx")).agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        (
+            F.sum(F.col("v_micro").cast("decimal(38,0)")).cast("double")
+            / (F.lit(1_000_000.0) * F.count("*"))
+        ).alias("avg_order_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size dispersion: the index of dispersion (Fano factor,
+# variance / mean) of order line counts, with the size histogram - the
+# "is basket size Poisson-like or bursty?" model check (D = 1 pure
+# Poisson; D > 1 overdispersed - heavy baskets cluster; D < 1 more
+# regular than random). Drives both the demand model and shuffle-skew
+# expectations for basket-keyed jobs, all from exact integer moments.
+#
+# Scale notes (100 TB): one orderkey-keyed count, then a bounded
+# size-histogram agg plus a 1-row exact-moment reduction.
+@query(
+    "basket_size_dispersion",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sz) AS BIGINT) AS s1,
+               CAST(sum(sz * sz) AS BIGINT) AS s2
+        FROM b
+    )
+    SELECT n AS n_orders,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_size,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_size,
+           ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion
+    FROM m
+    """,
+)
+def basket_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("sz"))
+    )
+    m = b.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("s1"),
+        F.sum(F.col("sz") * F.col("sz")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    ) / nd
+    return m.select(
+        F.col("n").alias("n_orders"),
+        mean.alias("mean_size"),
+        var.alias("var_size"),
+        (var / mean).alias("dispersion"),
+    )

@@ -2174,3 +2174,197 @@ def segment_price_quartiles_exact(
         .cast("double")
         .alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout: hash-split users 50/50, take each
+# user's LAST-15-days value total as the experiment metric and the
+# PRIOR 15 days' total as the covariate (the fixture spans 30 days), and report the raw and
+# CUPED-adjusted treatment effects plus the variance-reduction share
+# (theta = cov(y,x)/var(x); y_adj = y - theta (x - mean(x)) - the
+# standard pre-period adjustment that cuts experiment runtimes, Deng
+# et al. 2013). ab_conversion_ztest reads a raw split; CUPED is what a
+# mature experimentation platform actually ships.
+#
+# Determinism: per-user totals are exact micro ints; all moments
+# (means, var, cov) come from exact integer sums with IEEE divisions in
+# a mirrored order; theta and the adjusted means are single chains on
+# those exact-sum-derived doubles.
+#
+# Scale notes (100 TB): one user-keyed rollup builds (y, x) per user;
+# the moment reduction is a 1-row agg; the adjusted-effect pass reuses
+# the same rollup against the broadcast 1-row moments. The fact table
+# moves once.
+_CUPED_SPLIT_H_S = None  # placeholder replaced below
+
+
+@query(
+    "cuped_ab_adjustment",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    u AS (
+        SELECT e.user_id,
+               ({h}) % 2 = 0 AS treated,
+               CAST(sum(CASE WHEN e.ts > mx.m - INTERVAL 15 DAY
+                   THEN CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y_micro,
+               CAST(sum(CASE WHEN e.ts <= mx.m - INTERVAL 15 DAY
+                   THEN CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x_micro
+        FROM events e CROSS JOIN mx
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y_micro) AS BIGINT) AS sy,
+               CAST(sum(x_micro) AS BIGINT) AS sx,
+               CAST(sum(CAST(x_micro AS HUGEINT) * x_micro) AS HUGEINT)
+                   AS sxx,
+               CAST(sum(CAST(x_micro AS HUGEINT) * y_micro) AS HUGEINT)
+                   AS sxy
+        FROM u
+    ),
+    th AS (
+        SELECT n, sx,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta
+        FROM m
+    ),
+    g AS (
+        SELECT u.treated,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(u.y_micro) AS DOUBLE) / count(*) AS y_mean,
+               (CAST(sum(u.y_micro) AS DOUBLE)
+                - th.theta * (CAST(sum(u.x_micro) AS DOUBLE)
+                              - count(*) * (CAST(max(th.sx) AS DOUBLE)
+                                            / CAST(max(th.n) AS DOUBLE))))
+                   / count(*) AS y_adj_mean,
+               max(th.theta) AS theta
+        FROM u CROSS JOIN th
+        GROUP BY u.treated, th.theta
+    )
+    SELECT t.n_g AS n_treated, c.n_g AS n_control,
+           floor((t.y_mean - c.y_mean) / 1000000 * 1000000000 + 0.5)
+               / 1000000000 AS raw_effect,
+           floor((t.y_adj_mean - c.y_adj_mean) / 1000000 * 1000000000
+               + 0.5) / 1000000000 AS cuped_effect,
+           floor(t.theta * 1000000000 + 0.5) / 1000000000 AS theta
+    FROM (SELECT * FROM g WHERE treated) t
+    CROSS JOIN (SELECT * FROM g WHERE NOT treated) c
+    """,
+)
+def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    vm = F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    h = _ST_SH32.format(s="concat('cuped:', cast(user_id as string))")
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy(
+            "user_id",
+            (F.expr(h) % 2 == 0).alias("treated"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") > F.col("m") - F.expr("INTERVAL 15 DAYS"), vm
+                ).otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("y_micro"),
+            F.sum(
+                F.when(
+                    F.col("ts") <= F.col("m") - F.expr("INTERVAL 15 DAYS"), vm
+                ).otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("x_micro"),
+        )
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y_micro").cast("decimal(38,0)").cast("bigint").alias("sy"),
+        F.sum("x_micro").cast("decimal(38,0)").cast("bigint").alias("sx"),
+        # cast each factor to decimal BEFORE the product: x_micro can
+        # exceed 2^31.5, so the int64 square overflows under ANSI
+        F.sum(
+            F.col("x_micro").cast("decimal(38,0)")
+            * F.col("x_micro").cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x_micro").cast("decimal(38,0)")
+            * F.col("y_micro").cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    theta = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    th = m.select("n", "sx", theta.alias("theta"))
+    g = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("treated", "theta")
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            (
+                F.sum("y_micro").cast("decimal(38,0)").cast("double")
+                / F.count("*")
+            ).alias("y_mean"),
+            (
+                (
+                    F.sum("y_micro").cast("decimal(38,0)").cast("double")
+                    - F.max("theta")
+                    * (
+                        F.sum("x_micro").cast("decimal(38,0)").cast("double")
+                        - F.count("*")
+                        * (
+                            F.max("sx").cast("double")
+                            / F.max("n").cast("double")
+                        )
+                    )
+                )
+                / F.count("*")
+            ).alias("y_adj_mean"),
+        )
+    )
+    t = g.where("treated").select(
+        F.col("n_g").alias("n_treated"),
+        F.col("y_mean").alias("ty"),
+        F.col("y_adj_mean").alias("ta"),
+        F.col("theta").alias("theta"),
+    )
+    c = g.where(~F.col("treated")).select(
+        F.col("n_g").alias("n_control"),
+        F.col("y_mean").alias("cy"),
+        F.col("y_adj_mean").alias("ca"),
+    )
+    q9 = lambda col: F.floor(col * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
+        1_000_000_000
+    )
+    return t.crossJoin(c).select(
+        "n_treated",
+        "n_control",
+        q9((F.col("ty") - F.col("cy")) / F.lit(1_000_000)).alias("raw_effect"),
+        q9((F.col("ta") - F.col("ca")) / F.lit(1_000_000)).alias(
+            "cuped_effect"
+        ),
+        q9(F.col("theta")).alias("theta"),
+    )
+
+
+from .dedup import _DUCK_H32 as _ST_DH32_2  # noqa: E402
+from ..registry import ORACLES as _ST_OR  # noqa: E402
+
+_ST_OR["cuped_ab_adjustment"] = _ST_OR["cuped_ab_adjustment"].format(
+    h=_ST_DH32_2.format(s="concat('cuped:', CAST(e.user_id AS VARCHAR))")
+)

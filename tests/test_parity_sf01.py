@@ -181,6 +181,8 @@ AT_RISK = [
     "part_adoption_speed",
     # cumulative quartile cuts on a 10x price domain
     "segment_price_quartiles_exact",
+    # theta/effect quantization on 10x user moments
+    "cuped_ab_adjustment",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
