@@ -4182,3 +4182,78 @@ def basket_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_size"),
         (var / mean).alias("dispersion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment candidates: order pairs by the same customer in
+# the same $10k amount band within 3 days - the AP fraud / double-
+# submit audit shape. (Production uses exact cents; this fixture's
+# synthetic prices are near-unique doubles, so the band is what makes
+# the audit exercise real pairs - the BLOCKING mechanics are the
+# surface under test.) Candidates block on (customer, band) BEFORE the
+# time test, so the pair fan-out is per-(cust, band) group size, not
+# per-customer activity - the discipline every self-join audit needs.
+#
+# Scale notes (100 TB): one shuffle on the high-entropy composite
+# (custkey, amount_micro) key; in-group pairs come from the sorted-
+# array combine (no self-join), bounded by duplicate-amount group
+# sizes; the date test is per-pair integer math.
+@query(
+    "duplicate_payment_candidates",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice / 10000) AS BIGINT) AS amt,
+               o_orderkey,
+               CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    )
+    SELECT a.o_custkey, CAST(a.amt AS BIGINT) AS amount_band,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(abs(datediff('day', a.od, b.od)) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.amt = b.amt
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(datediff('day', a.od, b.od)) <= 3
+    """,
+)
+def duplicate_payment_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / F.lit(10_000))
+        .cast("bigint")
+        .alias("amt"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    grp = o.groupBy("o_custkey", "amt").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderkey", "od"))
+        ).alias("os")
+    )
+    combos = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(os, (x, i) -> transform("
+                "slice(os, i + 2, size(os)), "
+                "y -> struct(x.o_orderkey AS order_a, y.o_orderkey AS order_b,"
+                " x.od AS od_a, y.od AS od_b)))"
+            )
+        )
+    )
+    pairs = grp.select("o_custkey", "amt", combos.alias("p")).select(
+        "o_custkey",
+        "amt",
+        "p.order_a",
+        "p.order_b",
+        F.abs(F.datediff("p.od_b", "p.od_a")).alias("days_apart"),
+    )
+    return pairs.where(F.col("days_apart") <= 3).select(
+        "o_custkey",
+        F.col("amt").cast("bigint").alias("amount_band"),
+        "order_a",
+        "order_b",
+        F.col("days_apart").cast("bigint").alias("days_apart"),
+    )

@@ -2368,3 +2368,166 @@ from ..registry import ORACLES as _ST_OR  # noqa: E402
 _ST_OR["cuped_ab_adjustment"] = _ST_OR["cuped_ab_adjustment"].format(
     h=_ST_DH32_2.format(s="concat('cuped:', CAST(e.user_id AS VARCHAR))")
 )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoints (depth 2): find the split day that
+# maximizes |mean(before) - mean(after)| of the daily value series,
+# then recurse once into each half - the top-3 changepoint tree that
+# complements cusum_changepoint_daily (single CUSUM point) with the
+# hierarchical method real monitoring uses when more than one regime
+# shift may exist.
+#
+# Determinism: daily totals are exact micro ints; candidate means come
+# from prefix sums (one cumulative window over the bounded day table);
+# |diff| is quantized to micro before the argmax, which breaks ties on
+# the earlier day via the composite integer key.
+#
+# Scale notes (100 TB): the corpus collapses to the day table in one
+# map-side-partial shuffle; all three argmax passes run on day-count-
+# sized relations (windows + 1-row broadcasts), so depth scales as
+# O(segments), never re-reading the fact.
+@query(
+    "binseg_changepoints",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS i,
+               sum(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(x) OVER () AS tot,
+               count(*) OVER () AS n
+        FROM d
+    ),
+    s1 AS (
+        SELECT day, i,
+               abs(CAST(floor(CAST(cum AS DOUBLE) / i
+                   - CAST(tot - cum AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
+                   AS gap
+        FROM c WHERE i < n
+    ),
+    t1 AS (SELECT day AS split1, i AS i1
+           FROM s1 ORDER BY gap DESC, day LIMIT 1),
+    sided AS (
+        SELECT c.day, c.x, c.i, c.i <= t1.i1 AS left_side
+        FROM c CROSS JOIN t1
+    ),
+    c2 AS (
+        SELECT day, x, left_side,
+               row_number() OVER w AS i,
+               sum(x) OVER (PARTITION BY left_side ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(x) OVER (PARTITION BY left_side) AS tot,
+               count(*) OVER (PARTITION BY left_side) AS n
+        FROM sided
+        WINDOW w AS (PARTITION BY left_side ORDER BY day)
+    ),
+    s2 AS (
+        SELECT left_side, day,
+               abs(CAST(floor(CAST(cum AS DOUBLE) / i
+                   - CAST(tot - cum AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
+                   AS gap
+        FROM c2 WHERE i < n AND n >= 2
+    ),
+    t2 AS (
+        SELECT left_side, day, gap,
+               row_number() OVER (PARTITION BY left_side
+                   ORDER BY gap DESC, day) AS rn
+        FROM s2
+    )
+    SELECT 1 AS depth, CAST(t1.split1 AS DATE) AS split_day,
+           CAST((SELECT gap FROM s1
+                 ORDER BY gap DESC, day LIMIT 1) AS BIGINT) AS gap_micro
+    FROM t1
+    UNION ALL
+    SELECT 2, CAST(day AS DATE),
+           CAST(gap AS BIGINT)
+    FROM t2 WHERE rn = 1
+    """,
+)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w_ord = W.orderBy("day")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = d.select(
+        "day",
+        "x",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x").over(w_cum).alias("cum"),
+        F.sum("x").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n"),
+    )
+
+    def gap_col():
+        return F.abs(
+            F.floor(
+                F.col("cum").cast("double") / F.col("i")
+                - (F.col("tot") - F.col("cum")).cast("double")
+                / (F.col("n") - F.col("i"))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+
+    s1 = c.where(F.col("i") < F.col("n")).select(
+        "day", "i", gap_col().alias("gap")
+    )
+    t1 = s1.orderBy(F.desc("gap"), "day").limit(1).select(
+        F.col("day").alias("split1"),
+        F.col("i").alias("i1"),
+        F.col("gap").alias("gap1"),
+    )
+    sided = c.select("day", "x").crossJoin(F.broadcast(t1)).select(
+        "day", "x", (F.col("day") <= F.col("split1")).alias("left_side"),
+        "split1", "gap1",
+    )
+    w2 = W.partitionBy("left_side").orderBy("day")
+    w2_cum = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w2_all = w2.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c2 = sided.select(
+        "day",
+        "left_side",
+        "split1",
+        "gap1",
+        F.row_number().over(w2).alias("i"),
+        F.sum("x").over(w2_cum).alias("cum"),
+        F.sum("x").over(w2_all).alias("tot"),
+        F.count("*").over(w2_all).alias("n"),
+    )
+    s2 = c2.where((F.col("i") < F.col("n")) & (F.col("n") >= 2)).select(
+        "left_side", "day", gap_col().alias("gap")
+    )
+    w_pick = W.partitionBy("left_side").orderBy(F.desc("gap"), "day")
+    t2 = (
+        s2.withColumn("rn", F.row_number().over(w_pick))
+        .where("rn = 1")
+        .select(
+            F.lit(2).alias("depth"),
+            F.col("day").alias("split_day"),
+            F.col("gap").cast("bigint").alias("gap_micro"),
+        )
+    )
+    top = t1.select(
+        F.lit(1).alias("depth"),
+        F.col("split1").alias("split_day"),
+        F.col("gap1").cast("bigint").alias("gap_micro"),
+    )
+    return top.unionByName(t2)

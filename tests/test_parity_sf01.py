@@ -183,6 +183,9 @@ AT_RISK = [
     "segment_price_quartiles_exact",
     # theta/effect quantization on 10x user moments
     "cuped_ab_adjustment",
+    # argmax-gap ties on 10x daily sums; band-block pair fan-out at 10x
+    "binseg_changepoints",
+    "duplicate_payment_candidates",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
