@@ -210,7 +210,8 @@ AUDIT_FIRST: list[str] = [
     #    map_type_roundtrip_shares, calendar_dim_generation,
     #    segment_price_quartiles_exact, cuped_ab_adjustment,
     #    ltv_by_order_index, basket_size_dispersion,
-    #    binseg_changepoints, duplicate_payment_candidates).
+    #    binseg_changepoints, duplicate_payment_candidates,
+    #    embedding_anisotropy, vocab_coverage_curve).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

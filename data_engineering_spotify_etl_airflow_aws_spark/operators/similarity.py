@@ -1727,3 +1727,78 @@ from ..registry import ORACLES as _SIM_OR2  # noqa: E402
 _SIM_OR2["near_dup_threshold_sweep"] = _SIM_OR2[
     "near_dup_threshold_sweep"
 ].format(bucket=_duck_bucket("emb"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy probe: the mean pairwise cosine of a FIXED-COUNT
+# hash-order sample (128 vectors -> 8128 pairs) plus the share of pairs
+# above 0.5 - the "is this embedding space collapsed into a cone?"
+# diagnostic (Ethayarajh 2019): isotropic spaces average near 0;
+# anisotropic LM embeddings average high, which silently breaks cosine
+# thresholds tuned on isotropic assumptions (the tau chosen by
+# near_dup_threshold_sweep means something different in a collapsed
+# space - run both).
+#
+# Determinism: the sample is the md5-hash-order top-128 (the fixed-
+# count seed rule); per-pair cosines are the established IEEE fold
+# chain, quantized to nano before the exact mean.
+#
+# Scale notes (100 TB): the sample is bounded by construction, so the
+# pair set is a constant 8128 rows at ANY corpus size - broadcast
+# self-pairing of a 128-row relation; the corpus is touched once by
+# the TakeOrdered sample scan.
+_ANISO_N = 128
+_ANISO_H_S = _SPARK_H32.format(s="concat('aniso:', cast(vec_id as string))")
+_ANISO_H_D = _DUCK_H32.format(s="concat('aniso:', CAST(vec_id AS VARCHAR))")
+
+
+@query(
+    "embedding_anisotropy",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb
+        FROM embeddings
+        ORDER BY {_ANISO_H_D}, vec_id LIMIT {_ANISO_N}
+    ),
+    p AS (
+        SELECT CAST(floor(({_OCOS.replace('a.emb', 's1.emb').replace('b.emb', 's2.emb')})
+                   * 1000000000 + 0.5) AS BIGINT) AS cos_nano
+        FROM s s1 JOIN s s2 ON s1.vec_id < s2.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cos_nano) AS DOUBLE) / (1000000000.0 * count(*))
+               AS mean_cosine,
+           CAST(count(*) FILTER (cos_nano > 500000000) AS BIGINT)
+               AS n_above_half
+    FROM p
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine
+
+    s = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", vec_double("embedding").alias("emb"))
+        .withColumn("h", F.expr(_ANISO_H_S))
+        .orderBy("h", "vec_id")
+        .limit(_ANISO_N)
+        .select("vec_id", "emb")
+    )
+    a, b = s.alias("s1"), s.alias("s2")
+    cos_nano = F.floor(
+        cosine(F.col("s1.emb"), F.col("s2.emb")) * F.lit(1_000_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    p = a.join(
+        F.broadcast(b), F.col("s1.vec_id") < F.col("s2.vec_id")
+    ).select(cos_nano.alias("cos_nano"))
+    return p.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.col("cos_nano").cast("decimal(38,0)")).cast("double")
+            / (F.lit(1_000_000_000.0) * F.count("*"))
+        ).alias("mean_cosine"),
+        F.count(F.when(F.col("cos_nano") > 500_000_000, 1))
+        .cast("bigint")
+        .alias("n_above_half"),
+    )

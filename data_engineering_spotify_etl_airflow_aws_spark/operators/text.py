@@ -1135,3 +1135,74 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("class_share"),
         (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: the share of ALL token occurrences covered
+# by the top-K most frequent types, at the standard K checkpoints - the
+# tokenizer-sizing curve that pairs with heaps_law_curve (how fast the
+# vocab GROWS) and vocab_oov_rate (ONE cutoff's miss rate) by sweeping
+# the whole cutoff axis in one pass ("the top 1k types cover 96% of
+# tokens" decides the vocab budget).
+#
+# Determinism: ranks ride (count DESC, token) total order; coverage is
+# a cumulative exact-int window; shares are single divisions.
+#
+# Scale notes (100 TB): one token-keyed count shuffle; the rank/
+# cumulative windows run on the VOCABULARY-sized relation (the only
+# unbounded one here) with checkpoint filtering before the final
+# bounded output. For web-scale vocabularies the banded-ntile boundary
+# device (extras.py) replaces the single-axis rank window; at any
+# realistic vocab (<= 10^8 types) the window is a per-partition sort
+# of a narrow (token, count) relation.
+_VCC_KS = (10, 100, 1000, 10000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH c AS (
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_OT}) AS t FROM documents) GROUP BY 1
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk,
+               sum(n) OVER (ORDER BY n DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER () AS tot,
+               count(*) OVER () AS n_types
+        FROM c
+    )
+    SELECT CAST(rk AS BIGINT) AS k,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage_share,
+           CAST(n_types AS BIGINT) AS n_types
+    FROM r WHERE rk IN {_VCC_KS}
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w_ord = W.orderBy(F.desc("n"), "token")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = c.select(
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n_types"),
+    )
+    return r.where(F.col("k").isin(*_VCC_KS)).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("cum").cast("bigint").alias("tokens_covered"),
+        (F.col("cum").cast("double") / F.col("tot").cast("double")).alias(
+            "coverage_share"
+        ),
+        F.col("n_types").cast("bigint").alias("n_types"),
+    )

@@ -186,6 +186,8 @@ AT_RISK = [
     # argmax-gap ties on 10x daily sums; band-block pair fan-out at 10x
     "binseg_changepoints",
     "duplicate_payment_candidates",
+    # rank-window checkpoints on a 10x vocabulary
+    "vocab_coverage_curve",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
