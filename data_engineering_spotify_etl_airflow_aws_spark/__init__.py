@@ -211,7 +211,9 @@ AUDIT_FIRST: list[str] = [
     #    segment_price_quartiles_exact, cuped_ab_adjustment,
     #    ltv_by_order_index, basket_size_dispersion,
     #    binseg_changepoints, duplicate_payment_candidates,
-    #    embedding_anisotropy, vocab_coverage_curve).
+    #    embedding_anisotropy, vocab_coverage_curve,
+    #    relational_division_parts_all_years,
+    #    temporal_consistency_audit, tfidf_cosine_pairs).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -4257,3 +4257,60 @@ def duplicate_payment_candidates(
         "order_b",
         F.col("days_apart").cast("bigint").alias("days_apart"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal consistency audit: lineitem ship dates vs their order's
+# order date - the cross-TABLE time-arrow check (a ship date before its
+# order date is corrupted data or clock skew) that the single-table
+# dq_constraint_violations rules cannot see. Per priority: violation
+# count and rate, the worst negative lag, and the maximum lead time.
+#
+# Scale notes (100 TB): one orderkey-keyed join (fact co-partitioned),
+# per-row date arithmetic, bounded-priority rollup with partials.
+@query(
+    "temporal_consistency_audit",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (lag_days < 0) AS BIGINT) AS n_violations,
+           CAST(count(*) FILTER (lag_days < 0) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS violation_rate,
+           CAST(coalesce(min(CASE WHEN lag_days < 0 THEN lag_days END), 0)
+               AS BIGINT) AS worst_negative_lag,
+           CAST(max(lag_days) AS BIGINT) AS max_lead_days
+    FROM j GROUP BY 1
+    """,
+)
+def temporal_consistency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("lag_days")
+    )
+    viol = F.count(F.when(F.col("lag_days") < 0, 1))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        viol.cast("bigint").alias("n_violations"),
+        (viol.cast("double") / F.count("*").cast("double")).alias(
+            "violation_rate"
+        ),
+        F.coalesce(
+            F.min(F.when(F.col("lag_days") < 0, F.col("lag_days"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("worst_negative_lag"),
+        F.max("lag_days").cast("bigint").alias("max_lead_days"),
+    )

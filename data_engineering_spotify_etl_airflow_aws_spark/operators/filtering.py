@@ -668,3 +668,152 @@ def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("entropy_nats"),
         (h < F.expr(_ENT_FLAG_NATS)).alias("low_entropy_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-term TF-IDF cosine pairs: document similarity from SPARSE
+# lexical vectors via posting-list joins - the inverted-index
+# counterpart of the dense embedding cosine family (similarity.py).
+# The vector space is restricted to terms appearing in at most 5% of
+# docs (df * 20 <= N - rare terms carry the IDF mass AND bound the
+# per-term pair fan-out at C(N/20, 2); the relative df-cut is the
+# standard posting-list pruning, stated as part of the contract, not a
+# silent approximation); weights are tf x ln(N/df), micro-quantized;
+# top-20 pairs by quantized cosine.
+#
+# Scale notes (100 TB): one (doc, term) tf shuffle; the df cut prunes
+# the posting lists BEFORE the self-join, so candidate generation is
+# sum over rare terms of C(df, 2) with df capped at N/20 - at web
+# scale the cap drops to a FIXED absolute df (posting lists of hot
+# terms are useless for similarity anyway); dot
+# products are exact int sums; norms join back doc-keyed; final top-20
+# is TakeOrderedAndProject.
+_TFC_DF_SHARE = 20  # keep terms with df * 20 <= N (<= 5% of docs)
+_TFC_TOP = 20
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents)
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+    ),
+    w AS (
+        SELECT tok.doc_id, tok.term,
+               CAST(floor(tok.tf * ln(CAST(n.n_docs AS DOUBLE)
+                   / CAST(df.df AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS wm
+        FROM tok JOIN df USING (term) CROSS JOIN n
+        WHERE df.df * {_TFC_DF_SHARE} <= n.n_docs
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(wm AS HUGEINT) * wm) AS DOUBLE)) AS nm
+        FROM w GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(CAST(a.wm AS HUGEINT) * b.wm) AS HUGEINT) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.doc_a, d.doc_b,
+               CAST(floor(CAST(d.dot AS DOUBLE) / (na.nm * nb.nm)
+                   * 1000000000 + 0.5) AS BIGINT) AS cos_nano
+        FROM dots d
+        JOIN nrm na ON na.doc_id = d.doc_a
+        JOIN nrm nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(cos_nano AS DOUBLE) / 1000000000 AS cosine
+    FROM scored
+    ORDER BY cos_nano DESC, doc_a, doc_b
+    LIMIT {_TFC_TOP}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = tok.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    df = tok.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tok.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * _TFC_DF_SHARE <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wm"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wm") * F.col("wm")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+        ).alias("nm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum((F.col("a.wm") * F.col("b.wm")).cast("decimal(38,0)"))
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / (F.col("na") * F.col("nb"))
+                * F.lit(1_000_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos_nano"), "doc_a", "doc_b")
+        .limit(_TFC_TOP)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("cos_nano").cast("double") / F.lit(1_000_000_000)).alias(
+                "cosine"
+            ),
+        )
+    )

@@ -917,3 +917,55 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: parts shipped in EVERY year the corpus spans -
+# the "FOR ALL" query shape (suppliers stocking every warehouse,
+# students passing every requirement) that equi-joins cannot express
+# directly. Realized as the count-distinct-equals-total device: a part
+# divides the year set iff its distinct-year count equals the global
+# year count - one fact-side aggregation and a 1-row broadcast, the
+# scalable form of the classic double-NOT-EXISTS.
+#
+# Scale notes (100 TB): one (part, year) distinct + part-keyed count
+# (map-side partials), a 1-row year-universe broadcast, and the
+# equality filter. No nested correlated scans, nothing quadratic.
+@query(
+    "relational_division_parts_all_years",
+    oracle="""
+    WITH pm AS (
+        SELECT DISTINCT l_partkey, year(l_shipdate) AS m
+        FROM lineitem
+    ),
+    years AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_years FROM pm),
+    per_part AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_m FROM pm GROUP BY 1
+    )
+    SELECT p.l_partkey AS part_key, p.n_m AS n_years_present
+    FROM per_part p CROSS JOIN years t
+    WHERE p.n_m = t.n_years
+    """,
+)
+def relational_division_parts_all_years(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pm = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", F.year("l_shipdate").alias("m")
+        )
+        .distinct()
+    )
+    years = pm.agg(F.count_distinct("m").cast("bigint").alias("n_years"))
+    per_part = pm.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_m")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(years))
+        .where(F.col("n_m") == F.col("n_years"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("n_m").alias("n_years_present"),
+        )
+    )

@@ -188,6 +188,10 @@ AT_RISK = [
     "duplicate_payment_candidates",
     # rank-window checkpoints on a 10x vocabulary
     "vocab_coverage_curve",
+    # df-cut posting joins + quantized cosines on a 10x vocabulary;
+    # year-universe division on the full 10x part set
+    "tfidf_cosine_pairs",
+    "relational_division_parts_all_years",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
