@@ -213,7 +213,9 @@ AUDIT_FIRST: list[str] = [
     #    binseg_changepoints, duplicate_payment_candidates,
     #    embedding_anisotropy, vocab_coverage_curve,
     #    relational_division_parts_all_years,
-    #    temporal_consistency_audit, tfidf_cosine_pairs).
+    #    temporal_consistency_audit, tfidf_cosine_pairs,
+    #    skewness_kurtosis_by_type, wilson_ci_daily_purchase,
+    #    chisq_residual_heatmap).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -2531,3 +2531,249 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap1").cast("bigint").alias("gap_micro"),
     )
     return top.unionByName(t2)
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis by event type: third and fourth standardized
+# moments from exact integer power sums - the distribution-shape pass
+# (heavy right tail? peaked?) behind outlier-policy choices that mean/
+# variance alone cannot justify. Values quantize to MILLI units before
+# the power sums: milli^4 x corpus row counts stays inside
+# decimal(38,0)/HUGEINT headroom through petabyte-scale row counts
+# (micro^4 would overflow by sf0.1).
+#
+# Determinism: all four power sums are exact integers; the central-
+# moment algebra is a mirrored IEEE chain; outputs floor-quantized.
+#
+# Scale notes (100 TB): ONE bounded-key shuffle with map-side partial
+# power sums; the moment algebra runs on 5 rows.
+@query(
+    "skewness_kurtosis_by_type",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS s1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+               CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+               CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS s4
+        FROM q GROUP BY 1
+    ),
+    c AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM m
+    ),
+    k AS (
+        SELECT event_type, n,
+               r2 - m1 * m1 AS mu2,
+               r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS mu3,
+               r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                   - 3 * m1 * m1 * m1 * m1 AS mu4
+        FROM c
+    )
+    SELECT event_type, n,
+           floor(mu3 / (sqrt(mu2) * sqrt(mu2) * sqrt(mu2))
+               * 1000000 + 0.5) / 1000000 AS skewness,
+           floor((mu4 / (mu2 * mu2) - 3.0) * 1000000 + 0.5) / 1000000
+               AS excess_kurtosis
+    FROM k
+    """,
+)
+def skewness_kurtosis_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    d = F.col("v").cast("decimal(38,0)")
+    m = q.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    mu2 = r2 - m1 * m1
+    mu3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    mu4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+
+    def q6(col):
+        return F.floor(col * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    return m.select(
+        "event_type",
+        "n",
+        q6(mu3 / (F.sqrt(mu2) * F.sqrt(mu2) * F.sqrt(mu2))).alias("skewness"),
+        q6(mu4 / (mu2 * mu2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson 95% confidence intervals for the daily purchase share: the
+# score-interval bounds that stay valid at small n and extreme
+# proportions where the normal (Wald) interval breaks - the right way
+# to put error bars on daily conversion dashboards. z = 1.96 parses to
+# the identical double in both engines; the sqrt chain runs once per
+# day and quantizes at nano.
+#
+# Scale notes (100 TB): one bounded day-keyed shuffle with conditional
+# partial counts; per-day closed-form math, no resampling (the
+# bootstrap op covers the resampling path).
+@query(
+    "wilson_ci_daily_purchase",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS k
+        FROM events GROUP BY 1
+    )
+    SELECT day, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           floor(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                   - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                  / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+                 * 1000000000 + 0.5) / 1000000000 AS ci_low,
+           floor(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+                   + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+                  / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+                 * 1000000000 + 0.5) / 1000000000 AS ci_high
+    FROM d
+    """,
+)
+def wilson_ci_daily_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(1.96)
+    z2 = z * z
+    half = z * F.sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))
+    center = p + z2 / (2 * nd)
+    denom = 1 + z2 / nd
+
+    def q9(col):
+        return F.floor(col * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
+            1_000_000_000
+        )
+
+    return d.select(
+        "day",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        q9((center - half) / denom).alias("ci_low"),
+        q9((center + half) / denom).alias("ci_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square residual heatmap: standardized Pearson residuals
+# (obs - exp) / sqrt(exp) for every (event type x ISO weekday) cell -
+# the drill-down companion to chi_square_lang_source (which answers
+# only "is there ANY association?"): residuals say WHICH cells deviate
+# and in which direction (|r| > 2 is the usual callout). The table a
+# dashboard renders as the red/blue heatmap.
+#
+# Determinism: observed counts exact; expected = row x col / total is a
+# mirrored IEEE chain on exact ints; residuals quantize at micro.
+#
+# Scale notes (100 TB): ONE bounded-key (5 x 7) shuffle with map-side
+# partials; margins and residuals run on the 35-row cell table.
+@query(
+    "chisq_residual_heatmap",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, isodow(CAST(ts AS DATE)) AS dow_iso,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n
+          FROM c GROUP BY 1),
+    k AS (SELECT dow_iso, CAST(sum(obs) AS BIGINT) AS col_n
+          FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS tot FROM c)
+    SELECT c.event_type, CAST(c.dow_iso AS BIGINT) AS dow_iso, c.obs,
+           floor(CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+               / CAST(t.tot AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS expected,
+           floor((CAST(c.obs AS DOUBLE)
+                  - CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+                    / CAST(t.tot AS DOUBLE))
+                 / sqrt(CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+                        / CAST(t.tot AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS std_residual
+    FROM c
+    JOIN r ON r.event_type = c.event_type
+    JOIN k ON k.dow_iso = c.dow_iso
+    CROSS JOIN t
+    """,
+)
+def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", (F.weekday("ts") + F.lit(1)).alias("dow_iso"))
+        .agg(F.count("*").alias("obs"))
+    )
+    r = c.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    k = c.groupBy("dow_iso").agg(F.sum("obs").alias("col_n"))
+    t = c.agg(F.sum("obs").alias("tot"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("tot").cast("double")
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    return (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(k), "dow_iso")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("dow_iso").cast("bigint").alias("dow_iso"),
+            F.col("obs").cast("bigint").alias("obs"),
+            q6(exp).alias("expected"),
+            q6((F.col("obs").cast("double") - exp) / F.sqrt(exp)).alias(
+                "std_residual"
+            ),
+        )
+    )

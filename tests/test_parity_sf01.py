@@ -192,6 +192,11 @@ AT_RISK = [
     # year-universe division on the full 10x part set
     "tfidf_cosine_pairs",
     "relational_division_parts_all_years",
+    # power-sum headroom + moment quantization on 10x rows; sqrt-chain
+    # CI bounds on 10x daily counts
+    "skewness_kurtosis_by_type",
+    "wilson_ci_daily_purchase",
+    "chisq_residual_heatmap",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
