@@ -1067,3 +1067,319 @@ def nested_subsample_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining source-mixture weights: per source, mean quality (the
+# text_quality chain, micro-quantized) -> sampling weight proportional
+# to quality^2 -> normalized mixture share and expected token draw per
+# 1M-token budget - the static DoReMi-style mixture table a pretraining
+# run feeds its sampler ("src7 is 4% of tokens but 9% of the mix; src3
+# is downweighted 3x"). quality_pruning_curve sets the DROP cutoff;
+# this sets the RESAMPLING weights for what survives.
+#
+# Determinism: per-source quality means come from exact micro sums; the
+# squared weight and the normalization are mirrored IEEE chains on
+# those exact-sum-derived doubles, floor-quantized at nano.
+#
+# Scale notes (100 TB): per-row quality math + ONE bounded source-keyed
+# shuffle with map-side partials; the normalization is a 1-row
+# broadcast back over the 20-row source table.
+_SMW_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH q AS (
+        SELECT source, len(toks) AS n_toks,
+               CAST(floor((
+                   (0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                          x -> list_contains([{', '.join(
+                              f"'{w}'" for w in _SMW_STOP)}], x)))
+                          AS DOUBLE) / len(toks)))
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))) * 1000000 + 0.5) AS BIGINT)
+                   AS q_micro
+        FROM (SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(q_micro) AS BIGINT) AS q_sum
+        FROM q GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs))
+               * (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs)) AS w_raw
+        FROM s
+    ),
+    t AS (SELECT sum(w_raw) AS w_tot FROM w)
+    SELECT source, n_docs, n_tokens,
+           floor(sqrt(w_raw) * 1000000000 + 0.5) / 1000000000
+               AS mean_quality,
+           floor(w_raw / t.w_tot * 1000000000 + 0.5) / 1000000000
+               AS mixture_share,
+           CAST(floor(w_raw / t.w_tot * 1000000 + 0.5) AS BIGINT)
+               AS tokens_per_million
+    FROM w CROSS JOIN t
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    stop_lst = ", ".join(f"'{w}'" for w in _SMW_STOP)
+    q_expr = (
+        f"cast(floor(((0.4 * least(cast(size(t) as double) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - cast(size(filter(t, x -> array_contains("
+        f"array({stop_lst}), x))) as double) / size(t)))"
+        f" + 0.3 * (cast(size(array_distinct(t)) as double) / size(t)))"
+        f" * 1000000 + 0.5) as bigint)"
+    )
+    q = (
+        docs.select("source", F.expr(toks).alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "source", F.size("t").alias("n_toks"), F.expr(q_expr).alias("qm")
+        )
+    )
+    s = q.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("qm").cast("decimal(38,0)")).cast("bigint").alias("q_sum"),
+    )
+    mean_q = F.col("q_sum").cast("double") / (
+        F.lit(1_000_000.0) * F.col("n_docs")
+    )
+    w = s.select(
+        "source", "n_docs", "n_tokens", (mean_q * mean_q).alias("w_raw")
+    )
+    t = w.agg(F.sum("w_raw").alias("w_tot"))
+
+    def q9(col):
+        return F.floor(col * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
+            1_000_000_000
+        )
+
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        q9(F.sqrt(F.col("w_raw"))).alias("mean_quality"),
+        q9(F.col("w_raw") / F.col("w_tot")).alias("mixture_share"),
+        F.floor(F.col("w_raw") / F.col("w_tot") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("tokens_per_million"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard balance audit: assign every document to one of 64
+# data-loader shards by content-independent hash and report per-shard
+# doc/token counts plus the global imbalance ratios (max/mean for docs
+# and tokens) - the pre-flight check before a distributed training run,
+# where one hot shard stalls every synchronous step (token imbalance is
+# the one that matters; doc-count balance lies when lengths skew).
+#
+# Determinism: shard = md5-h32 mod 64 (identical cross-engine); counts
+# exact; the imbalance ratios are single divisions computed against the
+# 1-row totals.
+#
+# Scale notes (100 TB): per-row hash + ONE bounded 64-key shuffle with
+# map-side partials; ratios run on the 64-row table.
+_SHARD_N = 64
+_SHARD_H_S = _SPARK_H32.format(s="concat('shard:', cast(doc_id as string))")
+_SHARD_H_D = _DUCK_H32.format(s="concat('shard:', CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "shard_balance_audit",
+    oracle=f"""
+    WITH a AS (
+        SELECT ({_SHARD_H_D}) % {_SHARD_N} AS shard,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_toks
+        FROM documents
+    ),
+    s AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM a GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                 CAST(sum(n_tokens) AS BIGINT) AS tt,
+                 CAST(count(*) AS BIGINT) AS n_shards,
+                 CAST(max(n_tokens) AS BIGINT) AS mx_t,
+                 CAST(max(n_docs) AS BIGINT) AS mx_d
+          FROM s)
+    SELECT s.shard, s.n_docs, s.n_tokens,
+           CAST(t.mx_d AS DOUBLE) * CAST(t.n_shards AS DOUBLE)
+               / CAST(t.td AS DOUBLE) AS doc_imbalance,
+           CAST(t.mx_t AS DOUBLE) * CAST(t.n_shards AS DOUBLE)
+               / CAST(t.tt AS DOUBLE) AS token_imbalance
+    FROM s CROSS JOIN t
+    """,
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    a = docs.select(
+        (F.expr(_SHARD_H_S) % _SHARD_N).alias("shard"),
+        F.size(F.expr(toks)).alias("n_toks"),
+    )
+    s = a.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.max("n_tokens").cast("bigint").alias("mx_t"),
+        F.max("n_docs").cast("bigint").alias("mx_d"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("mx_d").cast("double")
+            * F.col("n_shards").cast("double")
+            / F.col("td").cast("double")
+        ).alias("doc_imbalance"),
+        (
+            F.col("mx_t").cast("double")
+            * F.col("n_shards").cast("double")
+            / F.col("tt").cast("double")
+        ).alias("token_imbalance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum stage assignment: split the corpus into a 3x3 grid of
+# (quality tercile x length tercile) and count docs/tokens per cell -
+# the staging table a curriculum-training run samples from (start
+# short+clean, end long+hard). Tercile cuts are EXACT lower-quantile
+# boundaries from cumulative counts (the segment_price_quartiles
+# device), so stage membership is set-defined, not approximate.
+#
+# Scale notes (100 TB): per-row quality/length math; each cut table
+# derives from a value-domain-sized cumulative window; the two 1-row
+# cut relations broadcast back and the final cell rollup is 9 rows.
+_CUR_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "curriculum_stage_assignment",
+    oracle=f"""
+    WITH q AS (
+        SELECT len(toks) AS n_toks,
+               CAST(floor((
+                   (0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                          x -> list_contains([{', '.join(
+                              f"'{w}'" for w in _CUR_STOP)}], x)))
+                          AS DOUBLE) / len(toks)))
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))) * 1000000 + 0.5) AS BIGINT)
+                   AS q_micro
+        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    qc AS (
+        SELECT q_micro, sum(c) OVER (ORDER BY q_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM (SELECT q_micro, CAST(count(*) AS BIGINT) AS c
+              FROM q GROUP BY 1)
+    ),
+    qcut AS (
+        SELECT min(CASE WHEN 3 * cum >= n THEN q_micro END) AS q1,
+               min(CASE WHEN 3 * cum >= 2 * n THEN q_micro END) AS q2
+        FROM qc
+    ),
+    lc AS (
+        SELECT n_toks, sum(c) OVER (ORDER BY n_toks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM (SELECT n_toks, CAST(count(*) AS BIGINT) AS c
+              FROM q GROUP BY 1)
+    ),
+    lcut AS (
+        SELECT min(CASE WHEN 3 * cum >= n THEN n_toks END) AS l1,
+               min(CASE WHEN 3 * cum >= 2 * n THEN n_toks END) AS l2
+        FROM lc
+    )
+    SELECT CASE WHEN q.q_micro <= qcut.q1 THEN 0
+                WHEN q.q_micro <= qcut.q2 THEN 1 ELSE 2 END AS q_stage,
+           CASE WHEN q.n_toks <= lcut.l1 THEN 0
+                WHEN q.n_toks <= lcut.l2 THEN 1 ELSE 2 END AS len_stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.n_toks) AS BIGINT) AS n_tokens
+    FROM q CROSS JOIN qcut CROSS JOIN lcut
+    GROUP BY 1, 2
+    """,
+)
+def curriculum_stage_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    stop_lst = ", ".join(f"'{w}'" for w in _CUR_STOP)
+    q_expr = (
+        f"cast(floor(((0.4 * least(cast(size(t) as double) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - cast(size(filter(t, x -> array_contains("
+        f"array({stop_lst}), x))) as double) / size(t)))"
+        f" + 0.3 * (cast(size(array_distinct(t)) as double) / size(t)))"
+        f" * 1000000 + 0.5) as bigint)"
+    )
+    q = (
+        docs.select(F.expr(toks).alias("t"))
+        .where(F.size("t") > 0)
+        .select(F.size("t").alias("n_toks"), F.expr(q_expr).alias("q_micro"))
+    )
+
+    def cuts(col: str, alias1: str, alias2: str):
+        hist = q.groupBy(col).agg(F.count("*").alias("c"))
+        w_cum = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        w_all = W.orderBy(col).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        cc = hist.select(
+            col,
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cc.agg(
+            F.min(
+                F.when(3 * F.col("cum") >= F.col("n"), F.col(col))
+            ).alias(alias1),
+            F.min(
+                F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col(col))
+            ).alias(alias2),
+        )
+
+    qcut = cuts("q_micro", "q1", "q2")
+    lcut = cuts("n_toks", "l1", "l2")
+    q_stage = (
+        F.when(F.col("q_micro") <= F.col("q1"), 0)
+        .when(F.col("q_micro") <= F.col("q2"), 1)
+        .otherwise(2)
+    )
+    len_stage = (
+        F.when(F.col("n_toks") <= F.col("l1"), 0)
+        .when(F.col("n_toks") <= F.col("l2"), 1)
+        .otherwise(2)
+    )
+    return (
+        q.crossJoin(F.broadcast(qcut))
+        .crossJoin(F.broadcast(lcut))
+        .groupBy(q_stage.alias("q_stage"), len_stage.alias("len_stage"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -197,6 +197,10 @@ AT_RISK = [
     "skewness_kurtosis_by_type",
     "wilson_ci_daily_purchase",
     "chisq_residual_heatmap",
+    # quality^2 normalization at 10x sources' volumes; tercile cut
+    # boundaries on 10x value domains
+    "source_mixture_weights",
+    "curriculum_stage_assignment",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
