@@ -216,7 +216,8 @@ AUDIT_FIRST: list[str] = [
     #    temporal_consistency_audit, tfidf_cosine_pairs,
     #    skewness_kurtosis_by_type, wilson_ci_daily_purchase,
     #    chisq_residual_heatmap, source_mixture_weights,
-    #    shard_balance_audit, curriculum_stage_assignment).
+    #    shard_balance_audit, curriculum_stage_assignment,
+    #    time_hierarchy_rollup, return_rate_by_brand).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

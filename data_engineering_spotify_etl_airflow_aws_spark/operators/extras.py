@@ -4314,3 +4314,137 @@ def temporal_consistency_audit(
         .alias("worst_negative_lag"),
         F.max("lag_days").cast("bigint").alias("max_lead_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup: revenue subtotals at year -> quarter -> month
+# plus the grand total from ONE GROUP BY ROLLUP pass - the fiscal
+# reporting pyramid (rollup_agg covers the flag hierarchy; this is the
+# calendar one every finance close runs). Level identity comes from
+# engine-neutral GROUPING() flags, not the packed grouping_id bit order
+# (the rollup_lattice_profile lesson).
+#
+# Scale notes (100 TB): one shuffle keyed on the finest (y, q, m)
+# grain; Spark computes the coarser levels from map-side partials of
+# the same pass (Expand + partial agg), never re-reading the fact.
+@query(
+    "time_hierarchy_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS year,
+           CASE WHEN GROUPING(q) = 1 THEN -1 ELSE q END AS quarter,
+           CASE WHEN GROUPING(m) = 1 THEN -1 ELSE m END AS month,
+           CAST(GROUPING(y) + GROUPING(q) + GROUPING(m) AS BIGINT)
+               AS agg_level,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+    FROM (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+               CAST(quarter(l_shipdate) AS BIGINT) AS q,
+               CAST(month(l_shipdate) AS BIGINT) AS m,
+               l_extendedprice, l_discount
+        FROM lineitem
+    )
+    GROUP BY ROLLUP (y, q, m)
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("bigint").alias("y"),
+        F.quarter("l_shipdate").cast("bigint").alias("q"),
+        F.month("l_shipdate").cast("bigint").alias("m"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_micro"),
+    )
+    g = lambda c: F.grouping(c).cast("bigint")
+    # grouping() is only valid INSIDE the rollup aggregate, so the level
+    # masks are agg expressions, not a post-agg projection
+    return (
+        li.rollup("y", "q", "m")
+        .agg(
+            F.max(
+                F.when(F.grouping("y") == 1, F.lit(-1).cast("bigint"))
+                .otherwise(F.col("y"))
+            ).alias("year"),
+            F.max(
+                F.when(F.grouping("q") == 1, F.lit(-1).cast("bigint"))
+                .otherwise(F.col("q"))
+            ).alias("quarter"),
+            F.max(
+                F.when(F.grouping("m") == 1, F.lit(-1).cast("bigint"))
+                .otherwise(F.col("m"))
+            ).alias("month"),
+            (g("y") + g("q") + g("m")).alias("agg_level"),
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("revenue"),
+        )
+        .select("year", "quarter", "month", "agg_level", "n_lines", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return rate by brand: per part brand, the share of line items flagged
+# returned (l_returnflag = 'R') and the returned-revenue exposure - the
+# merchandising QC table ("brand X returns 2x the base rate") that
+# tpch_q10 (customer-level returns) does not slice. Exact counts, exact
+# micro revenue, single divisions.
+#
+# Scale notes (100 TB): the fact joins the part dim on partkey (dim
+# broadcastable at fixture scale, keyed shuffle at warehouse scale -
+# no hint pinned); one bounded brand rollup with map-side partials.
+@query(
+    "return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (l.l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+           CAST(count(*) FILTER (l.l_returnflag = 'R') AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS return_rate,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+               THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                   * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 1000000 AS returned_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_micro"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(ret, 1)).cast("bigint").alias("n_returned"),
+            (
+                F.count(F.when(ret, 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("return_rate"),
+            (
+                F.sum(
+                    F.when(ret, F.col("rev_micro")).otherwise(0)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1_000_000)
+            ).alias("returned_revenue"),
+        )
+    )

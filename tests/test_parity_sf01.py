@@ -201,6 +201,8 @@ AT_RISK = [
     # boundaries on 10x value domains
     "source_mixture_weights",
     "curriculum_stage_assignment",
+    # rollup level masks over a 10x month grid
+    "time_hierarchy_rollup",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
