@@ -217,7 +217,9 @@ AUDIT_FIRST: list[str] = [
     #    skewness_kurtosis_by_type, wilson_ci_daily_purchase,
     #    chisq_residual_heatmap, source_mixture_weights,
     #    shard_balance_audit, curriculum_stage_assignment,
-    #    time_hierarchy_rollup, return_rate_by_brand).
+    #    time_hierarchy_rollup, return_rate_by_brand,
+    #    pivot_multi_agg_profile, cohort_ltv_matrix,
+    #    listagg_priorities_by_segment).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -4448,3 +4448,196 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returned_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-aggregate pivot: one row per user with BOTH the count and the
+# exact value total for each event type spread into columns - the
+# wide-format feature frame (pivot_event_counts spreads counts only;
+# real feature extraction wants several measures per pivoted key, which
+# Spark's pivot(agg1, agg2) emits as suffixed columns in one pass).
+# Registered output keeps two types x two measures (+ user) so the
+# contract is explicit; the mechanics generalize to any measure list.
+#
+# Scale notes (100 TB): Spark plans multi-agg pivot as ONE user-keyed
+# shuffle with map-side partials per (type, measure) - no per-measure
+# re-scan; the column fan-out is bounded by the declared pivot values.
+@query(
+    "pivot_multi_agg_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+               AS click_n,
+           CAST(sum(CASE WHEN event_type = 'click'
+               THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END)
+               AS BIGINT) AS click_total_micro,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase_n,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END)
+               AS BIGINT) AS purchase_total_micro
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_multi_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is invalid in pivot
+            F.sum(F.col("vm").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_micro"),
+        )
+    )
+    return p.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).cast("bigint").alias("click_n"),
+        F.col("click_total_micro").cast("bigint").alias("click_total_micro"),
+        F.coalesce("purchase_n", F.lit(0))
+        .cast("bigint")
+        .alias("purchase_n"),
+        F.col("purchase_total_micro")
+        .cast("bigint")
+        .alias("purchase_total_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix: customers grouped by first-order YEAR, tracked by
+# years-since-first - average CUMULATIVE revenue per cohort member at
+# each age - the LTV curve finance discounts against acquisition cost
+# (cohort_daily_retention counts WHO comes back; this accumulates what
+# they are WORTH). Cumulative sums ride exact micro ints; the per-cell
+# division is the only double.
+#
+# Scale notes (100 TB): one customer-keyed min-agg for the cohort, a
+# same-key join back, a bounded (cohort x age) rollup, then cumulative
+# windows over the bounded matrix.
+@query(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey, min(year(o_orderdate)) AS cohort_y
+        FROM orders GROUP BY 1
+    ),
+    sz AS (SELECT cohort_y, CAST(count(*) AS BIGINT) AS cohort_n
+           FROM fo GROUP BY 1),
+    rev AS (
+        SELECT f.cohort_y,
+               year(o.o_orderdate) - f.cohort_y AS age_years,
+               CAST(sum(CAST(floor(o.o_totalprice * 1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS rev_micro
+        FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_y, age_years,
+               CAST(sum(rev_micro) OVER (PARTITION BY cohort_y
+                   ORDER BY age_years
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_micro
+        FROM rev
+    )
+    SELECT CAST(c.cohort_y AS BIGINT) AS cohort_year,
+           CAST(c.age_years AS BIGINT) AS age_years,
+           s.cohort_n,
+           CAST(c.cum_micro AS DOUBLE)
+               / (1000000.0 * CAST(s.cohort_n AS DOUBLE))
+               AS avg_cum_ltv
+    FROM cum c JOIN sz s ON s.cohort_y = c.cohort_y
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("oy"),
+        F.floor(F.col("o_totalprice") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    fo = orders.groupBy("o_custkey").agg(F.min("oy").alias("cohort_y"))
+    sz = fo.groupBy("cohort_y").agg(F.count("*").alias("cohort_n"))
+    rev = (
+        orders.join(fo, "o_custkey")
+        .groupBy("cohort_y", (F.col("oy") - F.col("cohort_y")).alias("age_years"))
+        .agg(
+            F.sum(F.col("vm").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("rev_micro")
+        )
+    )
+    w = (
+        W.partitionBy("cohort_y")
+        .orderBy("age_years")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rev.select(
+        "cohort_y",
+        "age_years",
+        F.sum("rev_micro").over(w).cast("bigint").alias("cum_micro"),
+    )
+    return cum.join(F.broadcast(sz), "cohort_y").select(
+        F.col("cohort_y").cast("bigint").alias("cohort_year"),
+        F.col("age_years").cast("bigint").alias("age_years"),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        (
+            F.col("cum_micro").cast("double")
+            / (F.lit(1_000_000.0) * F.col("cohort_n").cast("double"))
+        ).alias("avg_cum_ltv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG surface): per market segment, the
+# alphabetized distinct order-priority list as one delimited string -
+# the report-header idiom ("segment X has seen priorities 1,2,3") that
+# SQL users write as LISTAGG/STRING_AGG WITHIN GROUP. Realized with
+# array_join(array_sort(collect_set())) so element order is explicit
+# and deterministic - the semantics LISTAGG only gets WITH its ORDER BY
+# clause (unordered listagg is nondeterministic, rejected here by
+# construction).
+#
+# Scale notes (100 TB): one bounded-key shuffle; the collected sets are
+# bounded by the priority domain, never by the fact row count.
+@query(
+    "listagg_priorities_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           string_agg(DISTINCT o.o_orderpriority, ','
+               ORDER BY o.o_orderpriority) AS priorities,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT)
+               AS n_priorities
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def listagg_priorities_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count_distinct("o_orderpriority")
+            .cast("bigint")
+            .alias("n_priorities"),
+        )
+    )

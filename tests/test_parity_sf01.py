@@ -203,6 +203,8 @@ AT_RISK = [
     "curriculum_stage_assignment",
     # rollup level masks over a 10x month grid
     "time_hierarchy_rollup",
+    # cohort-age cumulative cells at 10x order volume
+    "cohort_ltv_matrix",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
