@@ -219,7 +219,8 @@ AUDIT_FIRST: list[str] = [
     #    shard_balance_audit, curriculum_stage_assignment,
     #    time_hierarchy_rollup, return_rate_by_brand,
     #    pivot_multi_agg_profile, cohort_ltv_matrix,
-    #    listagg_priorities_by_segment).
+    #    listagg_priorities_by_segment, cosine_vs_l2_rank_agreement,
+    #    hash_sample_bias_audit, topk_stability_audit).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

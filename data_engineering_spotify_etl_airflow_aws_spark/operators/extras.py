@@ -4641,3 +4641,100 @@ def listagg_priorities_by_segment(
             .alias("n_priorities"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k stability audit: Jaccard overlap of the top-100 revenue parts
+# between the first and second halves of the ship-date range - the
+# "how churny is my leaderboard?" metric that decides whether a weekly
+# top-seller report is signal or noise (rank_movers_wow names WHO
+# moved; stability says whether movement is NORMAL). One row: overlap
+# size, Jaccard, and the half-period part universes.
+#
+# Determinism: the half boundary is exact date arithmetic off the 1-row
+# min/max; revenue ranks ride exact micro sums with part tiebreaks;
+# Jaccard is one division of exact set counts.
+#
+# Scale notes (100 TB): the (part, half) rollup is one fact shuffle;
+# each half's top-100 is a TakeOrderedAndProject; the overlap join runs
+# on two 100-row relations.
+_TKS_K = 100
+
+
+@query(
+    "topk_stability_audit",
+    oracle=f"""
+    WITH b AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+                      max(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+    li AS (
+        SELECT l.l_partkey,
+               CAST(l.l_shipdate AS DATE)
+                   <= b.d0 + CAST(((b.d1 - b.d0) // 2) AS INTEGER) AS first_half,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000000
+                   + 0.5) AS BIGINT) AS rev
+        FROM lineitem l CROSS JOIN b
+    ),
+    g AS (
+        SELECT l_partkey, first_half, CAST(sum(rev) AS BIGINT) AS rev
+        FROM li GROUP BY 1, 2
+    ),
+    t1 AS (SELECT l_partkey FROM g WHERE first_half
+           ORDER BY rev DESC, l_partkey LIMIT {_TKS_K}),
+    t2 AS (SELECT l_partkey FROM g WHERE NOT first_half
+           ORDER BY rev DESC, l_partkey LIMIT {_TKS_K}),
+    ov AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+           FROM t1 SEMI JOIN t2 ON t1.l_partkey = t2.l_partkey)
+    SELECT {_TKS_K} AS k, ov.n_common,
+           CAST(ov.n_common AS DOUBLE)
+               / (2 * {_TKS_K} - ov.n_common) AS jaccard
+    FROM ov
+    """,
+)
+def topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("sd"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev"),
+    )
+    b = li0.agg(F.min("sd").alias("d0"), F.max("sd").alias("d1"))
+    g = (
+        li0.crossJoin(F.broadcast(b))
+        .select(
+            "l_partkey",
+            "rev",
+            (
+                F.col("sd")
+                <= F.date_add(
+                    F.col("d0"),
+                    (F.datediff("d1", "d0") / 2).cast("int"),
+                )
+            ).alias("first_half"),
+        )
+        .groupBy("l_partkey", "first_half")
+        .agg(F.sum(F.col("rev").cast("decimal(38,0)")).cast("bigint").alias("rev"))
+    )
+
+    def top(first: bool):
+        return (
+            g.where(F.col("first_half") == first)
+            .orderBy(F.desc("rev"), "l_partkey")
+            .limit(_TKS_K)
+            .select("l_partkey")
+        )
+
+    ov = top(True).join(top(False), "l_partkey", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    return ov.select(
+        F.lit(_TKS_K).alias("k"),
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (2 * F.lit(_TKS_K) - F.col("n_common"))
+        ).alias("jaccard"),
+    )

@@ -1802,3 +1802,168 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine-vs-L2 rank agreement: for the fixed 64-query set, compare each
+# query's top-10 neighbors under cosine similarity vs euclidean
+# distance - overlap@10 plus exact Kendall-tau concordance over the
+# common items - the metric-choice audit run before committing an ANN
+# index metric (on NORMALIZED vectors the two agree perfectly; raw
+# vectors diverge, and this measures by how much on YOUR corpus).
+#
+# Determinism: both scores are quantized fold chains; both top-10 cuts
+# and the tau pair comparisons ride integer keys with id tiebreaks.
+#
+# Scale notes (100 TB): one corpus pass scores both metrics against the
+# bounded broadcast query set (fixed 64 - the seed rule); per-query
+# ranking gets the WindowGroupLimit prune; the tau computation runs on
+# 10-row-per-query lists via in-group pair expansion.
+_RA_QUERIES = 64
+_RA_K = 10
+_RA_H_S = _SPARK_H32.format(s="concat('ra:', cast(vec_id as string))")
+_RA_H_D = _DUCK_H32.format(s="concat('ra:', CAST(vec_id AS VARCHAR))")
+
+
+def _ra_oracle() -> str:
+    cos = _OCOS.replace("a.emb", "q.emb").replace("b.emb", "v.emb")
+    l2 = (
+        "list_sum(list_transform(list_zip(q.emb, v.emb), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb FROM e
+          ORDER BY {_RA_H_D}, vec_id LIMIT {_RA_QUERIES}),
+    scored AS (
+        SELECT q.qid, v.vec_id,
+               CAST(floor(({cos}) * 1000000000 + 0.5) AS BIGINT) AS cs,
+               CAST(floor(({l2}) * 1000000000 + 0.5) AS BIGINT) AS d2
+        FROM q JOIN e v ON v.vec_id <> q.qid
+    ),
+    rc AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY cs DESC, vec_id) AS r_cos
+        FROM scored
+    ),
+    rl AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY d2, vec_id) AS r_l2
+        FROM scored
+    ),
+    common AS (
+        SELECT c.qid, c.vec_id, c.r_cos, l.r_l2
+        FROM rc c JOIN rl l ON l.qid = c.qid AND l.vec_id = c.vec_id
+        WHERE c.r_cos <= {_RA_K} AND l.r_l2 <= {_RA_K}
+    ),
+    pairs AS (
+        SELECT a.qid,
+               CASE WHEN (a.r_cos - b.r_cos) * (a.r_l2 - b.r_l2) > 0
+                    THEN 1 ELSE -1 END AS s
+        FROM common a JOIN common b
+          ON a.qid = b.qid AND a.vec_id < b.vec_id
+    ),
+    per_q AS (
+        SELECT c.qid,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(coalesce((SELECT sum(s) FROM pairs p
+                              WHERE p.qid = c.qid), 0) AS BIGINT) AS tau_num
+        FROM common c GROUP BY c.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_common) AS DOUBLE) / (count(*) * {_RA_K})
+               AS mean_overlap_at_10,
+           CAST(sum(tau_num) AS BIGINT) AS tau_numerator,
+           CAST(sum(n_common * (n_common - 1) / 2) AS BIGINT) AS tau_pairs
+    FROM per_q
+    """
+
+
+@query("cosine_vs_l2_rank_agreement", oracle=_ra_oracle())
+def cosine_vs_l2_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import cosine as _cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec_double("embedding").alias("emb")
+    )
+    q = (
+        e.withColumn("h", F.expr(_RA_H_S))
+        .orderBy("h", "vec_id")
+        .limit(_RA_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"))
+    )
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(
+                _cosine(F.col("qemb"), F.col("emb")) * F.lit(1_000_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cs"),
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qemb"),
+                        F.col("emb"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(1_000_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    wc = W.partitionBy("qid").orderBy(F.desc("cs"), "vec_id")
+    wl = W.partitionBy("qid").orderBy("d2", "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wc).alias("r_cos"),
+        F.row_number().over(wl).alias("r_l2"),
+    )
+    common = ranked.where(
+        (F.col("r_cos") <= _RA_K) & (F.col("r_l2") <= _RA_K)
+    )
+    lists = common.groupBy("qid").agg(
+        F.count("*").alias("n_common"),
+        F.collect_list(F.struct("vec_id", "r_cos", "r_l2")).alias("xs"),
+    )
+    # exact Kendall numerator via in-group pair expansion (<= C(10,2))
+    tau_num = F.aggregate(
+        F.expr(
+            "flatten(transform(xs, (x, i) -> transform("
+            "slice(xs, i + 2, size(xs)), y -> CASE WHEN "
+            "(x.r_cos - y.r_cos) * (x.r_l2 - y.r_l2) > 0 "
+            "THEN 1 ELSE -1 END)))"
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    per_q = lists.select(
+        "qid", "n_common", tau_num.alias("tau_num")
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.sum("n_common").cast("double") / (F.count("*") * F.lit(_RA_K))
+        ).alias("mean_overlap_at_10"),
+        F.sum("tau_num").cast("bigint").alias("tau_numerator"),
+        F.sum(
+            (F.col("n_common") * (F.col("n_common") - 1) / 2).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("tau_pairs"),
+    )

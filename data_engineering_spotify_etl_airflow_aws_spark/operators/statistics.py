@@ -2777,3 +2777,128 @@ def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sample bias audit: does the cheap deterministic 1/16 hash sample
+# actually represent the population? Compares the sample's mean value
+# and event-type mix against the full corpus: standardized mean
+# difference plus the total-variation distance of the type mix - the
+# pre-flight check before trusting any downsampled analysis (hash
+# samples are unbiased in EXPECTATION; a finite draw can still land
+# badly, and this measures the draw you actually got).
+#
+# Determinism: membership is the shared md5-h32 mod 16; all moments are
+# exact micro-int sums; SMD/TVD are mirrored IEEE chains quantized at
+# nano.
+#
+# Scale notes (100 TB): ONE pass - every aggregate is a conditional
+# partial over the same scan (no second read for the population);
+# the type-mix comparison runs on the bounded type table.
+@query(
+    "hash_sample_bias_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               ({h}) % 16 = 0 AS in_sample
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (in_sample) AS BIGINT) AS n_s,
+               CAST(sum(vm) AS BIGINT) AS s_all,
+               CAST(sum(vm) FILTER (in_sample) AS BIGINT) AS s_s,
+               CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS ss_all
+        FROM e
+    ),
+    mix AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS c_all,
+               CAST(count(*) FILTER (in_sample) AS BIGINT) AS c_s
+        FROM e GROUP BY 1
+    ),
+    tvd AS (
+        SELECT sum(abs(CAST(c_s AS DOUBLE) / CAST(t.n_s AS DOUBLE)
+                       - CAST(c_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)))
+                   / 2 AS tv
+        FROM mix CROSS JOIN (SELECT n_s, n_all FROM m) t
+    )
+    SELECT m.n_s AS n_sample, m.n_all AS n_population,
+           floor((CAST(m.s_s AS DOUBLE) / CAST(m.n_s AS DOUBLE)
+                  - CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
+                 / sqrt((CAST(m.ss_all AS DOUBLE)
+                         - CAST(m.s_all AS DOUBLE) * CAST(m.s_all AS DOUBLE)
+                           / CAST(m.n_all AS DOUBLE))
+                        / CAST(m.n_all AS DOUBLE))
+                 * 1000000000 + 0.5) / 1000000000 AS std_mean_diff,
+           floor(tvd.tv * 1000000000 + 0.5) / 1000000000
+               AS type_mix_tvd
+    FROM m CROSS JOIN tvd
+    """,
+)
+def hash_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _ST_SH32.format(s="concat('sbias:', cast(event_id as string))")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+        (F.expr(h) % 16 == 0).alias("in_sample"),
+    )
+    d = F.col("vm").cast("decimal(38,0)")
+    m = e.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.count(F.when(F.col("in_sample"), 1)).cast("bigint").alias("n_s"),
+        F.sum(d).cast("bigint").alias("s_all"),
+        F.sum(F.when(F.col("in_sample"), d)).cast("bigint").alias("s_s"),
+        F.sum(d * d).alias("ss_all"),
+    )
+    mix = e.groupBy("event_type").agg(
+        F.count("*").alias("c_all"),
+        F.count(F.when(F.col("in_sample"), 1)).alias("c_s"),
+    )
+    tvd = (
+        mix.crossJoin(F.broadcast(m.select("n_s", "n_all")))
+        .agg(
+            (
+                F.sum(
+                    F.abs(
+                        F.col("c_s").cast("double") / F.col("n_s").cast("double")
+                        - F.col("c_all").cast("double")
+                        / F.col("n_all").cast("double")
+                    )
+                )
+                / 2
+            ).alias("tv")
+        )
+    )
+    var = (
+        F.col("ss_all").cast("double")
+        - F.col("s_all").cast("double")
+        * F.col("s_all").cast("double")
+        / F.col("n_all").cast("double")
+    ) / F.col("n_all").cast("double")
+    smd = (
+        F.col("s_s").cast("double") / F.col("n_s").cast("double")
+        - F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    ) / F.sqrt(var)
+
+    def q9(col):
+        return F.floor(col * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
+            1_000_000_000
+        )
+
+    return m.crossJoin(F.broadcast(tvd)).select(
+        F.col("n_s").alias("n_sample"),
+        F.col("n_all").alias("n_population"),
+        q9(smd).alias("std_mean_diff"),
+        q9(F.col("tv")).alias("type_mix_tvd"),
+    )
+
+
+from ..registry import ORACLES as _ST_OR2  # noqa: E402
+
+_ST_OR2["hash_sample_bias_audit"] = _ST_OR2["hash_sample_bias_audit"].format(
+    h=_ST_DH32_2.format(s="concat('sbias:', CAST(event_id AS VARCHAR))")
+)

@@ -205,6 +205,11 @@ AT_RISK = [
     "time_hierarchy_rollup",
     # cohort-age cumulative cells at 10x order volume
     "cohort_ltv_matrix",
+    # rank ties across both metrics at 10x corpus; SMD/TVD boundaries
+    # on 10x samples; top-100 cut ties at 10x part revenue
+    "cosine_vs_l2_rank_agreement",
+    "hash_sample_bias_audit",
+    "topk_stability_audit",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
