@@ -220,7 +220,9 @@ AUDIT_FIRST: list[str] = [
     #    time_hierarchy_rollup, return_rate_by_brand,
     #    pivot_multi_agg_profile, cohort_ltv_matrix,
     #    listagg_priorities_by_segment, cosine_vs_l2_rank_agreement,
-    #    hash_sample_bias_audit, topk_stability_audit).
+    #    hash_sample_bias_audit, topk_stability_audit,
+    #    forecast_model_bakeoff, breach_run_detection,
+    #    degree_assortativity).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

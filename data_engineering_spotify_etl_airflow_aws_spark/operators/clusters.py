@@ -861,3 +861,106 @@ def _degree_powerlaw_oracle() -> str:
 from ..registry import ORACLES as _CL_OR  # noqa: E402
 
 _CL_OR["degree_powerlaw_check"] = _degree_powerlaw_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity: the Pearson correlation of endpoint degrees
+# across edges of the co-purchase graph - do hubs link to hubs
+# (assortative, r > 0) or to leaves (disassortative, r < 0)? The
+# structural companion to degree_powerlaw_check (the DEGREE
+# distribution) that decides whether hub-skew mitigation can rely on
+# hub isolation (disassortative) or must handle hub-hub hot edges.
+# Computed over both edge orientations (the standard undirected form),
+# all moments exact integers.
+#
+# Scale notes (100 TB): degrees are one node-keyed count; each edge
+# picks up its two endpoint degrees via two node-keyed joins (the same
+# key, partitioning reused); the correlation is a 1-row exact-moment
+# reduction.
+@query(
+    "degree_assortativity",
+    oracle=None,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .insights import _basket_pairs, _order_baskets
+
+    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct()
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    e2 = (
+        edges.join(deg.withColumnRenamed("node", "src")
+                   .withColumnRenamed("d", "dx"), "src")
+        .join(deg.withColumnRenamed("node", "dst")
+              .withColumnRenamed("d", "dy"), "dst")
+        .select("dx", "dy")
+    )
+    m = e2.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").cast("bigint").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").cast("bigint").alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    r = cov / F.sqrt(vx * vy)
+    return m.select(
+        "n",
+        F.floor(r * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("assortativity_micro"),
+    )
+
+
+def _assort_oracle() -> str:
+    from .insights import _PART_EDGES_SQL
+
+    return f"""
+    WITH {_PART_EDGES_SQL},
+    dedges AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM dedges GROUP BY 1),
+    e2 AS (
+        SELECT a.d AS dx, b.d AS dy
+        FROM dedges e
+        JOIN deg a ON a.node = e.src
+        JOIN deg b ON b.node = e.dst
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+        FROM e2
+    )
+    SELECT n,
+           CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS assortativity_micro
+    FROM m
+    """
+
+
+_CL_OR["degree_assortativity"] = _assort_oracle()

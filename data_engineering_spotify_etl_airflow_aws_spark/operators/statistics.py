@@ -2902,3 +2902,118 @@ from ..registry import ORACLES as _ST_OR2  # noqa: E402
 _ST_OR2["hash_sample_bias_audit"] = _ST_OR2["hash_sample_bias_audit"].format(
     h=_ST_DH32_2.format(s="concat('sbias:', CAST(event_id AS VARCHAR))")
 )
+
+
+# ---------------------------------------------------------------------------
+# Forecast model bakeoff: backtest two one-day-ahead forecasters on the
+# last 7 days of the daily value series - seasonal naive (same weekday
+# last week) vs trailing-7-day mean - reporting MAE per model and the
+# winner. The model-selection artifact every forecasting pipeline
+# regenerates weekly (seasonal_naive_error scores ONE model; a bakeoff
+# is how the model gets CHOSEN).
+#
+# Determinism: daily totals and both forecasts are exact micro ints
+# (the trailing mean re-quantizes after its one division); MAEs are
+# exact integer sums divided once; the winner is a deterministic
+# comparison with the fixed tiebreak (naive wins ties).
+#
+# Scale notes (100 TB): the corpus collapses to the day table once;
+# lags/means are windows over it; the scoreboard is 2 rows.
+_BAKE_H = 7  # holdout days
+
+
+@query(
+    "forecast_model_bakeoff",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    f AS (
+        SELECT day, x,
+               lag(x, 7) OVER w AS f_naive,
+               CAST(floor(CAST(sum(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                   / count(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) + 0.5)
+                   AS BIGINT) AS f_mean,
+               row_number() OVER (ORDER BY day DESC) AS rn
+        FROM d WINDOW w AS (ORDER BY day)
+    ),
+    h AS (SELECT * FROM f WHERE rn <= {_BAKE_H} AND f_naive IS NOT NULL),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(x - f_naive)) AS BIGINT) AS ae_naive,
+               CAST(sum(abs(x - f_mean)) AS BIGINT) AS ae_mean
+        FROM h
+    )
+    SELECT 'seasonal_naive' AS model, n_days,
+           CAST(ae_naive AS DOUBLE) / (1000000.0 * n_days) AS mae,
+           ae_naive <= ae_mean AS is_winner
+    FROM s
+    UNION ALL
+    SELECT 'trailing_mean', n_days,
+           CAST(ae_mean AS DOUBLE) / (1000000.0 * n_days),
+           ae_mean < ae_naive
+    FROM s
+    """,
+)
+def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = W.orderBy("day")
+    w_tm = w.rowsBetween(-7, -1)
+    f = d.select(
+        "day",
+        "x",
+        F.lag("x", 7).over(w).alias("f_naive"),
+        F.floor(
+            F.sum("x").over(w_tm).cast("double") / F.count("x").over(w_tm)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("f_mean"),
+        F.row_number().over(W.orderBy(F.desc("day"))).alias("rn"),
+    )
+    h = f.where((F.col("rn") <= _BAKE_H) & F.col("f_naive").isNotNull())
+    s = h.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("x") - F.col("f_naive")))
+        .cast("bigint")
+        .alias("ae_naive"),
+        F.sum(F.abs(F.col("x") - F.col("f_mean")))
+        .cast("bigint")
+        .alias("ae_mean"),
+    )
+    naive = s.select(
+        F.lit("seasonal_naive").alias("model"),
+        "n_days",
+        (
+            F.col("ae_naive").cast("double")
+            / (F.lit(1_000_000.0) * F.col("n_days"))
+        ).alias("mae"),
+        (F.col("ae_naive") <= F.col("ae_mean")).alias("is_winner"),
+    )
+    mean = s.select(
+        F.lit("trailing_mean").alias("model"),
+        "n_days",
+        (
+            F.col("ae_mean").cast("double")
+            / (F.lit(1_000_000.0) * F.col("n_days"))
+        ).alias("mae"),
+        (F.col("ae_mean") < F.col("ae_naive")).alias("is_winner"),
+    )
+    return naive.unionByName(mean)

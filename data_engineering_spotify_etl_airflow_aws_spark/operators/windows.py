@@ -2023,3 +2023,96 @@ def order_shipping_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_days").cast("bigint").alias("total_span_days"),
         F.max("span_days").cast("bigint").alias("max_span_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Breach-run detection: consecutive-day runs where the daily event
+# count sits below 99% of its overall mean - the "3 red days in a row"
+# alert condition (a single bad day is noise; a RUN is an incident).
+# Classic gaps-and-islands on the day axis: a run starts where the
+# previous day either is not adjacent or was not breaching; run id =
+# cumulative start flags; emit per run its span and depth.
+#
+# Determinism: the threshold is exact integer algebra (100 * count * n
+# vs 99 * total - no division at all; the tight 99% line suits the
+# fixture's near-uniform daily volume - production picks its own
+# line, the island machinery is the surface); islands ride exact date
+# arithmetic over the bounded day table.
+#
+# Scale notes (100 TB): one map-side-partial day rollup; every window
+# after it runs on the day-count-sized relation.
+@query(
+    "breach_run_detection",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n FROM d),
+    b AS (
+        SELECT d.day, d.c, 100 * d.c * t.n < 99 * t.tot AS breach
+        FROM d CROSS JOIN t
+    ),
+    fl AS (
+        SELECT day, c, breach,
+               CASE WHEN breach AND (lag(breach) OVER w IS DISTINCT FROM true
+                        OR lag(day) OVER w <> day - INTERVAL 1 DAY)
+                    THEN 1 ELSE 0 END AS run_start
+        FROM b WINDOW w AS (ORDER BY day)
+    ),
+    runs AS (
+        SELECT day, c, breach,
+               sum(run_start) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM fl
+    )
+    SELECT CAST(run_id AS BIGINT) AS run_id,
+           min(day) AS run_start_day,
+           max(day) AS run_end_day,
+           CAST(count(*) AS BIGINT) AS run_days,
+           CAST(min(c) AS BIGINT) AS worst_day_count
+    FROM runs WHERE breach
+    GROUP BY run_id
+    """,
+)
+def breach_run_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    t = d.agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    b = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "c",
+        (100 * F.col("c") * F.col("n") < 99 * F.col("tot")).alias("breach"),
+    )
+    w = W.orderBy("day")
+    run_start = F.when(
+        F.col("breach")
+        & (
+            ~F.coalesce(F.lag("breach").over(w), F.lit(False))
+            | (F.lag("day").over(w) != F.date_sub("day", 1))
+        ),
+        1,
+    ).otherwise(0)
+    fl = b.select("day", "c", "breach", run_start.alias("run_start"))
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = fl.select(
+        "day", "c", "breach", F.sum("run_start").over(w_cum).alias("run_id")
+    )
+    return (
+        runs.where("breach")
+        .groupBy(F.col("run_id").cast("bigint").alias("run_id"))
+        .agg(
+            F.min("day").alias("run_start_day"),
+            F.max("day").alias("run_end_day"),
+            F.count("*").alias("run_days"),
+            F.min("c").cast("bigint").alias("worst_day_count"),
+        )
+    )

@@ -210,6 +210,10 @@ AT_RISK = [
     "cosine_vs_l2_rank_agreement",
     "hash_sample_bias_audit",
     "topk_stability_audit",
+    # 99%-line breach islands on 10x daily volume; quantized moment
+    # correlation on denser degree pairs
+    "breach_run_detection",
+    "degree_assortativity",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
