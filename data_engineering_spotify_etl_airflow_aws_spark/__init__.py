@@ -222,7 +222,8 @@ AUDIT_FIRST: list[str] = [
     #    listagg_priorities_by_segment, cosine_vs_l2_rank_agreement,
     #    hash_sample_bias_audit, topk_stability_audit,
     #    forecast_model_bakeoff, breach_run_detection,
-    #    degree_assortativity).
+    #    degree_assortativity, ivf_cell_balance,
+    #    attribution_window_sweep).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

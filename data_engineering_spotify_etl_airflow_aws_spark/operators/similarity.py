@@ -1967,3 +1967,78 @@ def cosine_vs_l2_rank_agreement(
         .cast("bigint")
         .alias("tau_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance audit: the per-cell population of the IVF index
+# (nearest-centroid assignment, the exact routing ivf_topk_similar
+# uses) plus the global imbalance ratios - the index-health check every
+# ANN deployment runs: a hot cell (max/mean >> 1) dominates probe
+# latency, and empty cells waste nprobe budget. Reuses _ivf_centroid_set
+# and _ivf_argmax verbatim, so the audited assignment IS the assignment
+# the search query executes.
+#
+# Scale notes (100 TB): the centroid set is the bounded broadcast; the
+# assignment is the map-side struct-min combine (N x C pairs never
+# shuffle); cell counts are a bounded 256-key agg and the ratios run on
+# that table.
+@query(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb FROM v
+             ORDER BY {_C_H_DUCK}, vec_id LIMIT {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT a.vec_id, b.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_OCOS} DESC,
+                                b.centroid_id
+                   ) AS rn
+            FROM v a CROSS JOIN cent b
+        ) WHERE rn = 1
+    ),
+    cells AS (
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(max(n_vecs) AS BIGINT) AS mx FROM cells)
+    SELECT c.centroid_id, c.n_vecs,
+           CAST(t.mx AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+               / CAST(t.tot AS DOUBLE) AS imbalance_ratio,
+           CAST({N_CENTROIDS} - t.n_cells AS BIGINT) AS n_empty_cells
+    FROM cells c CROSS JOIN t
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while _IVF_CACHE:
+        _IVF_CACHE.pop().unpersist()
+    v = _emb_n(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _IVF_CACHE.append(v)
+    cent = _ivf_centroid_set(v)
+    assign = _ivf_argmax(cent, v, "vec_id", keep=1)
+    cells = assign.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    t = cells.agg(
+        F.sum("n_vecs").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n_vecs").cast("bigint").alias("mx"),
+    )
+    return cells.crossJoin(F.broadcast(t)).select(
+        "centroid_id",
+        "n_vecs",
+        (
+            F.col("mx").cast("double")
+            * F.col("n_cells").cast("double")
+            / F.col("tot").cast("double")
+        ).alias("imbalance_ratio"),
+        (F.lit(N_CENTROIDS) - F.col("n_cells"))
+        .cast("bigint")
+        .alias("n_empty_cells"),
+    )

@@ -1033,3 +1033,90 @@ def asof_forward_next_purchase(
             (F.col("next_purchase_us") - F.col("click_us")).alias("wait_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window sensitivity sweep: how many purchases get click
+# attribution at EVERY candidate lookback window (1h / 6h / 24h / 72h)
+# from one as-of pass - the sweep marketing runs before committing to a
+# window (asof_join_purchase_click answers one window implicitly; the
+# business question is how the number MOVES as the window widens). Per
+# window: attributed purchases and the attribution share.
+#
+# Determinism: gaps are exact micros off the same union-window as-of
+# device (ties to the largest click id); the window test is integer
+# comparison; shares are single divisions.
+#
+# Scale notes (100 TB): ONE user-keyed as-of pass computes every gap;
+# the sweep is a bounded 4-row conditional aggregation over it - the
+# whole point vs re-running attribution per window.
+_ATTR_WINDOWS_H = (1, 6, 24, 72)
+
+
+@query(
+    "attribution_window_sweep",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    g AS (
+        SELECT p.event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM g)
+    SELECT w.window_hours,
+           CAST(count(*) FILTER (g.gap_us IS NOT NULL
+               AND g.gap_us <= w.window_hours * 3600000000) AS BIGINT)
+               AS n_attributed,
+           CAST(count(*) FILTER (g.gap_us IS NOT NULL
+               AND g.gap_us <= w.window_hours * 3600000000) AS DOUBLE)
+               / CAST(max(t.n_purchases) AS DOUBLE) AS attributed_share
+    FROM g
+    CROSS JOIN (SELECT unnest({list(_ATTR_WINDOWS_H)}) AS window_hours) w
+    CROSS JOIN t
+    GROUP BY w.window_hours
+    """,
+)
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    build = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(probe, build, key="user_id", ts="ts", build_id="click_id")
+    g = j.select(
+        "purchase_id",
+        (F.unix_micros("ts") - F.col("asof_ts_us")).alias("gap_us"),
+    )
+    t = g.agg(F.count("*").cast("bigint").alias("n_purchases"))
+    wins = F.explode(
+        F.array(*[F.lit(h).cast("bigint") for h in _ATTR_WINDOWS_H])
+    ).alias("window_hours")
+    hit = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= F.col("window_hours") * F.lit(3_600_000_000)
+    )
+    return (
+        g.select("gap_us", wins)
+        .crossJoin(F.broadcast(t))
+        .groupBy("window_hours")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_attributed"),
+            (
+                F.count(F.when(hit, 1)).cast("double")
+                / F.max("n_purchases").cast("double")
+            ).alias("attributed_share"),
+        )
+    )

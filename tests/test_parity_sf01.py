@@ -214,6 +214,10 @@ AT_RISK = [
     # correlation on denser degree pairs
     "breach_run_detection",
     "degree_assortativity",
+    # assignment rank ties over 10x vectors; as-of gap boundaries on
+    # 10x purchase volume
+    "ivf_cell_balance",
+    "attribution_window_sweep",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
