@@ -2195,9 +2195,6 @@ def segment_price_quartiles_exact(
 # the moment reduction is a 1-row agg; the adjusted-effect pass reuses
 # the same rollup against the broadcast 1-row moments. The fact table
 # moves once.
-_CUPED_SPLIT_H_S = None  # placeholder replaced below
-
-
 @query(
     "cuped_ab_adjustment",
     oracle="""
