@@ -223,7 +223,8 @@ AUDIT_FIRST: list[str] = [
     #    hash_sample_bias_audit, topk_stability_audit,
     #    forecast_model_bakeoff, breach_run_detection,
     #    degree_assortativity, ivf_cell_balance,
-    #    attribution_window_sweep).
+    #    attribution_window_sweep, intraday_volume_curve,
+    #    user_engagement_grid).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -2116,3 +2116,136 @@ def breach_run_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").cast("bigint").alias("worst_day_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraday volume curve: the average share of a day's event volume that
+# has occurred by each 30-minute slot - the U-curve trade-execution
+# and capacity-planning profile ("by 10:30 we've seen 22% of the day").
+# Computed as total volume per slot ACROSS days divided by the grand
+# total, cumulated over the 48-slot axis - the exact cross-day average
+# profile, no per-day division needed.
+#
+# Determinism: slot identity is integer micro arithmetic; counts exact;
+# the cumulative share is one division per slot row.
+#
+# Scale notes (100 TB): ONE bounded 48-key shuffle with map-side
+# partials; the cumulative window runs over 48 rows.
+@query(
+    "intraday_volume_curve",
+    oracle="""
+    WITH s AS (
+        SELECT (epoch_us(ts) % 86400000000) // 1800000000 AS slot,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM s)
+    SELECT CAST(s.slot AS BIGINT) AS slot,
+           CAST(s.slot * 30 // 60 AS BIGINT) AS hour,
+           s.n AS n_events,
+           CAST(s.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS slot_share,
+           CAST(sum(s.n) OVER (ORDER BY s.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(t.tot AS DOUBLE) AS cum_share
+    FROM s CROSS JOIN t
+    """,
+)
+def intraday_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            ((F.unix_micros("ts") % F.lit(86_400_000_000))
+             / F.lit(1_800_000_000))
+            .cast("bigint")
+            .alias("slot")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    t = s.agg(F.sum("n").cast("bigint").alias("tot"))
+    w = W.orderBy("slot").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("slot").cast("bigint").alias("slot"),
+        F.floor(F.col("slot") * 30 / 60).cast("bigint").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+            "slot_share"
+        ),
+        (
+            F.sum("n").over(w).cast("double") / F.col("tot").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User engagement grid: the bounded 2-D phenotype histogram of
+# (lifetime-span bucket x events-per-active-day bucket) - the
+# segmentation view that separates "long-lived but casual" from
+# "short burst, heavy" users, which 1-D activity stats conflate.
+# Spans and densities are exact integer/date arithmetic; density
+# buckets are integer cuts of events x 10 / active_days (no floats).
+#
+# Scale notes (100 TB): one user-keyed rollup, per-row bucket math,
+# then a bounded grid agg with map-side partials.
+@query(
+    "user_engagement_grid",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               datediff('day', min(CAST(ts AS DATE)),
+                        max(CAST(ts AS DATE))) + 1 AS span_days,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN span_days <= 7 THEN 'week'
+                    WHEN span_days <= 21 THEN 'fortnight+'
+                    ELSE 'month' END AS span_bucket,
+               CASE WHEN n_events * 10 < 15 * active_days THEN 'light'
+                    WHEN n_events * 10 < 40 * active_days THEN 'regular'
+                    ELSE 'heavy' END AS density_bucket,
+               n_events
+        FROM u
+    )
+    SELECT span_bucket, density_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def user_engagement_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+                + 1
+            ).alias("span_days"),
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.to_date("ts")).alias("active_days"),
+        )
+    )
+    span_bucket = (
+        F.when(F.col("span_days") <= 7, "week")
+        .when(F.col("span_days") <= 21, "fortnight+")
+        .otherwise("month")
+    )
+    density_bucket = (
+        F.when(F.col("n_events") * 10 < 15 * F.col("active_days"), "light")
+        .when(F.col("n_events") * 10 < 40 * F.col("active_days"), "regular")
+        .otherwise("heavy")
+    )
+    return (
+        u.select(
+            span_bucket.alias("span_bucket"),
+            density_bucket.alias("density_bucket"),
+            "n_events",
+        )
+        .groupBy("span_bucket", "density_bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )

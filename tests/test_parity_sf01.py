@@ -218,6 +218,8 @@ AT_RISK = [
     # 10x purchase volume
     "ivf_cell_balance",
     "attribution_window_sweep",
+    # density-bucket integer cuts on 10x per-user activity
+    "user_engagement_grid",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
