@@ -4738,3 +4738,83 @@ def topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.lit(_TKS_K) - F.col("n_common"))
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Region-to-region revenue flow matrix: customer region x supplier
+# region revenue - the trade-flow BI matrix (tpch_q7 slices two named
+# nations; this is the full bounded grid). Dims chain region <- nation
+# <- customer/supplier; both lookup chains are bounded dimensions that
+# broadcast; revenue rides exact micro sums.
+#
+# Scale notes (100 TB): the fact joins orders on orderkey (co-keyed)
+# and the two bounded dim chains broadcast; ONE bounded (5 x 5) rollup
+# with map-side partials finishes it.
+@query(
+    "region_flow_matrix",
+    oracle="""
+    SELECT rc.r_name AS cust_region, rs.r_name AS supp_region,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def region_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_micro"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cdim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    sdim = F.broadcast(
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .groupBy("cust_region", "supp_region")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("revenue"),
+        )
+    )

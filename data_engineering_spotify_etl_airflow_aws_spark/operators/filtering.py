@@ -817,3 +817,102 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-quality confounder check: the Pearson correlation between
+# document token length and the quality score - the audit that catches
+# a length-biased quality gate BEFORE it silently reshapes the corpus
+# (this score's 0.4-weight length term guarantees positive r by
+# construction; measuring it quantifies how much of "quality" is just
+# "long", which decides whether the gate needs length stratification).
+#
+# Determinism: both variables are exact micro/count ints; all five
+# moments are exact integer sums; r is one IEEE chain floor-quantized
+# at micro.
+#
+# Scale notes (100 TB): per-row math + a 1-row exact-moment reduction.
+_LQC_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "length_quality_correlation",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(len(toks) AS BIGINT) AS x,
+               CAST(floor((
+                   (0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                          t -> list_contains([{', '.join(
+                              f"'{w}'" for w in _LQC_STOP)}], t)))
+                          AS DOUBLE) / len(toks)))
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks))) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM q
+    )
+    SELECT n,
+           CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS pearson_r_micro
+    FROM m
+    """,
+)
+def length_quality_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    stop_lst = ", ".join(f"'{w}'" for w in _LQC_STOP)
+    q_expr = (
+        f"cast(floor(((0.4 * least(cast(size(t) as double) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - cast(size(filter(t, x -> array_contains("
+        f"array({stop_lst}), x))) as double) / size(t)))"
+        f" + 0.3 * (cast(size(array_distinct(t)) as double) / size(t)))"
+        f" * 1000000 + 0.5) as bigint)"
+    )
+    q = (
+        docs.select(F.expr(toks).alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            F.size("t").cast("bigint").alias("x"),
+            F.expr(q_expr).alias("y"),
+        )
+    )
+    m = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    return m.select(
+        "n",
+        F.floor(cov / F.sqrt(vx * vy) * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("pearson_r_micro"),
+    )

@@ -220,6 +220,8 @@ AT_RISK = [
     "attribution_window_sweep",
     # density-bucket integer cuts on 10x per-user activity
     "user_engagement_grid",
+    # quantized correlation chain on 10x doc moments
+    "length_quality_correlation",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
