@@ -225,7 +225,7 @@ AUDIT_FIRST: list[str] = [
     #    degree_assortativity, ivf_cell_balance,
     #    attribution_window_sweep, intraday_volume_curve,
     #    user_engagement_grid, region_flow_matrix,
-    #    length_quality_correlation).
+    #    length_quality_correlation, welch_t_weekend_effect).
     #    All hold green local parity at sf0.01; they take round 7's
     #    first slots (never-audited outranks rotation), ahead of the
     #    r3/r4 rotation blocks listed above.

@@ -3014,3 +3014,119 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ae_mean") < F.col("ae_naive")).alias("is_winner"),
     )
     return naive.unionByName(mean)
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t: does the weekend value distribution differ from
+# weekdays? Unequal-variance t statistic with Welch-Satterthwaite
+# degrees of freedom - completing the two-sample toolkit (z-test on
+# proportions, KS on shapes; Welch t is the means workhorse when
+# variances differ, which weekend/weekday loads usually do).
+#
+# Determinism: per-group moments are exact micro-int sums; t and df are
+# mirrored IEEE chains on the exact-sum-derived doubles, floor-
+# quantized at micro.
+#
+# Scale notes (100 TB): ONE 2-key shuffle with map-side partial
+# moments; the statistic is a 1-row computation.
+@query(
+    "welch_t_weekend_effect",
+    oracle="""
+    WITH g AS (
+        SELECT isodow(CAST(ts AS DATE)) >= 6 AS is_weekend,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s1,
+               CAST(sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                   AS HUGEINT) * CAST(floor(value * 1000000 + 0.5)
+                   AS BIGINT)) AS HUGEINT) AS s2
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT is_weekend, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+        FROM g
+    ),
+    p AS (
+        SELECT w.n AS n_w, d.n AS n_d,
+               w.mean AS mean_w, d.mean AS mean_d,
+               w.var / w.n AS vw, d.var / d.n AS vd
+        FROM (SELECT * FROM m WHERE is_weekend) w
+        CROSS JOIN (SELECT * FROM m WHERE NOT is_weekend) d
+    )
+    SELECT n_w AS n_weekend, n_d AS n_weekday,
+           floor((mean_w - mean_d) / 1000000 * 1000000 + 0.5) / 1000000
+               AS mean_diff,
+           floor((mean_w - mean_d) / sqrt(vw + vd) * 1000000 + 0.5)
+               / 1000000 AS t_stat,
+           floor((vw + vd) * (vw + vd)
+                 / (vw * vw / (n_w - 1) + vd * vd / (n_d - 1))
+                 * 1000000 + 0.5) / 1000000 AS welch_df
+    FROM p
+    """,
+)
+def welch_t_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(((F.weekday("ts") + 1) >= 6).alias("is_weekend"), vm.alias("v"))
+        .groupBy("is_weekend")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(38,0)").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)")
+                * F.col("v").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m = g.select(
+        "is_weekend",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("var"),
+    )
+    w = m.where("is_weekend").select(
+        F.col("n").alias("n_w"),
+        F.col("mean").alias("mean_w"),
+        (F.col("var") / F.col("n")).alias("vw"),
+    )
+    d = m.where(~F.col("is_weekend")).select(
+        F.col("n").alias("n_d"),
+        F.col("mean").alias("mean_d"),
+        (F.col("var") / F.col("n")).alias("vd"),
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    return w.crossJoin(d).select(
+        F.col("n_w").alias("n_weekend"),
+        F.col("n_d").alias("n_weekday"),
+        q6((F.col("mean_w") - F.col("mean_d")) / F.lit(1_000_000)).alias(
+            "mean_diff"
+        ),
+        q6(
+            (F.col("mean_w") - F.col("mean_d"))
+            / F.sqrt(F.col("vw") + F.col("vd"))
+        ).alias("t_stat"),
+        q6(
+            (F.col("vw") + F.col("vd"))
+            * (F.col("vw") + F.col("vd"))
+            / (
+                F.col("vw") * F.col("vw") / (F.col("n_w") - 1).cast("double")
+                + F.col("vd") * F.col("vd") / (F.col("n_d") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )

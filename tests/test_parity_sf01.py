@@ -222,6 +222,8 @@ AT_RISK = [
     "user_engagement_grid",
     # quantized correlation chain on 10x doc moments
     "length_quality_correlation",
+    # t/df quantization on 10x group moments
+    "welch_t_weekend_effect",
     "pagerank_trade_graph",
     "zorder_box_scan",
     "scd2_point_in_time_join",
