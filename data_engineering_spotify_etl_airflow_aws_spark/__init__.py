@@ -23,219 +23,76 @@ __version__ = "0.1.0"
 
 # The round driver audits only the FIRST 50 registered queries
 # (row-count + schema + value-hash vs the DuckDB oracle); the rest get
-# only the local parity suite. This list pins those 50 slots explicitly.
-# Priority order for a slot: (1) queries that have NEVER had a driver
-# audit, (2) queries whose implementation or oracle changed since their
-# last green audit, (3) evidence rotation, oldest green generation
-# first. Every query NOT listed here was hash-verified green in
-# CORRECTNESS_r04.json or CORRECTNESS_r05.json and is unchanged since
-# (local oracle parity re-checks them each run regardless); they take
-# the tail in their original registration order. After this round the
-# stale evidence left is the r4-generation block plus ten r3-evidence
-# queries displaced by this round's 41 new operators (both sets listed
-# in the comments below) - they rotate oldest-first in round 7.
-AUDIT_FIRST: list[str] = [
-    # -- never driver-audited: the six round-5 operators (round-5
-    #    verdict #1 - these take the first slots, before anything else).
-    #    kmeans/cohort/incremental audit the ROUND-6 FIXED plans: fixed-
-    #    count K=256 hash-order seeds, no per-user broadcast hint,
-    #    union-merge instead of full-outer join.
-    "kmeans_embedding_clusters",
-    "incremental_agg_refresh",
-    "time_weighted_avg_value",
-    "cohort_daily_retention",
-    "fuzzy_name_matches",
-    "sample_exact_k_per_lang",
-    # -- changed this round, must re-audit: the similarity query set and
-    #    IVF centroid set moved from the fractional %50 rule (grows as
-    #    N/50 - the round-5 scale bug) to fixed-count md5-hash-order
-    #    picks (64 queries / 256 centroids), and IVF now broadcasts the
-    #    bounded query set instead of an O(N) projection.
-    "topk_similar_per_query",
-    "ivf_topk_similar",
-    # -- never driver-audited: the twenty round-6 additions (registered
-    #    this round, so they take slots ahead of rotation per the same
-    #    rule that front-loaded the round-5 six above)
-    "lang_temperature_resample",
-    "max_concurrent_per_user",
-    "value_zscore_outliers",
-    "skew_salted_join_agg",
-    "bucketed_colocated_join",
-    "stream_static_enrich",
-    "corrupt_json_recovery",
-    "dynamic_partition_pruned_join",
-    "dq_constraint_violations",
-    "snapshot_diff_orders",
-    "table_profile_orders",
-    "stream_foreachbatch_upsert",
-    "funnel_view_click_purchase",
+# only the local parity suite. Since round 7 the 50-slot window is
+# COMPUTED, not hand-listed (round-6 verdict #6): _compute_audit_first()
+# below derives it from the generated audit ledger
+# (audit_ledger.py, regenerated per round by tools/gen_audit_ledger.py
+# from the driver's CORRECTNESS_r*.json history) under the standing
+# priority rule:
+#   1. PIN_FIRST - queries whose implementation or oracle CHANGED since
+#      their last audit (the only hand-maintained input; reset each
+#      round). A previously-FAILED query that was just fixed belongs
+#      here so its re-audit lands in a deterministic slot.
+#   2. never-audited - no green driver row in any CORRECTNESS file,
+#      ordered by blast radius (module priority below), then
+#      registration order.
+#   3. evidence rotation - oldest green round first, then registration
+#      order.
+# load_all_operators() fills AUDIT_FIRST in place and reorders the
+# registry so the driver's first-50 window IS this list.
+AUDIT_FIRST: list[str] = []
+
+AUDIT_WINDOW = 50
+
+# Round 7: the two round-6 CORRECTNESS fails, fixed this round
+# (array-typed output columns -> scalar CSV contract).
+PIN_FIRST: list[str] = [
     "term_posting_lists",
-    "stream_left_join_click_purchase",
-    "daily_value_correlation",
-    "orders_table_checksum",
-    "positional_csv_load",
-    "hard_negative_mining",
-    "vocab_oov_rate",
-    # -- never driver-audited: ten more round-6 additions (ANN recall
-    #    eval, rolling re-arm dedup, train/val/test hash split, schema
-    #    evolution union, OHLC downsample, nested export, HLL sketch
-    #    rollup, PageRank, Z-order box scan, SCD2 point-in-time join).
-    #    New queries outrank rotation, so these take ten of the
-    #    r3-rotation slots; the displaced queries stay on their r3
-    #    driver evidence + per-round local parity (see the rotation
-    #    comment below).
-    "ann_recall_eval",
-    "dedup_rolling_window",
-    "hash_split_assignment",
-    "schema_evolution_union",
-    "ohlc_downsample",
     "orders_nested_export",
-    "sketch_rollup_users",
-    "pagerank_trade_graph",
-    "zorder_box_scan",
-    "scd2_point_in_time_join",
-    # -- evidence rotation: 1 of the 11 queries whose latest green
-    #    driver row is the r3 data generation (round-5 verdict "what's
-    #    missing" #2), oldest-evidence-first. The ten displaced by the
-    #    new ops above (point_lookup_series, dedup_earliest_survivor,
-    #    lang_id_stopword, doc_fingerprints, token_ngram_vocab,
-    #    ts_gap_fill, label_centroids, corpus_curation_stats,
-    #    scd2_user_value_history, latest_order_per_segment) rotate
-    #    first in round 7.
-    "session_window_agg",
-    # -- never driver-audited: the eleven late-round-6 additions (TPC-H
-    #    Q6/Q10/Q14/Q15/Q18/Q19/Q22 analogs + GDPR cascade delete +
-    #    range-clustered scan + embedding dim stats + length-bucket
-    #    batching). New queries outrank rotation, so the r4-generation
-    #    rotation block (including the reference-surface core
-    #    star_songs_fact/q1-q4/rest_api_songs/streaming_ingest_songs/
-    #    partitioned_roundtrip_prune/song_added_tz_roundtrip/
-    #    star_join_agg, plus tpch_q3_shipping_priority,
-    #    tpch_q5_local_supplier_volume, ngram_jaccard_near_dup,
-    #    minhash_lsh_near_dup, embedding_near_dup_pairs,
-    #    asof_join_purchase_click, promo_range_join,
-    #    stratified_sample_docs, pack_token_sequences, pii_scrub_docs,
-    #    doc_repetition_stats, ntile_price_deciles, except_small_orders,
-    #    grouping_sets_seg_nation, percent_rank_acctbal,
-    #    doc_length_histogram, rolling_value_7d, orders_above_cust_avg,
-    #    event_transition_counts, unpivot_part_metrics,
-    #    median_mode_by_status, props_json_stats,
-    #    cume_dist_price_quartiles, user_event_type_profile) rotates in
-    #    round 7 - all of it is hash-green on r4 data with code
-    #    unchanged since, and local parity re-proves it each run.
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_balance",
-    "cascade_delete_users",
-    "range_clustered_scan",
-    "embedding_dim_stats",
-    "length_bucket_batching",
-    # -- registered AFTER this 50-slot window was already full of
-    #    never-audited round-6 queries: the TPC-H completion batch
-    #    (tpch.py: q2/q4/q7/q8/q9/q11/q12/q13/q16/q17/q20/q21), the
-    #    sketch/fold batch (pq_encode_embeddings, cm_heavy_hitters,
-    #    cross_source_ngram_overlap, ema_user_value), the analytics/ADC
-    #    batch (market_basket_part_pairs, ab_conversion_ztest,
-    #    pq_adc_recall_eval), the sequence/session batch
-    #    (event_path_trigrams, bpe_pair_counts, session_bounce_rate),
-    #    the composed search (ivfpq_topk_similar), the analytics
-    #    stats (mad_outlier_gate, fulfillment_latency_stats,
-    #    rfm_customer_segments), and the statistics batch
-    #    (autocorr_daily_value, seasonal_naive_error,
-    #    winsorized_stats_by_type, target_encoding_segment,
-    #    skew_profile_orders, pmi_lang_source), and the ML-prep batch
-    #    (bm25_doc_ranking, feature_hash_counts, weighted_sample_docs,
-    #    knn_label_accuracy, bloom_filter_semi_join,
-    #    unigram_logprob_filter, daily_trend_ols,
-    #    cusum_changepoint_daily, dow_seasonality_profile,
-    #    benford_first_digit, orc_roundtrip_agg, supplier_recs_fof,
-    #    rate_limit_flags, dow_adjusted_anomaly_days,
-    #    stream_rate_limit_flags), and the insights batches
-    #    (triangle_count_parts, gini_customer_value,
-    #    kl_divergence_source_lang, item_item_recs,
-    #    last_touch_attribution, user_activity_streaks,
-    #    reciprocal_rank_fusion, dau_mau_stickiness,
-    #    auc_click_propensity, multi_touch_attribution,
-    #    hhi_supplier_concentration, trending_parts_decayed,
-    #    stream_rest_api_songs, kmv_user_overlap, compact_small_files,
-    #    psi_value_drift, column_entropy_profile, time_to_convert_hours,
-    #    calibration_curve_clicks, new_vs_returning_daily,
-    #    repeat_purchase_gap_days, abc_classification_parts,
-    #    rollup_share_of_parent, daily_value_percentile_bands,
-    #    cumulative_reach_daily, lexical_complexity_scores,
-    #    order_backlog_daily, retention_by_age, zipf_token_slope,
-    #    growth_accounting_daily, assoc_rules_lift,
-    #    chi_square_lang_source, holt_linear_forecast,
-    #    pareto_frontier_orders, khop_part_reach,
-    #    multimodal_phash_near_dup, matryoshka_recall_eval,
-    #    replica_bucket_reconcile, weekly_active_users,
-    #    near_dup_recall_eval, watermark_delay_profile,
-    #    incremental_lsh_dedup, skew_key_profile,
-    #    semdedup_embedding_prune, embedding_covariance_matrix,
-    #    user_value_trend_slopes, max_drawdown_per_user,
-    #    retractable_agg_refresh, join_cardinality_profile,
-    #    containment_near_dup, ks_test_click_vs_purchase,
-    #    fd_violation_profile, bootstrap_ci_event_value,
-    #    nested_subsample_curve, pca_power_iteration,
-    #    topk_plus_other_parts, event_type_gram_matrix,
-    #    freshness_sla_by_type, embedding_centroid_drift,
-    #    late_data_restatement, cdc_changelog_compaction,
-    #    rollup_lattice_profile, trailing_7d_sum_per_event,
-    #    interarrival_stats_by_type, churn_label_generation,
-    #    simhash_hamming_pairs, macro_session_rollup,
-    #    k_anonymity_profile, negative_sampling_recs,
-    #    dup_ngram_span_share, label_propagation_communities,
-    #    recsys_holdout_eval, logodds_distinctive_terms,
-    #    rank_movers_wow, stream_full_join_click_purchase,
-    #    l_diversity_profile, decile_lift_table,
-    #    sre_error_budget_burn, order_header_reconcile,
-    #    heaps_law_curve, simplified_silhouette_by_label,
-    #    interval_union_coverage, user_event_bitmask_segments,
-    #    feature_store_training_set, bigram_pmi_collocations,
-    #    ewma_control_chart, golden_doc_selection,
-    #    stl_daily_decomposition, asof_forward_next_purchase,
-    #    lateral_topk_per_nation, business_day_latency,
-    #    near_dup_removal_impact, near_dup_threshold_sweep,
-    #    quality_pruning_curve, bpe_apply_top_merge,
-    #    char_entropy_gate, discount_elasticity_profile,
-    #    except_all_priorities, price_volume_mix_bridge,
-    #    diurnal_circular_profile, degree_powerlaw_check,
-    #    session_type_affinity, error_burst_peaks,
-    #    order_shipping_span, weighted_median_price_by_brand,
-    #    part_adoption_speed, lang_id_confusion,
-    #    map_type_roundtrip_shares, calendar_dim_generation,
-    #    segment_price_quartiles_exact, cuped_ab_adjustment,
-    #    ltv_by_order_index, basket_size_dispersion,
-    #    binseg_changepoints, duplicate_payment_candidates,
-    #    embedding_anisotropy, vocab_coverage_curve,
-    #    relational_division_parts_all_years,
-    #    temporal_consistency_audit, tfidf_cosine_pairs,
-    #    skewness_kurtosis_by_type, wilson_ci_daily_purchase,
-    #    chisq_residual_heatmap, source_mixture_weights,
-    #    shard_balance_audit, curriculum_stage_assignment,
-    #    time_hierarchy_rollup, return_rate_by_brand,
-    #    pivot_multi_agg_profile, cohort_ltv_matrix,
-    #    listagg_priorities_by_segment, cosine_vs_l2_rank_agreement,
-    #    hash_sample_bias_audit, topk_stability_audit,
-    #    forecast_model_bakeoff, breach_run_detection,
-    #    degree_assortativity, ivf_cell_balance,
-    #    attribution_window_sweep, intraday_volume_curve,
-    #    user_engagement_grid, region_flow_matrix,
-    #    length_quality_correlation, welch_t_weekend_effect).
-    #    All hold green local parity at sf0.01; they take round 7's
-    #    first slots (never-audited outranks rotation), ahead of the
-    #    r3/r4 rotation blocks listed above.
 ]
+
+# Blast-radius ordering for the never-audited class (round-6 verdict
+# #3): the TPC-H completion batch carries the suite's headline
+# relational claims, then the PQ/ADC/IVF-PQ similarity family, then the
+# streaming joins/stateful ops, then the statistics batches; everything
+# else follows in registration order.
+_MODULE_PRIORITY: dict[str, int] = {
+    "tpch": 0,
+    "similarity": 1,
+    "joins": 2,
+    "stateful": 2,
+    "statistics": 3,
+}
+
+
+def _compute_audit_first(queries: dict) -> list[str]:
+    from .audit_ledger import LAST_GREEN_AUDIT
+
+    names = list(queries)
+    reg_order = {n: i for i, n in enumerate(names)}
+
+    def bucket(n: str) -> int:
+        mod = queries[n].__module__.rsplit(".", 1)[-1]
+        return _MODULE_PRIORITY.get(mod, 99)
+
+    pinned = [n for n in PIN_FIRST if n in queries]
+    rest = [n for n in names if n not in pinned]
+    never = sorted(
+        (n for n in rest if n not in LAST_GREEN_AUDIT),
+        key=lambda n: (bucket(n), reg_order[n]),
+    )
+    rotation = sorted(
+        (n for n in rest if n in LAST_GREEN_AUDIT),
+        key=lambda n: (LAST_GREEN_AUDIT[n], reg_order[n]),
+    )
+    return (pinned + never + rotation)[:AUDIT_WINDOW]
 
 
 def load_all_operators() -> None:
     """Import every operator module so its @query registrations land in
-    the central registry, then pin the driver's 50-query audit window to
-    AUDIT_FIRST (tail keeps original registration order). Idempotent."""
+    the central registry, then compute the driver's 50-query audit window
+    from the audit ledger and pin it by reordering the registry (tail
+    keeps original registration order). Idempotent."""
     from .pipeline import transforms, sql_api  # noqa: F401
     from .sources import csv_source, json_recovery, rest_api  # noqa: F401
     from .sources import rest_api_stream  # noqa: F401
@@ -267,9 +124,10 @@ def load_all_operators() -> None:
 
     from .registry import ORACLES, QUERIES
 
-    missing = [n for n in AUDIT_FIRST if n not in QUERIES]
+    missing = [n for n in PIN_FIRST if n not in QUERIES]
     if missing:
-        raise RuntimeError(f"AUDIT_FIRST names unknown queries: {missing}")
+        raise RuntimeError(f"PIN_FIRST names unknown queries: {missing}")
+    AUDIT_FIRST[:] = _compute_audit_first(QUERIES)
     rank = {n: i for i, n in enumerate(AUDIT_FIRST)}
     tail = [n for n in QUERIES if n not in rank]
     ordered = AUDIT_FIRST + tail

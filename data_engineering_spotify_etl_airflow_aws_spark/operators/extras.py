@@ -1780,7 +1780,9 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Denormalized nested export: collapse the orders->lineitem one-to-many
-# into one row per order carrying its line set as a SORTED array - the
+# into one row per order carrying its line set as a sorted CSV string
+# (the REGISTERED contract is scalar-only: the driver canonicalizer
+# cannot hash array cells - the r6 fail; keep arrays internal) - the
 # document-store / API-export shape (and the write side of the
 # reference's raw-JSON sink, K1, at entity granularity). collect_list
 # inside a groupBy(orderkey) is safe here by CONSTRUCTION, not luck: the
@@ -1796,7 +1798,8 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o.o_orderkey AS orderkey,
            any_value(o.o_orderstatus) AS orderstatus,
-           list_sort(list(l.l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l.l_linenumber)), ',')
+               AS line_numbers_csv,
            count(*) AS n_lines,
            {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}
                AS order_revenue
@@ -1821,7 +1824,12 @@ def orders_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(
             F.any_value(F.col("o_orderstatus")).alias("orderstatus"),
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("line_numbers_csv"),
             F.count("*").alias("n_lines"),
             dsum(disc_price, scale=4, alias="order_revenue"),
         )

@@ -859,8 +859,16 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_encode_embeddings", oracle=_pq_oracle())
-def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Array-form oracle SQL for the PQ code table: embedded by the ADC /
+# IVF-PQ oracles (which unnest pq_code); the REGISTERED oracle below
+# wraps it into the scalar-CSV contract (the driver canonicalizer
+# cannot hash array cells - the r6 term_posting_lists fail class).
+_PQ_ENCODE_ARRAY_SQL = _pq_oracle()
+
+
+def _pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array-form PQ encoder: (vec_id, pq_code array<int>,
+    err_micro). ADC/IVF-PQ consume this; the registered query wraps it."""
     from ..tables import widen_small_scan
 
     v = widen_small_scan(_emb(spark, sf_dir))
@@ -889,6 +897,28 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(err * F.lit(1_000_000) + F.lit(0.5)).cast("bigint").alias(
             "err_micro"
         ),
+    )
+
+
+@query(
+    "pq_encode_embeddings",
+    oracle=f"""
+    WITH pq AS ({_PQ_ENCODE_ARRAY_SQL})
+    SELECT vec_id,
+           array_to_string(pq_code, ',') AS pq_code_csv,
+           err_micro
+    FROM pq
+    """,
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered contract: the per-vector PQ code as a scalar CSV (codes
+    are subspace-ordered, so the join is positional and deterministic)."""
+    return _pq_encode(spark, sf_dir).select(
+        "vec_id",
+        F.array_join(F.col("pq_code").cast("array<string>"), ",").alias(
+            "pq_code_csv"
+        ),
+        "err_micro",
     )
 
 
@@ -926,14 +956,12 @@ _ADC_K = 5
 # IVF-PQ composition after it): one definition of the query set, the
 # codebook, the per-query LUT, and the exploded candidate codes.
 def _adc_shared_ctes() -> str:
-    from ..registry import ORACLES as _O
-
     lut_dist = (
         "list_sum(list_transform(range(1, 9), "
         "i -> (q.emb[m * 8 + i] - c.emb[m * 8 + i])"
         " * (q.emb[m * 8 + i] - c.emb[m * 8 + i])))"
     )
-    return f"""pq AS ({_O["pq_encode_embeddings"]}),
+    return f"""pq AS ({_PQ_ENCODE_ARRAY_SQL}),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     q AS (SELECT vec_id AS query_id, emb FROM v
           ORDER BY {_Q_H_DUCK.replace("vec_id", "v.vec_id")}, v.vec_id
@@ -1050,7 +1078,7 @@ def _cand_code_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cand_id, m, code): each vector's stored PQ code exploded to one
     row per subspace — narrow ints, no vectors."""
     return (
-        pq_encode_embeddings(spark, sf_dir)
+        _pq_encode(spark, sf_dir)
         .select(
             F.col("vec_id").alias("cand_id"),
             F.posexplode("pq_code").alias("m", "code"),

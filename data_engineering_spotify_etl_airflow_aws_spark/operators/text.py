@@ -307,13 +307,16 @@ _POSTING_MIN_DF = 20
     )
     SELECT term,
            count(*) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
     FROM tok GROUP BY term
     HAVING count(*) >= {_POSTING_MIN_DF}
     ORDER BY term
     """,
 )
 def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output contract is a scalar CSV, not array<string>: the driver's
+    # pandas canonicalizer cannot sort/hash list cells (r6 fail). Same
+    # device as user_event_type_profile's types_csv.
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
@@ -322,7 +325,9 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")), ","
+            ).alias("postings_csv"),
         )
         .where(F.col("df") >= _POSTING_MIN_DF)
         # no output sort: driver hash is order-insensitive

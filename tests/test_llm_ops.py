@@ -508,9 +508,10 @@ def test_pq_codes_in_range_and_codebook_reconstructs_exactly(spark):
     from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
         _PQ_K,
         _PQ_M,
+        _pq_encode,
     )
 
-    df = registry.QUERIES["pq_encode_embeddings"](spark, SF_CORRECT)
+    df = _pq_encode(spark, SF_CORRECT)
     stats = df.select(
         F.count("*").alias("n"),
         F.min(F.array_min("pq_code")).alias("cmin"),

@@ -153,11 +153,39 @@ def test_oracle_parity(name, spark, duck_correct):
 
 def test_audit_window_pinned():
     """The driver hash-audits only the first 50 registered queries; the
-    reference-parity surface, changed-since-last-audit queries, and new
-    operators must hold those slots (round-2 VERDICT item #1)."""
-    assert len(engine.AUDIT_FIRST) == 50
+    computed window (changed > never-audited > oldest-evidence) must hold
+    those slots (round-2 VERDICT item #1, rule computed since round 7)."""
+    assert len(engine.AUDIT_FIRST) == engine.AUDIT_WINDOW == 50
     names = list(registry.QUERIES)
     assert names[: len(engine.AUDIT_FIRST)] == engine.AUDIT_FIRST
+    # PIN_FIRST (changed-this-round) heads the window deterministically.
+    assert engine.AUDIT_FIRST[: len(engine.PIN_FIRST)] == engine.PIN_FIRST
+
+
+def test_audit_ledger_is_fresh():
+    """audit_ledger.py is GENERATED from the CORRECTNESS_r*.json history;
+    a stale checked-in ledger would silently mis-rotate audit slots, so
+    assert it matches a fresh scan (round-6 VERDICT item #6)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_audit_ledger", os.path.join(repo, "tools", "gen_audit_ledger.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    from data_engineering_spotify_etl_airflow_aws_spark.audit_ledger import (
+        LAST_GREEN_AUDIT,
+    )
+
+    assert LAST_GREEN_AUDIT == gen.scan_last_green(repo), (
+        "audit_ledger.py is stale: rerun python tools/gen_audit_ledger.py"
+    )
+    # Ledger names must be real queries (dead entries mask rotation).
+    unknown = set(LAST_GREEN_AUDIT) - set(registry.QUERIES)
+    assert not unknown, f"ledger names unregistered queries: {unknown}"
 
 
 def test_rows_only_queries_run(spark):

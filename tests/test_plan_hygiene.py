@@ -22,6 +22,7 @@ this sweep doubles as a cheap end-to-end smoke at sf0.001.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 import data_engineering_spotify_etl_airflow_aws_spark as engine
 from data_engineering_spotify_etl_airflow_aws_spark import plans, registry
@@ -36,6 +37,24 @@ _FORBIDDEN = ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_no_forbidden_plan_nodes(name, spark):
     df = registry.QUERIES[name](spark, SF_SMOKE)
+
+    # Output-contract guard (round-6 verdict #2): the driver's pandas
+    # canonicalizer sorts/hashes cell values, so a top-level ArrayType/
+    # MapType/StructType column is an automatic CORRECTNESS fail
+    # (`unhashable type: 'list'` - how term_posting_lists and
+    # orders_nested_export shipped red in r6 while local parity, which
+    # tuple-ized lists, stayed green). Registered outputs must be
+    # scalar-only; keep complex types internal and emit array_join/CSV.
+    complex_cols = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    }
+    assert not complex_cols, (
+        f"{name}: registered output has non-scalar top-level columns "
+        f"{complex_cols}; the driver canonicalizer cannot hash them"
+    )
+
     plan = plans.executed_plan(df)
     hits = [node for node in _FORBIDDEN if node in plan]
     assert not hits, f"{name}: forbidden plan node(s) {hits}\n{plan[:2000]}"
