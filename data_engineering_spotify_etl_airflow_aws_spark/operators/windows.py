@@ -1691,7 +1691,7 @@ def macro_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN max(e) OVER (
                         PARTITION BY user_id ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -1699,9 +1699,12 @@ def macro_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM iv
     ),
     isl AS (
+        -- same (s, event_id) TOTAL order as the flag window: an s-tie
+        -- row sorting differently here could attach to the wrong island
+        -- and merge disjoint islands (round-6 ADVICE)
         SELECT user_id, s, e,
                sum(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS island_id
         FROM flagged
@@ -1736,15 +1739,19 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
         .otherwise(1)
         .alias("new_island"),
     )
+    # Same (s, event_id) TOTAL order as the flag window above: ordering
+    # the cumulative sum by (s, e) instead let an s-tie row sort before
+    # its island's flag row and inherit the prior island (r6 ADVICE).
     w_cum = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     isl = flagged.select(
@@ -1786,15 +1793,19 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
     ),
     s AS (
-        SELECT user_id, event_type, us,
+        SELECT user_id, event_id, event_type, us,
                CASE WHEN lag(us) OVER w IS NULL
                          OR us - lag(us) OVER w > {_MICRO_GAP_US}
                     THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ),
     sid AS (
+        -- same (us, event_id) TOTAL order as the flag window: an
+        -- us-tie row sorting differently here could be summed before
+        -- its session's flag row and inherit the previous session id
+        -- despite a >gap boundary (round-6 ADVICE)
         SELECT user_id, event_type,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_type
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM s
     ),
@@ -1840,10 +1851,15 @@ def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
     )
-    s = e.select("user_id", "event_type", "us", new_s.alias("new_s"))
+    s = e.select(
+        "user_id", "event_id", "event_type", "us", new_s.alias("new_s")
+    )
+    # Same (us, event_id) TOTAL order as the flag window w1 (r6 ADVICE:
+    # (us, event_type) was not a total order and could mis-assign
+    # same-timestamp ties across a session boundary).
     wc = (
         W.partitionBy("user_id")
-        .orderBy("us", "event_type")
+        .orderBy("us", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     st = (

@@ -62,6 +62,21 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_mem() -> str:
+    """Half of MemAvailable clamped to [2g, 8g]. 8g measured best on the
+    128 GiB round host (see the sizing note below); hosts with less RAM
+    get a launchable default instead of a hard 8g that may fail or swap."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(8, avail_gib // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "spotify-analytics-engine",
     shuffle_partitions: int | str | None = None,
@@ -85,9 +100,13 @@ def get_spark(
         # that launches the JVM; a pre-existing session (the round
         # driver's) keeps its own sizing, which apply_runtime_confs
         # tolerates.
+        # Default derives from host memory (half of available, clamped to
+        # [2g, 8g]) so constrained CI hosts don't need to discover the
+        # SPARK_GRAFT_DRIVER_MEM override by JVM launch failure (r6
+        # ADVICE); the env var still wins when set.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")

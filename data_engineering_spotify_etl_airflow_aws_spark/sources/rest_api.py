@@ -24,6 +24,13 @@ Two transports:
 Rows are emitted as (scrape_date, rank, item<added_at, track>) - already
 positionally ranked (X1) because pagination order IS chart order and must
 be captured before any shuffle can reorder it.
+
+Bench note (r6 regression, measured r7): the r6 suite time of 2.14 s at
+sf0.1 is NOT the source - warm in-session runs measure 0.86-1.08 s
+(inside r5's 1.27 s). The delta is suite-position cost: the bench warms
+the Python DataSource worker pool up front, but 334 queries now run
+between that warmup and this query's alphabetical slot, so the measured
+run re-pays Python-worker spin-up/churn. Source code unchanged since r5.
 """
 
 from __future__ import annotations

@@ -558,9 +558,13 @@ def test_item_item_recs_top3_prunes_map_side(spark):
     has_partial = any(
         "WindowGroupLimit" in l and "Partial" in l for l in lines
     )
-    assert has_partial or "Exchange hashpartitioning(part_key" not in final, (
-        final[:2000]
-    )
+    if not has_partial:
+        # Accept ONLY the intended alternative: no part_key exchange
+        # because AQE broadcast the candidate side. Requiring the
+        # BroadcastHashJoin too keeps an unrelated plan change that
+        # merely drops both nodes from passing silently (r6 ADVICE).
+        assert "Exchange hashpartitioning(part_key" not in final, final[:2000]
+        assert "BroadcastHashJoin" in final, final[:2000]
 
 
 def test_repeat_purchase_filter_pushes_to_scan(spark):
