@@ -44,11 +44,17 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 7: the two round-6 CORRECTNESS fails, fixed this round
-# (array-typed output columns -> scalar CSV contract).
+# Round 7 changed set: the two round-6 CORRECTNESS fails plus
+# pq_encode_embeddings (all three: array-typed output columns -> scalar
+# CSV contract), the two tie-ordering window fixes (r6 ADVICE), and the
+# fixed-count eval-panel cap on recsys_holdout_eval (r6 stretch item).
 PIN_FIRST: list[str] = [
     "term_posting_lists",
     "orders_nested_export",
+    "pq_encode_embeddings",
+    "session_type_affinity",
+    "interval_union_coverage",
+    "recsys_holdout_eval",
 ]
 
 # Blast-radius ordering for the never-audited class (round-6 verdict
