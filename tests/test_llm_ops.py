@@ -674,3 +674,75 @@ def test_ivfpq_rank_contract_and_candidate_subset(spark):
         micros = [r.adc_micro for r in rs]
         assert all(m >= 0 for m in micros)
         assert micros == sorted(micros)
+
+
+def _write_events(spark, td, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)."""
+    spark.createDataFrame(
+        list(rows),
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+        "event_type", "value",
+    ).write.mode("overwrite").parquet(f"{td}/events.parquet")
+
+
+def test_interval_union_islands_correct_on_ts_ties(spark):
+    """Same-start-tie regression (r6 ADVICE): two intervals starting at
+    the identical microsecond, where the interval with the SMALLER end
+    has the LARGER event_id. The island-id cumulative sum must use the
+    same (s, event_id) total order as the flag window; the old (s, e)
+    order summed the tied flag-0 row first, attached it to the PREVIOUS
+    island, and merged two disjoint islands (covered_us 300s, not 180s).
+
+    Fixture (minutes; interval length = 1 + floor(|value|) % 60):
+      id=1 t=0  v=0 -> [0, 1m)     island 1
+      id=2 t=2m v=1 -> [2m, 4m)    island 2 starts (flag row of the tie)
+      id=3 t=2m v=0 -> [2m, 3m)    tie; inside island 2
+    """
+    import tempfile
+
+    minute_us = 60_000_000
+    rows = [
+        (1, 0 * minute_us, 7, "click", 0.0),
+        (2, 2 * minute_us, 7, "click", 1.0),
+        (3, 2 * minute_us, 7, "click", 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = registry.QUERIES["interval_union_coverage"](spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_islands"] == 2, r
+    assert r["covered_us"] == 3 * minute_us, r  # 1m + 2m, NOT 5m merged
+    assert r["longest_us"] == 2 * minute_us, r
+
+
+def test_session_type_affinity_tie_at_session_boundary(spark):
+    """Same-timestamp-tie regression (r6 ADVICE): two events tie at a
+    session boundary and their event_type order is OPPOSITE their
+    event_id order. The session-id cumulative sum must use the same
+    (us, event_id) total order as the gap-flag window; the old
+    (us, event_type) order summed 'purchase' (flag 0) before 'view'
+    (the flag row), pulling it into the PREVIOUS session and reporting
+    a phantom (click, purchase) co-occurrence.
+
+    Fixture: click at t=0; then >30-min gap; view (id=2) and purchase
+    (id=3) tie at t=31m -> sessions {click}, {purchase, view}; the only
+    pair is (purchase, view) with lift (1/2)/((1/2)*(1/2)) = 2."""
+    import tempfile
+
+    minute_us = 60_000_000
+    rows = [
+        (1, 0 * minute_us, 7, "click", 0.0),
+        (2, 31 * minute_us, 7, "view", 0.0),
+        (3, 31 * minute_us, 7, "purchase", 0.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, td, rows)
+        out = registry.QUERIES["session_type_affinity"](spark, td).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["a"], r["b"], r["n_ab"]) == ("purchase", "view", 1), out
+    assert r["lift"] == 2.0, out
