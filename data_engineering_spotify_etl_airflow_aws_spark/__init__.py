@@ -25,14 +25,15 @@ __version__ = "0.1.0"
 # (row-count + schema + value-hash vs the DuckDB oracle); the rest get
 # only the local parity suite. Since round 7 the 50-slot window is
 # COMPUTED, not hand-listed (round-6 verdict #6): _compute_audit_first()
-# below derives it from the generated audit ledger
-# (audit_ledger.py, regenerated per round by tools/gen_audit_ledger.py
-# from the driver's CORRECTNESS_r*.json history) under the standing
-# priority rule:
-#   1. PIN_FIRST - queries whose implementation or oracle CHANGED since
-#      their last audit (the only hand-maintained input; reset each
-#      round). A previously-FAILED query that was just fixed belongs
-#      here so its re-audit lands in a deterministic slot.
+# below scans the driver's CORRECTNESS_r*.json history LIVE at load
+# time (audit.scan_last_green; the generated audit_ledger.py snapshot is
+# only a fallback for trees without the history files) under the
+# standing priority rule:
+#   1. PIN_FIRST - queries whose implementation or oracle CHANGED in
+#      round PIN_ROUND (the only hand-maintained input; update both
+#      each round there are changes). A pin expires BY ITSELF once the
+#      query has a green audit row from round >= PIN_ROUND, so a stale
+#      pin can never waste a slot; a FAILED re-audit keeps the pin.
 #   2. never-audited - no green driver row in any CORRECTNESS file,
 #      ordered by blast radius (module priority below), then
 #      registration order.
@@ -48,6 +49,7 @@ AUDIT_WINDOW = 50
 # pq_encode_embeddings (all three: array-typed output columns -> scalar
 # CSV contract), the two tie-ordering window fixes (r6 ADVICE), and the
 # fixed-count eval-panel cap on recsys_holdout_eval (r6 stretch item).
+PIN_ROUND = 7
 PIN_FIRST: list[str] = [
     "term_posting_lists",
     "orders_nested_export",
@@ -72,8 +74,9 @@ _MODULE_PRIORITY: dict[str, int] = {
 
 
 def _compute_audit_first(queries: dict) -> list[str]:
-    from .audit_ledger import LAST_GREEN_AUDIT
+    from .audit import last_green_audit
 
+    ledger = last_green_audit()
     names = list(queries)
     reg_order = {n: i for i, n in enumerate(names)}
 
@@ -81,15 +84,19 @@ def _compute_audit_first(queries: dict) -> list[str]:
         mod = queries[n].__module__.rsplit(".", 1)[-1]
         return _MODULE_PRIORITY.get(mod, 99)
 
-    pinned = [n for n in PIN_FIRST if n in queries]
+    pinned = [
+        n
+        for n in PIN_FIRST
+        if n in queries and ledger.get(n, -1) < PIN_ROUND
+    ]
     rest = [n for n in names if n not in pinned]
     never = sorted(
-        (n for n in rest if n not in LAST_GREEN_AUDIT),
+        (n for n in rest if n not in ledger),
         key=lambda n: (bucket(n), reg_order[n]),
     )
     rotation = sorted(
-        (n for n in rest if n in LAST_GREEN_AUDIT),
-        key=lambda n: (LAST_GREEN_AUDIT[n], reg_order[n]),
+        (n for n in rest if n in ledger),
+        key=lambda n: (ledger[n], reg_order[n]),
     )
     return (pinned + never + rotation)[:AUDIT_WINDOW]
 

@@ -158,31 +158,41 @@ def test_audit_window_pinned():
     assert len(engine.AUDIT_FIRST) == engine.AUDIT_WINDOW == 50
     names = list(registry.QUERIES)
     assert names[: len(engine.AUDIT_FIRST)] == engine.AUDIT_FIRST
-    # PIN_FIRST (changed-this-round) heads the window deterministically.
-    assert engine.AUDIT_FIRST[: len(engine.PIN_FIRST)] == engine.PIN_FIRST
-
-
-def test_audit_ledger_is_fresh():
-    """audit_ledger.py is GENERATED from the CORRECTNESS_r*.json history;
-    a stale checked-in ledger would silently mis-rotate audit slots, so
-    assert it matches a fresh scan (round-6 VERDICT item #6)."""
-    import importlib.util
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "gen_audit_ledger", os.path.join(repo, "tools", "gen_audit_ledger.py")
+    # Still-active pins (changed in PIN_ROUND, no green audit since)
+    # head the window deterministically.
+    from data_engineering_spotify_etl_airflow_aws_spark.audit import (
+        last_green_audit,
     )
-    gen = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gen)
 
+    ledger = last_green_audit()
+    active = [
+        n
+        for n in engine.PIN_FIRST
+        if n in registry.QUERIES and ledger.get(n, -1) < engine.PIN_ROUND
+    ]
+    assert engine.AUDIT_FIRST[: len(active)] == active
+    # Pins must name real queries even after they expire.
+    unknown = set(engine.PIN_FIRST) - set(registry.QUERIES)
+    assert not unknown, f"PIN_FIRST names unregistered queries: {unknown}"
+
+
+def test_audit_ledger_snapshot_consistent():
+    """audit_ledger.py is a GENERATED snapshot of the live CORRECTNESS
+    scan; re-scan the rounds it recorded and assert it matches, which
+    catches hand-edits/drift while tolerating rounds that landed after
+    generation (the live scan, not the snapshot, drives rotation)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.audit import (
+        repo_root,
+        scan_last_green,
+    )
     from data_engineering_spotify_etl_airflow_aws_spark.audit_ledger import (
         LAST_GREEN_AUDIT,
+        SCANNED_ROUNDS,
     )
 
-    assert LAST_GREEN_AUDIT == gen.scan_last_green(repo), (
-        "audit_ledger.py is stale: rerun python tools/gen_audit_ledger.py"
-    )
+    assert LAST_GREEN_AUDIT == scan_last_green(
+        repo_root(), rounds=SCANNED_ROUNDS
+    ), "audit_ledger.py drifted: rerun python tools/gen_audit_ledger.py"
     # Ledger names must be real queries (dead entries mask rotation).
     unknown = set(LAST_GREEN_AUDIT) - set(registry.QUERIES)
     assert not unknown, f"ledger names unregistered queries: {unknown}"
