@@ -128,7 +128,21 @@ def get_spark(
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dderby.system.home=/tmp/spark_graft_derby",
+            "-Dderby.system.home=/tmp/spark_graft_derby "
+            # The JIT code cache (default 240m) fills after ~250 queries
+            # of generated classes in a long-lived SQL session; once
+            # full, the sweeper throttles late compilations and queries
+            # with large codegen units pay 5-10x (measured r7: the
+            # alphabetically-late bench block spiked - replica_bucket_
+            # reconcile 7.4s->1.2s, rest_api_songs 3.2s->1.1s with 1g).
+            # Reserved = virtual address space, committed on demand, so
+            # 1g costs nothing on small hosts. This also explains the r6
+            # "rest_api_songs regression": suite-position code-cache
+            # pressure, not the source.
+            "-XX:ReservedCodeCacheSize=1g "
+            # extra JVM flags for diagnostics (e.g. -Xlog:gc:/tmp/gc.log
+            # when chasing bench variance); empty by default
+            + os.environ.get("SPARK_GRAFT_JAVA_EXTRA", ""),
         )
     )
     for k, v in RUNTIME_CONFS.items():

@@ -25,12 +25,15 @@ Rows are emitted as (scrape_date, rank, item<added_at, track>) - already
 positionally ranked (X1) because pagination order IS chart order and must
 be captured before any shuffle can reorder it.
 
-Bench note (r6 regression, measured r7): the r6 suite time of 2.14 s at
-sf0.1 is NOT the source - warm in-session runs measure 0.86-1.08 s
-(inside r5's 1.27 s). The delta is suite-position cost: the bench warms
-the Python DataSource worker pool up front, but 334 queries now run
-between that warmup and this query's alphabetical slot, so the measured
-run re-pays Python-worker spin-up/churn. Source code unchanged since r5.
+Bench note (r6 regression, root-caused r7): the r6 suite time of 2.14 s
+at sf0.1 is NOT the source - warm in-session runs measure 0.86-1.08 s
+(inside r5's 1.27 s). The delta was JIT code-cache pressure: with the
+240m default ReservedCodeCacheSize the cache fills ~250 queries into
+the suite and the sweeper throttles late compilations, taxing exactly
+the alphabetically-late block this query sits in (whole block spiked;
+replica_bucket_reconcile worst at 7-13 s). With ReservedCodeCacheSize=1g
+(session.py default since r7) the suite slot measures 1.09 s, inside the
+r5 number. Source code unchanged since r5.
 """
 
 from __future__ import annotations
