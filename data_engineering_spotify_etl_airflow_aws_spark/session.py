@@ -77,6 +77,19 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+def _default_local_dir() -> str:
+    """Shuffle scratch root: tmpfs when the host has one (local-mode
+    shuffles here are a few GB against 100+ GB RAM), else /tmp.
+    SPARK_GRAFT_LOCAL_DIR overrides (e.g. point at a disk when running
+    a memory-constrained host or deliberately testing spill I/O)."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark_graft_local"
+    return "/tmp/spark_graft_local"
+
+
 def get_spark(
     app_name: str = "spotify-analytics-engine",
     shuffle_partitions: int | str | None = None,
@@ -126,6 +139,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # keep catalog state (derby metastore + warehouse) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        # Shuffle/spill scratch on tmpfs when available: on a disk-backed
+        # /tmp, the OS writeback of shuffle files plus ContextCleaner's
+        # async deletion after a heavy producer (recsys_holdout_eval
+        # writes the suite's largest shuffle) caused 8-20s I/O storms
+        # smeared over WHICHEVER queries ran next - the r6/r7 bench
+        # "regressions" in the alphabetic r-block were exactly this.
+        # tmpfs makes both the writeback and the deletion memory ops.
+        # Local-mode tuning only: a real cluster's local dirs are sized
+        # and placed by the cluster manager (YARN/K8s override this).
+        .config("spark.local.dir", _default_local_dir())
         .config(
             "spark.driver.extraJavaOptions",
             "-Dderby.system.home=/tmp/spark_graft_derby "
