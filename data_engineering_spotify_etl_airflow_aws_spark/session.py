@@ -152,16 +152,14 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             "-Dderby.system.home=/tmp/spark_graft_derby "
-            # The JIT code cache (default 240m) fills after ~250 queries
-            # of generated classes in a long-lived SQL session; once
-            # full, the sweeper throttles late compilations and queries
-            # with large codegen units pay 5-10x (measured r7: the
-            # alphabetically-late bench block spiked - replica_bucket_
-            # reconcile 7.4s->1.2s, rest_api_songs 3.2s->1.1s with 1g).
-            # Reserved = virtual address space, committed on demand, so
-            # 1g costs nothing on small hosts. This also explains the r6
-            # "rest_api_songs regression": suite-position code-cache
-            # pressure, not the source.
+            # A long-lived SQL session JIT-compiles 1000+ generated
+            # codegen units; the 240m default code cache forces sweeper
+            # churn once it fills mid-suite. Raised preventively -
+            # reserved = virtual address space, committed on demand, so
+            # 1g costs nothing on small hosts. (NOT the cause of the r6/
+            # r7 late-block bench spikes - those were deferred shuffle-
+            # file cleanup I/O, see spark.local.dir above; measured with
+            # both cache sizes before the real culprit was isolated.)
             "-XX:ReservedCodeCacheSize=1g "
             # extra JVM flags for diagnostics (e.g. -Xlog:gc:/tmp/gc.log
             # when chasing bench variance); empty by default

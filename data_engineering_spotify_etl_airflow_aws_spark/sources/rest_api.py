@@ -27,13 +27,15 @@ be captured before any shuffle can reorder it.
 
 Bench note (r6 regression, root-caused r7): the r6 suite time of 2.14 s
 at sf0.1 is NOT the source - warm in-session runs measure 0.86-1.08 s
-(inside r5's 1.27 s). The delta was JIT code-cache pressure: with the
-240m default ReservedCodeCacheSize the cache fills ~250 queries into
-the suite and the sweeper throttles late compilations, taxing exactly
-the alphabetically-late block this query sits in (whole block spiked;
-replica_bucket_reconcile worst at 7-13 s). With ReservedCodeCacheSize=1g
-(session.py default since r7) the suite slot measures 1.09 s, inside the
-r5 number. Source code unchanged since r5.
+(inside r5's 1.27 s). The delta was deferred shuffle-cleanup I/O: the
+suite's largest shuffle producer (recsys_holdout_eval) runs a few slots
+earlier in alphabetical order, and its shuffle files are deleted only
+when a later GC enqueues them - landing mid-measurement on a random
+victim in this block (this query, replica_bucket_reconcile at 7-15 s,
+retention_by_age, relational_division all got hit across r6/r7 runs).
+With tmpfs scratch + the bench's post-producer GC drain (session.py /
+bench.py, r7) the suite slot measures 1.1-1.2 s, inside the r5 number.
+Source code unchanged since r5.
 """
 
 from __future__ import annotations
