@@ -45,31 +45,35 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 7 changed set: the two round-6 CORRECTNESS fails plus
-# pq_encode_embeddings (all three: array-typed output columns -> scalar
-# CSV contract), the two tie-ordering window fixes (r6 ADVICE), and the
-# fixed-count eval-panel cap on recsys_holdout_eval (r6 stretch item).
-PIN_ROUND = 7
-PIN_FIRST: list[str] = [
-    "term_posting_lists",
-    "orders_nested_export",
-    "pq_encode_embeddings",
-    "session_type_affinity",
-    "interval_union_coverage",
-    "recsys_holdout_eval",
-]
+# Round 8 changed set: empty — all six round-7 pins went green in
+# CORRECTNESS_r07.json (50/50) so they expired by rule, and round 8's
+# changes so far are infrastructure (ledger regen, sweep artifacts,
+# bench warmups, session guards), not query semantics. Add any query
+# whose implementation or oracle changes this round.
+PIN_ROUND = 8
+PIN_FIRST: list[str] = []
 
-# Blast-radius ordering for the never-audited class (round-6 verdict
-# #3): the TPC-H completion batch carries the suite's headline
-# relational claims, then the PQ/ADC/IVF-PQ similarity family, then the
-# streaming joins/stateful ops, then the statistics batches; everything
-# else follows in registration order.
+# Blast-radius ordering for the never-audited class. Round 7 drained
+# the tpch/similarity/streaming/statistics-batch heads; round-7 verdict
+# #1 puts the LLM-data-pipeline core next — it carries the north-star
+# claims (near-dup recall, containment/incremental LSH, SemDeDup, BM25/
+# PCA/negative-sampling, BPE/PMI/log-odds, graph communities, pHash)
+# — then the stateful-window/temporal/statistics mid-tier; the BI long
+# tail (extras 38, insights 26) rotates in after via the default 99.
 _MODULE_PRIORITY: dict[str, int] = {
-    "tpch": 0,
-    "similarity": 1,
-    "joins": 2,
-    "stateful": 2,
-    "statistics": 3,
+    "dedup": 0,
+    "mlprep": 1,
+    "curation": 2,
+    "text": 3,
+    "clusters": 4,
+    "multimodal": 5,
+    "rest_api_stream": 6,
+    "windows": 7,
+    "temporal": 8,
+    "filtering": 9,
+    "statistics": 10,
+    "relational": 11,
+    "maintenance": 12,
 }
 
 

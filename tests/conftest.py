@@ -1,11 +1,16 @@
 """Shared fixtures: one SparkSession per test session (local mode), a DuckDB
 connection with the testdata views registered the way the driver registers
-them, and scale-factor paths."""
+them, scale-factor paths, and the sweep-evidence recorder that appends
+opt-in sweep outcomes to SWEEPS.json (round-7 verdict #3: sweep results
+must be machine-readable artifacts, not commit-message prose)."""
 
 from __future__ import annotations
 
+import datetime
+import json
 import os
 import sys
+from collections import Counter
 
 import duckdb
 import pytest
@@ -54,3 +59,81 @@ def duck_correct():
     con = make_duckdb(SF_CORRECT)
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Sweep-evidence recorder: when an opt-in sweep actually RUNS (its env var
+# set, so its tests aren't skipped), append one entry per sweep to the
+# repo-root SWEEPS.json after the session. The entry records what was
+# observed (passed/failed/skipped counts), so a -k subset run is honestly
+# a partial entry, and a green full run is durable, re-scannable evidence.
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SWEEPS_PATH = os.path.join(_REPO_ROOT, "SWEEPS.json")
+
+# test file basename -> (sweep name, sf, gating env var)
+_SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
+    "test_partition_invariance.py": (
+        "partition_invariance_32v7",
+        0.01,
+        "SPARK_GRAFT_PART_INVARIANCE",
+    ),
+    "test_parity_sf01.py": (
+        "sf01_oracle_parity_at_risk",
+        0.1,
+        "SPARK_GRAFT_SF01_PARITY",
+    ),
+}
+
+_sweep_outcomes: dict[str, Counter] = {}
+
+
+def pytest_runtest_logreport(report):
+    base = os.path.basename(report.nodeid.split("::")[0])
+    if base not in _SWEEP_SUITES:
+        return
+    # count each test once: failures at any phase, passes at call,
+    # skips at whichever phase raised them (setup for skipif marks)
+    if report.failed:
+        _sweep_outcomes.setdefault(base, Counter())["failed"] += 1
+    elif report.skipped:
+        _sweep_outcomes.setdefault(base, Counter())["skipped"] += 1
+    elif report.passed and report.when == "call":
+        _sweep_outcomes.setdefault(base, Counter())["passed"] += 1
+
+
+def _current_round() -> int:
+    """The build round in progress = latest driver CORRECTNESS round + 1."""
+    from data_engineering_spotify_etl_airflow_aws_spark.audit import (
+        scanned_rounds,
+    )
+
+    rounds = scanned_rounds(_REPO_ROOT)
+    return (max(rounds) + 1) if rounds else 0
+
+
+def pytest_sessionfinish(session, exitstatus):
+    for base, counts in _sweep_outcomes.items():
+        name, sf, env = _SWEEP_SUITES[base]
+        if not os.environ.get(env):
+            continue  # suite was opt-out: all rows skipped, nothing ran
+        if counts.get("passed", 0) + counts.get("failed", 0) == 0:
+            continue
+        entry = {
+            "sweep": name,
+            "sf": sf,
+            "date": datetime.date.today().isoformat(),
+            "round": _current_round(),
+            "passed": counts.get("passed", 0),
+            "failed": counts.get("failed", 0),
+            "skipped": counts.get("skipped", 0),
+        }
+        try:
+            with open(_SWEEPS_PATH) as f:
+                log = json.load(f)
+        except (OSError, ValueError):
+            log = []
+        log.append(entry)
+        with open(_SWEEPS_PATH, "w") as f:
+            json.dump(log, f, indent=2)
+            f.write("\n")
