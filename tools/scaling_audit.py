@@ -1,0 +1,79 @@
+"""Scaling-exponent audit (round-7 verdict #7, the cheap 100x-readiness
+check no single-sf bench gives): given two bench JSON outputs at
+different scale factors, compute each query's empirical scaling ratio
+
+    ratio = t(sf_hi) / t(sf_lo)        (data grew sf_hi/sf_lo = RX times)
+    exponent ~ log(ratio) / log(RX)    (t ~ n^exponent)
+
+and flag queries whose growth exceeds their design class. Small
+absolute times are noise-dominated (JVM scheduling jitter is ~0.1-0.3s
+per query on this host), so queries under MIN_HI_SEC at the high sf are
+reported but never flagged: an 0.2s -> 0.5s "superlinear" query is
+measurement floor, not a scale risk.
+
+Interpretation guide: with fixed parallelism, linear work shows
+exponent <= 1; shuffle-heavy ops with an n log n sort term drift to
+~1.1-1.3; a genuinely quadratic candidate generator would show ~2. At
+the 10x step used here the fixed per-query overhead (plan + codegen +
+job scheduling, ~0.2-0.5s) DEFLATES exponents for fast queries, so the
+audit is conservative exactly where queries are cheap and sharp where
+they are expensive - which is where it matters.
+
+Usage:
+    python tools/scaling_audit.py bench_sf0.01.json bench_sf0.1.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+MIN_HI_SEC = 2.0  # below this at the high sf, ratios are noise
+FLAG_EXPONENT = 1.35  # n log n at 10x is ~1.23; leave jitter headroom
+
+
+def load(path: str) -> tuple[float, dict[str, float]]:
+    with open(path) as f:
+        d = json.load(f)
+    return float(d["sf"]), d["queries"]
+
+
+def main() -> int:
+    (sf_lo, t_lo), (sf_hi, t_hi) = sorted(
+        (load(sys.argv[1]), load(sys.argv[2]))
+    )
+    rx = sf_hi / sf_lo
+    rows = []
+    for name, hi in t_hi.items():
+        lo = t_lo.get(name)
+        if lo is None or lo <= 0:
+            continue
+        ratio = hi / lo
+        exp = math.log(ratio) / math.log(rx) if ratio > 0 else 0.0
+        rows.append((hi, name, lo, ratio, exp))
+    rows.sort(reverse=True)
+
+    flagged = []
+    print(
+        f"# scaling audit: t(sf{sf_hi})/t(sf{sf_lo}), data x{rx:.0f}; "
+        f"exponent = log(ratio)/log({rx:.0f})"
+    )
+    print(f"{'query':42s} {'t_lo':>7s} {'t_hi':>7s} {'ratio':>6s} {'exp':>5s}")
+    for hi, name, lo, ratio, exp in rows[:25]:
+        mark = ""
+        if hi >= MIN_HI_SEC and exp > FLAG_EXPONENT:
+            mark = "  <-- SUPERLINEAR"
+            flagged.append(name)
+        print(f"{name:42s} {lo:7.2f} {hi:7.2f} {ratio:6.2f} {exp:5.2f}{mark}")
+    print()
+    if flagged:
+        print(f"FLAGGED ({len(flagged)}): {flagged}")
+        return 1
+    print("no query above the flag line (exp > "
+          f"{FLAG_EXPONENT} with t_hi >= {MIN_HI_SEC}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
