@@ -83,6 +83,11 @@ _SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
         0.1,
         "SPARK_GRAFT_SF01_PARITY",
     ),
+    "test_parity_sf0001.py": (
+        "oracle_parity_full_registry",
+        0.001,
+        "SPARK_GRAFT_SF0001_PARITY",
+    ),
 }
 
 _sweep_outcomes: dict[str, Counter] = {}

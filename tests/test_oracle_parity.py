@@ -6,12 +6,13 @@ Stricter than the driver in one way: it also asserts rows>0 for most queries
 so a parity "pass" can't be an accidentally-empty result (allowlist below for
 queries whose correct answer may legitimately be empty).
 
-Scale-factor evidence beyond this suite's sf0.01: an r7 one-off sweep ran
-all 335 registered queries against their oracles at sf0.001 (near-empty
-groups, fixed-count picks larger than the corpus, degenerate statistics)
-with zero mismatches and zero errors; the sf0.1 float-tie risk class is
-covered by the opt-in `test_parity_sf01.py`, and shuffle-partition
-independence by the opt-in `test_partition_invariance.py`.
+Scale-factor evidence beyond this suite's sf0.01: the full registry at
+sf0.001 (near-empty groups, fixed-count picks larger than the corpus,
+degenerate statistics) is the opt-in `test_parity_sf0001.py` (green r7
+one-off and r8 standing run); the sf0.1 float-tie risk class is covered
+by the opt-in `test_parity_sf01.py`, and shuffle-partition independence
+by the opt-in `test_partition_invariance.py`. All three opt-in sweeps
+append their outcomes to the repo-root SWEEPS.json evidence log.
 """
 
 from __future__ import annotations
