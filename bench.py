@@ -24,12 +24,16 @@ from data_engineering_spotify_etl_airflow_aws_spark import registry
 from data_engineering_spotify_etl_airflow_aws_spark.session import get_spark
 
 
-def _scratch_bytes(root: str) -> int:
+def _scratch_bytes(root: str, deadline: float) -> int | None:
     """Total bytes under the Spark scratch root (blockmgr-*/spark-* trees).
-    Cheap on tmpfs (pure memory walk); on a disk root the tree is small
-    by the time this runs (only the leftover shuffle files)."""
+    Cheap on tmpfs (pure memory walk). The walk itself honors the drain
+    deadline: on a disk root holding very many shuffle files a single
+    os.walk pass could outlast the whole budget, so past the deadline it
+    returns None ("stop polling") instead of stalling the bench."""
     total = 0
     for dirpath, _dirs, files in os.walk(root):
+        if time.perf_counter() > deadline:
+            return None
         for fn in files:
             try:
                 total += os.path.getsize(os.path.join(dirpath, fn))
@@ -43,17 +47,22 @@ def _drain_shuffle_cleanup(spark, max_wait: float = 2.0) -> None:
     the ContextCleaner's asynchronous deletes stop shrinking the scratch
     dir. A fixed post-GC sleep has no completion guarantee (r7 ADVICE):
     the cleaner runs on its own thread, so we poll the observable effect
-    instead. With tmpfs scratch this is belt-and-suspenders - deletes are
-    memory ops - so the wait almost always exits on the first stable
-    sample; the bound keeps a slow disk root from stalling the bench."""
+    instead. The first sleep is the old fixed 0.3s: "not shrinking" right
+    after the GC is indistinguishable from "cleaner hasn't woken yet", so
+    stability only counts after the cleaner has had a tick to start.
+    With tmpfs scratch this is belt-and-suspenders - deletes are memory
+    ops - so the wait usually exits on the first stable sample; the
+    deadline (also enforced inside each tree walk) keeps a slow disk
+    root from stalling the bench."""
     spark.sparkContext._jvm.System.gc()
     root = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
     deadline = time.perf_counter() + max_wait
-    prev = _scratch_bytes(root)
-    while time.perf_counter() < deadline:
+    time.sleep(0.3)
+    prev = _scratch_bytes(root, deadline)
+    while prev is not None and time.perf_counter() < deadline:
         time.sleep(0.1)
-        cur = _scratch_bytes(root)
-        if cur >= prev:  # stopped shrinking - cleaner drained (or idle)
+        cur = _scratch_bytes(root, deadline)
+        if cur is None or cur >= prev:  # stopped shrinking (or out of budget)
             break
         prev = cur
 

@@ -62,28 +62,56 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _read_cgroup_limit_file(path: str) -> int | None:
+    """One memory-limit file: int bytes, or None for "max" / absent /
+    absurd (>=1 PiB sentinel values some runtimes use for unlimited)."""
+    try:
+        with open(path) as f:
+            raw = f.read().strip()
+    except OSError:
+        return None
+    if not raw.isdigit():
+        return None  # "max" or malformed -> unlimited
+    limit = int(raw)
+    return limit if limit < 1 << 50 else None
+
+
 def _cgroup_limit_bytes() -> int | None:
-    """Container memory limit, when one applies. /proc/meminfo reports
-    HOST memory inside cgroup-limited containers (r7 ADVICE), so sizing
-    off MemAvailable alone can pick a heap the container can't hold and
-    the JVM gets OOM-killed. Reads cgroup v2 memory.max, then v1
-    memory.limit_in_bytes; "max" / absent / absurd (>=1 PiB sentinel
-    values some runtimes use) mean unlimited -> None."""
-    for path in (
-        "/sys/fs/cgroup/memory.max",
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
-    ):
-        try:
-            with open(path) as f:
-                raw = f.read().strip()
-        except OSError:
+    """Effective cgroup memory limit, when one applies. /proc/meminfo
+    reports HOST memory inside cgroup-limited containers (r7 ADVICE), so
+    sizing off MemAvailable alone can pick a heap the container can't
+    hold and the JVM gets OOM-killed. The limit need not sit at the
+    cgroup ROOT: under a systemd slice (MemoryMax=) or host-cgroupns
+    container the binding file lives at the process's own cgroup or an
+    ancestor, so resolve the path from /proc/self/cgroup and take the
+    MINIMUM limit along it (v2 memory.max; v1 memory.limit_in_bytes).
+    Inside a private cgroup namespace the self path is "/" and this
+    reduces to reading the root files."""
+    try:
+        with open("/proc/self/cgroup") as f:
+            lines = f.read().splitlines()
+    except OSError:
+        lines = ["0::/"]  # fall back to the v2 root
+    limits: list[int] = []
+    for line in lines:
+        parts = line.split(":", 2)
+        if len(parts) != 3:
             continue
-        if raw == "max" or not raw.isdigit():
+        _hid, controllers, rel = parts
+        if controllers == "":  # cgroup v2 unified hierarchy
+            base, fname = "/sys/fs/cgroup", "memory.max"
+        elif "memory" in controllers.split(","):
+            base, fname = "/sys/fs/cgroup/memory", "memory.limit_in_bytes"
+        else:
             continue
-        limit = int(raw)
-        if limit < 1 << 50:
-            return limit
-    return None
+        segs = [s for s in rel.split("/") if s]
+        for depth in range(len(segs), -1, -1):  # leaf -> ... -> root
+            limit = _read_cgroup_limit_file(
+                os.path.join(base, *segs[:depth], fname)
+            )
+            if limit is not None:
+                limits.append(limit)
+    return min(limits) if limits else None
 
 
 def _default_driver_mem() -> str:

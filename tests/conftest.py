@@ -90,38 +90,56 @@ _SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
     ),
 }
 
-_sweep_outcomes: dict[str, Counter] = {}
+_sweep_outcomes: dict[str, dict[str, str]] = {}
+
+
+# worst outcome per TEST, not a count per pytest PHASE: a test that
+# passes at call but errors at teardown must count once, as failed
+_OUTCOME_RANK = {"passed": 0, "skipped": 1, "failed": 2}
 
 
 def pytest_runtest_logreport(report):
     base = os.path.basename(report.nodeid.split("::")[0])
     if base not in _SWEEP_SUITES:
         return
-    # count each test once: failures at any phase, passes at call,
-    # skips at whichever phase raised them (setup for skipif marks)
     if report.failed:
-        _sweep_outcomes.setdefault(base, Counter())["failed"] += 1
+        outcome = "failed"
     elif report.skipped:
-        _sweep_outcomes.setdefault(base, Counter())["skipped"] += 1
+        outcome = "skipped"
     elif report.passed and report.when == "call":
-        _sweep_outcomes.setdefault(base, Counter())["passed"] += 1
+        outcome = "passed"
+    else:
+        return  # setup/teardown passes carry no information
+    per_node = _sweep_outcomes.setdefault(base, {})
+    prev = per_node.get(report.nodeid)
+    if prev is None or _OUTCOME_RANK[outcome] > _OUTCOME_RANK[prev]:
+        per_node[report.nodeid] = outcome
 
 
 def _current_round() -> int:
-    """The build round in progress = latest driver CORRECTNESS round + 1."""
+    """The build round in progress = latest driver CORRECTNESS round + 1.
+    Trees without the history files fall back to the generated ledger
+    snapshot's SCANNED_ROUNDS (the same fallback the audit rotation uses)."""
     from data_engineering_spotify_etl_airflow_aws_spark.audit import (
         scanned_rounds,
     )
 
     rounds = scanned_rounds(_REPO_ROOT)
+    if not rounds:
+        from data_engineering_spotify_etl_airflow_aws_spark.audit_ledger import (
+            SCANNED_ROUNDS,
+        )
+
+        rounds = SCANNED_ROUNDS
     return (max(rounds) + 1) if rounds else 0
 
 
 def pytest_sessionfinish(session, exitstatus):
-    for base, counts in _sweep_outcomes.items():
+    for base, per_node in _sweep_outcomes.items():
         name, sf, env = _SWEEP_SUITES[base]
         if not os.environ.get(env):
             continue  # suite was opt-out: all rows skipped, nothing ran
+        counts = Counter(per_node.values())
         if counts.get("passed", 0) + counts.get("failed", 0) == 0:
             continue
         entry = {

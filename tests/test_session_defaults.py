@@ -67,6 +67,26 @@ def test_cgroup_limit_unlimited_is_none(tmp_path, monkeypatch):
     assert session._cgroup_limit_bytes() is None
 
 
+def test_cgroup_limit_found_on_ancestor(tmp_path, monkeypatch):
+    """A systemd-slice / host-cgroupns limit lives on the process's own
+    cgroup path, not the root; the walk must find it (review finding)."""
+    real_open = open
+    self_cg = tmp_path / "cgroup"
+    self_cg.write_text("0::/a/b\n")
+    ancestor = tmp_path / "memory.max"
+    ancestor.write_text(str(4 << 30))
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/self/cgroup":
+            return real_open(self_cg)
+        if path == "/sys/fs/cgroup/a/memory.max":  # limit on the ancestor
+            return real_open(ancestor)
+        raise OSError(path)  # leaf and root files absent
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    assert session._cgroup_limit_bytes() == 4 << 30
+
+
 def test_driver_mem_clamped_by_cgroup(monkeypatch):
     # host reports plenty (meminfo) but the container is capped at 5 GiB:
     # the heap must size off the cgroup (5//2 -> 2g floor-clamped), not 8g
@@ -77,7 +97,26 @@ def test_driver_mem_clamped_by_cgroup(monkeypatch):
     assert mem == "2g"
 
 
-def test_driver_mem_uncapped_host_still_8g(monkeypatch):
+def _patch_meminfo(tmp_path, monkeypatch, avail_kib: int):
+    real_open = open
+    f = tmp_path / "meminfo"
+    f.write_text(f"MemTotal: {avail_kib * 2} kB\nMemAvailable: {avail_kib} kB\n")
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/meminfo":
+            return real_open(f)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+
+
+def test_driver_mem_uncapped_roomy_host_is_8g(tmp_path, monkeypatch):
     monkeypatch.setattr(session, "_cgroup_limit_bytes", lambda: None)
-    # this host has >=16 GiB available, so the clamp lands on 8g
+    _patch_meminfo(tmp_path, monkeypatch, 64 * 1024 * 1024)  # 64 GiB
     assert session._default_driver_mem() == "8g"
+
+
+def test_driver_mem_small_host_clamps_down(tmp_path, monkeypatch):
+    monkeypatch.setattr(session, "_cgroup_limit_bytes", lambda: None)
+    _patch_meminfo(tmp_path, monkeypatch, 6 * 1024 * 1024)  # 6 GiB
+    assert session._default_driver_mem() == "3g"

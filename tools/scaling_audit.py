@@ -40,9 +40,13 @@ def load(path: str) -> tuple[float, dict[str, float]]:
 
 
 def main() -> int:
-    (sf_lo, t_lo), (sf_hi, t_hi) = sorted(
-        (load(sys.argv[1]), load(sys.argv[2]))
-    )
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    if a[0] == b[0]:
+        sys.exit(
+            f"both inputs are at sf={a[0]}; need two DIFFERENT scale "
+            f"factors to measure scaling"
+        )
+    (sf_lo, t_lo), (sf_hi, t_hi) = sorted((a, b), key=lambda p: p[0])
     rx = sf_hi / sf_lo
     rows = []
     for name, hi in t_hi.items():
@@ -54,24 +58,40 @@ def main() -> int:
         rows.append((hi, name, lo, ratio, exp))
     rows.sort(reverse=True)
 
-    flagged = []
+    # Flag over EVERY query above the time floor (not just the printed
+    # head): a flag-eligible query outside the top-25 table must still
+    # fail the audit.
+    flagged = [
+        name
+        for hi, name, lo, ratio, exp in rows
+        if hi >= MIN_HI_SEC and exp > FLAG_EXPONENT
+    ]
+    eligible = sum(1 for hi, *_ in rows if hi >= MIN_HI_SEC)
+
     print(
         f"# scaling audit: t(sf{sf_hi})/t(sf{sf_lo}), data x{rx:.0f}; "
-        f"exponent = log(ratio)/log({rx:.0f})"
+        f"exponent = log(ratio)/log({rx:.0f}); "
+        f"{eligible} queries >= {MIN_HI_SEC}s at sf{sf_hi}, all checked"
     )
     print(f"{'query':42s} {'t_lo':>7s} {'t_hi':>7s} {'ratio':>6s} {'exp':>5s}")
+    shown = {r[1] for r in rows[:25]}
     for hi, name, lo, ratio, exp in rows[:25]:
-        mark = ""
-        if hi >= MIN_HI_SEC and exp > FLAG_EXPONENT:
-            mark = "  <-- SUPERLINEAR"
-            flagged.append(name)
+        mark = "  <-- SUPERLINEAR" if name in flagged else ""
         print(f"{name:42s} {lo:7.2f} {hi:7.2f} {ratio:6.2f} {exp:5.2f}{mark}")
+    for hi, name, lo, ratio, exp in rows[25:]:  # flagged rows below the fold
+        if name in flagged:
+            print(
+                f"{name:42s} {lo:7.2f} {hi:7.2f} {ratio:6.2f} {exp:5.2f}"
+                "  <-- SUPERLINEAR (below top-25)"
+            )
     print()
     if flagged:
         print(f"FLAGGED ({len(flagged)}): {flagged}")
         return 1
-    print("no query above the flag line (exp > "
-          f"{FLAG_EXPONENT} with t_hi >= {MIN_HI_SEC}s)")
+    print(
+        f"no query above the flag line (exp > {FLAG_EXPONENT} with "
+        f"t_hi >= {MIN_HI_SEC}s) among all {eligible} eligible queries"
+    )
     return 0
 
 
