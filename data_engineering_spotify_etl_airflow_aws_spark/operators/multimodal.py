@@ -8,12 +8,14 @@ fixture's text bytes stand in as the opaque payload for most operators
 structs, sha2 content addressing, and a real mapInPandas decode/feature
 path with correct batch shapes). The decode step itself is genuinely
 exercised for the uncompressed format class: decode_ppm() is a complete
-pure-numpy PPM (P6) codec, and multimodal_ppm_decode_stats builds valid
-PPM images JVM-side, decodes them in mapInPandas, and oracle-checks the
-decoded channel means bit-for-bit. decode_image() routes P6 payloads
-there and raises NotImplementedError only for compressed formats
-(JPEG/PNG need pillow, which is not importable here); the deterministic
-digest-based feature extractor remains the codec-free fallback.
+pure-numpy PPM (P6) image codec and decode_wav() a RIFF/WAVE PCM audio
+chunk parser; multimodal_ppm_decode_stats and multimodal_wav_decode_stats
+build valid payloads JVM-side, decode them in mapInPandas with the real
+codecs, and oracle-check the decoded channel means / waveform stats
+bit-for-bit. decode_image() routes P6 payloads to the PPM codec and
+raises NotImplementedError only for compressed formats (JPEG/PNG need
+pillow, which is not importable here); the deterministic digest-based
+feature extractor remains the codec-free fallback.
 
 Scale notes (100 TB of images/audio):
   * payloads stay in executor-side Arrow batches end to end - nothing binary
@@ -393,6 +395,148 @@ def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ppm.mapInPandas(
         _ppm_stats_batches, schema=_PPM_STATS_SCHEMA
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# GENUINE audio decode, same pattern as the PPM path: build a valid
+# RIFF/WAVE PCM file per document JVM-side (the header is a constant
+# byte string because the sample count is fixed; the 16-bit little-
+# endian mono samples are document bytes, so DuckDB's ord() recomputes
+# the exact sample values as lo + 256*hi), decode it with the real
+# pure-numpy WAV chunk parser inside mapInPandas, and emit waveform
+# statistics. ASCII bytes are <= 0x7E, so every sample's high byte is
+# positive and int16 reinterpretation is exact. mean_square is a sum of
+# 32 squares (each < 2^30) divided by 32 - a power of two - so both
+# engines produce bit-identical doubles; peak_abs is an exact integer.
+_WAV_N_SAMPLES = 32  # 64 payload bytes; power of two keeps /N exact
+_WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int, rate: int) -> bytes:
+    """Canonical 44-byte PCM WAV header for 16-bit mono."""
+    import struct
+
+    data_size = n_samples * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def decode_wav(payload: bytes):
+    """Real, dependency-free decode of a RIFF/WAVE PCM payload:
+    (sample_rate, n_channels, int16 sample array). Walks the chunk list
+    generically (a real file may carry LIST/fact chunks before data);
+    only uncompressed 16-bit PCM is supported - compressed codecs would
+    need an audio library this container does not ship."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError("only uncompressed 16-bit PCM supported")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            samples = np.frombuffer(
+                body, dtype="<i2", count=len(body) // 2
+            )
+            return rate, channels, samples
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk in WAVE payload")
+
+
+_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("mean_square", T.DoubleType()),
+    ]
+)
+
+
+def _wav_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_samples": [],
+            "peak_abs": [], "mean_square": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, _channels, samples = decode_wav(payload)
+            s = samples.astype("int64")
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(len(s))
+            out["peak_abs"].append(int(abs(s).max()))
+            out["mean_square"].append(float((s * s).sum()) / len(s))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_wav_decode_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               rpad(substring(coalesce(text, ''), 1, {2 * _WAV_N_SAMPLES}),
+                    {2 * _WAV_N_SAMPLES}, 'x') AS pcm
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id,
+               ord(substring(pcm, 2 * i + 1, 1))
+                   + 256 * ord(substring(pcm, 2 * i + 2, 1)) AS s
+        FROM base,
+             (SELECT unnest(generate_series(0, {_WAV_N_SAMPLES - 1})) AS i)
+    )
+    SELECT doc_id,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(s * s) AS DOUBLE) / {_WAV_N_SAMPLES} AS mean_square
+    FROM samples
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_wav_header(_WAV_N_SAMPLES, _WAV_RATE)),
+            F.encode(
+                F.rpad(
+                    F.substring(
+                        F.coalesce("text", F.lit("")), 1, 2 * _WAV_N_SAMPLES
+                    ),
+                    2 * _WAV_N_SAMPLES,
+                    "x",
+                ),
+                "UTF-8",
+            ),
+        ).alias("payload"),
+    )
+    return wav.mapInPandas(
+        _wav_stats_batches, schema=_WAV_STATS_SCHEMA
     ).orderBy("doc_id")
 
 

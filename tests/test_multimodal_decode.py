@@ -10,8 +10,10 @@ import numpy as np
 import pytest
 
 from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+    _wav_header,
     decode_image,
     decode_ppm,
+    decode_wav,
 )
 
 
@@ -42,6 +44,41 @@ def test_decode_image_routes_ppm_without_pillow():
     w, h, arr = decode_image(_make_ppm(4, 4, pixels))
     assert (w, h) == (4, 4)
     assert arr.tobytes() == pixels
+
+
+def test_decode_wav_roundtrip():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=32, dtype=np.int16)
+    payload = _wav_header(32, 8000) + samples.astype("<i2").tobytes()
+    rate, channels, got = decode_wav(payload)
+    assert (rate, channels) == (8000, 1)
+    assert np.array_equal(got, samples)
+
+
+def test_decode_wav_skips_extra_chunks():
+    # a LIST metadata chunk between fmt and data must be walked over
+    samples = np.arange(4, dtype="<i2")
+    hdr = _wav_header(4, 8000)
+    fmt_end = 12 + 8 + 16  # RIFF hdr + fmt chunk
+    payload = (
+        hdr[:fmt_end]
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + hdr[fmt_end:]
+        + samples.tobytes()
+    )
+    rate, channels, got = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(got, samples)
+
+
+def test_decode_wav_rejects_non_pcm():
+    import struct
+
+    hdr = bytearray(_wav_header(4, 8000))
+    struct.pack_into("<H", hdr, 20, 3)  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(hdr) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_wav(b"OggS" + b"\x00" * 40)
 
 
 def test_decode_image_still_gates_compressed_formats():
