@@ -7,12 +7,13 @@ fixture's text bytes stand in as the opaque payload for most operators
 (the point is the Spark-side plumbing: BinaryType columns, metadata
 structs, sha2 content addressing, and a real mapInPandas decode/feature
 path with correct batch shapes). The decode step itself is genuinely
-exercised for the uncompressed format class: decode_ppm() is a complete
-pure-numpy PPM (P6) image codec and decode_wav() a RIFF/WAVE PCM audio
-chunk parser; multimodal_ppm_decode_stats and multimodal_wav_decode_stats
-build valid payloads JVM-side, decode them in mapInPandas with the real
-codecs, and oracle-check the decoded channel means / waveform stats
-bit-for-bit. decode_image() routes P6 payloads to the PPM codec and
+exercised for the uncompressed format class of every modality:
+decode_ppm() is a complete pure-numpy PPM (P6) image codec, decode_wav()
+a RIFF/WAVE PCM audio chunk parser, and decode_y4m() a YUV4MPEG2 video
+frame parser; the multimodal_{ppm,wav,y4m}_decode_stats queries build
+valid payloads JVM-side, decode them in mapInPandas with the real
+codecs, and oracle-check the decoded channel means / waveform stats /
+per-frame plane means bit-for-bit. decode_image() routes P6 payloads to the PPM codec and
 raises NotImplementedError only for compressed formats (JPEG/PNG need
 pillow, which is not importable here); the deterministic digest-based
 feature extractor remains the codec-free fallback.
@@ -538,6 +539,162 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav.mapInPandas(
         _wav_stats_batches, schema=_WAV_STATS_SCHEMA
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# GENUINE video decode, completing the modality set: YUV4MPEG2 (y4m) is
+# the uncompressed video interchange format - a text stream header, then
+# per-frame "FRAME\n" markers followed by raw YUV planes - so, like PPM
+# and WAV, the parser IS the codec. Payloads are built JVM-side (stream
+# and frame headers are constant strings at fixed geometry; the plane
+# bytes are document bytes), decoded inside mapInPandas with the real
+# parser, and the per-frame, per-plane means are oracle-checked
+# bit-for-bit (sums of 16 bytes divided by 16). One output row per
+# frame - the frame-sampling shape of multimodal_frame_sample, but over
+# DECODED pixel planes instead of opaque byte windows.
+_Y4M_W = _Y4M_H = 4
+_Y4M_FRAMES = 2
+_Y4M_PLANE = _Y4M_W * _Y4M_H  # C444: all three planes full-resolution
+
+
+def _y4m_payload_header() -> str:
+    return f"YUV4MPEG2 W{_Y4M_W} H{_Y4M_H} F25:1 Ip A1:1 C444\n"
+
+
+def decode_y4m(payload: bytes):
+    """Real, dependency-free decode of a YUV4MPEG2 (y4m) payload:
+    (width, height, uint8 array of shape [n_frames, 3, height, width]).
+    C444 only (full-resolution planes; subsampled layouts would need
+    per-plane geometry, compressed video a codec library)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    colorspace = "C420jpeg"  # the y4m default when no C tag is present
+    for tag in header.split()[1:]:
+        if tag[0] == "W":
+            width = int(tag[1:])
+        elif tag[0] == "H":
+            height = int(tag[1:])
+        elif tag[0] == "C":
+            colorspace = tag
+    if width is None or height is None:
+        raise ValueError("y4m header missing W/H geometry")
+    if colorspace != "C444":
+        raise ValueError("only C444 (full-resolution planes) supported")
+    frame_bytes = 3 * width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("malformed frame marker")
+        start = fnl + 1
+        if len(payload) - start < frame_bytes:
+            raise ValueError("truncated y4m frame data")
+        frames.append(
+            np.frombuffer(
+                payload, dtype=np.uint8, count=frame_bytes, offset=start
+            ).reshape(3, height, width)
+        )
+        pos = start + frame_bytes
+    return width, height, np.stack(frames)
+
+
+_Y4M_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("mean_y", T.DoubleType()),
+        T.StructField("mean_u", T.DoubleType()),
+        T.StructField("mean_v", T.DoubleType()),
+    ]
+)
+
+
+def _y4m_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [],
+            "mean_y": [], "mean_u": [], "mean_v": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _w, _h, frames = decode_y4m(payload)
+            for idx, frame in enumerate(frames):
+                means = frame.reshape(3, -1).mean(axis=1)
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["mean_y"].append(float(means[0]))
+                out["mean_u"].append(float(means[1]))
+                out["mean_v"].append(float(means[2]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_y4m_decode_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               rpad(substring(coalesce(text, ''),
+                              1, {3 * _Y4M_PLANE * _Y4M_FRAMES}),
+                    {3 * _Y4M_PLANE * _Y4M_FRAMES}, 'x') AS px
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, f, p,
+               ord(substring(px,
+                             f * {3 * _Y4M_PLANE} + p * {_Y4M_PLANE} + i + 1,
+                             1)) AS code
+        FROM base,
+             (SELECT unnest(generate_series(0, {_Y4M_FRAMES - 1})) AS f),
+             (SELECT unnest(generate_series(0, 2)) AS p),
+             (SELECT unnest(generate_series(0, {_Y4M_PLANE - 1})) AS i)
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(sum(CASE WHEN p = 0 THEN code END) AS DOUBLE)
+               / {_Y4M_PLANE} AS mean_y,
+           CAST(sum(CASE WHEN p = 1 THEN code END) AS DOUBLE)
+               / {_Y4M_PLANE} AS mean_u,
+           CAST(sum(CASE WHEN p = 2 THEN code END) AS DOUBLE)
+               / {_Y4M_PLANE} AS mean_v
+    FROM cells
+    GROUP BY doc_id, f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_y4m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    plane_bytes = 3 * _Y4M_PLANE
+    frame_cols = [
+        F.concat(
+            F.lit("FRAME\n"),
+            F.rpad(
+                F.substring(
+                    F.coalesce("text", F.lit("")),
+                    f * plane_bytes + 1,
+                    plane_bytes,
+                ),
+                plane_bytes,
+                "x",
+            ),
+        )
+        for f in range(_Y4M_FRAMES)
+    ]
+    y4m = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_y4m_payload_header()), *frame_cols), "UTF-8"
+        ).alias("payload"),
+    )
+    return y4m.mapInPandas(
+        _y4m_stats_batches, schema=_Y4M_STATS_SCHEMA
+    ).orderBy("doc_id", "frame_idx")
 
 
 # Perceptual-hash near-dup candidates: the image near-dup pattern (pHash

@@ -81,6 +81,34 @@ def test_decode_wav_rejects_non_pcm():
         decode_wav(b"OggS" + b"\x00" * 40)
 
 
+def test_decode_y4m_roundtrip():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(2, 3, 4, 4), dtype=np.uint8)
+    payload = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n" + b"".join(
+        b"FRAME\n" + f.tobytes() for f in frames
+    )
+    w, h, got = decode_y4m(payload)
+    assert (w, h) == (4, 4)
+    assert np.array_equal(got, frames)
+
+
+def test_decode_y4m_rejects_unsupported():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....AVI LIST\n")
+    with pytest.raises(ValueError, match="C444"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="truncated y4m frame"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
+
+
 def test_decode_image_still_gates_compressed_formats():
     # this container ships no pillow, so a JPEG payload must raise the
     # documented seam error rather than mis-decode
