@@ -48,10 +48,10 @@ AUDIT_WINDOW = 50
 # Round 8 changed set: empty — all six round-7 pins went green in
 # CORRECTNESS_r07.json (50/50) so they expired by rule, and round 8's
 # changes are infrastructure (ledger regen, sweep artifacts, bench
-# warmups, session guards) plus ONE new query
-# (multimodal_ppm_decode_stats, the genuine-decode seam closure), which
-# enters the window through the never-audited rule without a pin. Add
-# any EXISTING query whose implementation or oracle changes this round.
+# warmups, session guards) plus THREE new queries (the genuine-decode
+# batch: multimodal_{ppm,wav,y4m}_decode_stats), which enter the window
+# through the never-audited rule without pins. Add any EXISTING query
+# whose implementation or oracle changes this round.
 PIN_ROUND = 8
 PIN_FIRST: list[str] = []
 

@@ -34,8 +34,10 @@ Scale notes (100 TB of images/audio):
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,8 +83,6 @@ def decode_ppm(payload: bytes):
     np.frombuffer IS the whole codec - no library needed. Header
     comments are unsupported (the multimodal fixtures are
     machine-generated, never hand-edited)."""
-    import numpy as np
-
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, fields = 2, []
@@ -416,8 +416,6 @@ _WAV_RATE = 8000
 
 def _wav_header(n_samples: int, rate: int) -> bytes:
     """Canonical 44-byte PCM WAV header for 16-bit mono."""
-    import struct
-
     data_size = n_samples * 2
     return (
         b"RIFF"
@@ -435,10 +433,6 @@ def decode_wav(payload: bytes):
     generically (a real file may carry LIST/fact chunks before data);
     only uncompressed 16-bit PCM is supported - compressed codecs would
     need an audio library this container does not ship."""
-    import struct
-
-    import numpy as np
-
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, channels, bits = 12, None, None, None
@@ -447,6 +441,8 @@ def decode_wav(payload: bytes):
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAVE fmt chunk")
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if fmt != 1 or bits != 16:
@@ -454,9 +450,9 @@ def decode_wav(payload: bytes):
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt chunk")
-            samples = np.frombuffer(
-                body, dtype="<i2", count=len(body) // 2
-            )
+            if len(body) < size:
+                raise ValueError("truncated WAVE data chunk")
+            samples = np.frombuffer(body, dtype="<i2", count=size // 2)
             return rate, channels, samples
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk in WAVE payload")
@@ -566,9 +562,9 @@ def decode_y4m(payload: bytes):
     (width, height, uint8 array of shape [n_frames, 3, height, width]).
     C444 only (full-resolution planes; subsampled layouts would need
     per-plane geometry, compressed video a codec library)."""
-    import numpy as np
-
-    nl = payload.index(b"\n")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m stream header")
     header = payload[:nl].decode("ascii", errors="replace")
     if not header.startswith("YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
@@ -589,7 +585,9 @@ def decode_y4m(payload: bytes):
     frames = []
     pos = nl + 1
     while pos < len(payload):
-        fnl = payload.index(b"\n", pos)
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated y4m frame header")
         if payload[pos:fnl].split(b" ")[0] != b"FRAME":
             raise ValueError("malformed frame marker")
         start = fnl + 1
@@ -601,6 +599,8 @@ def decode_y4m(payload: bytes):
             ).reshape(3, height, width)
         )
         pos = start + frame_bytes
+    if not frames:
+        raise ValueError("y4m stream contains no frames")
     return width, height, np.stack(frames)
 
 

@@ -81,6 +81,36 @@ def test_decode_wav_rejects_non_pcm():
         decode_wav(b"OggS" + b"\x00" * 40)
 
 
+def test_decode_wav_rejects_truncation():
+    # data chunk declares 8 samples but only 4 bytes follow: must raise,
+    # not silently return a shorter sample array (review finding)
+    payload = _wav_header(8, 8000) + b"\x01\x02\x03\x04"
+    with pytest.raises(ValueError, match="truncated WAVE data"):
+        decode_wav(payload)
+    # fmt chunk shorter than the 16 PCM bytes: ValueError, not struct.error
+    bad_fmt = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WAVEfmt "
+        + (4).to_bytes(4, "little") + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="truncated WAVE fmt"):
+        decode_wav(bad_fmt)
+
+
+def test_decode_y4m_degenerate_payload_errors():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    # all malformed-input paths must speak the parser's ValueError
+    # dialect, not leak numpy/bytes internals (review finding)
+    with pytest.raises(ValueError, match="no frames"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\n")
+    with pytest.raises(ValueError, match="truncated y4m stream header"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444")
+    with pytest.raises(ValueError, match="truncated y4m frame header"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME")
+
+
 def test_decode_y4m_roundtrip():
     from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
         decode_y4m,
