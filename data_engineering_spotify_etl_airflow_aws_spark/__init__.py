@@ -45,23 +45,23 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 8 changed set: empty — all six round-7 pins went green in
-# CORRECTNESS_r07.json (50/50) so they expired by rule, and round 8's
-# changes are infrastructure (ledger regen, sweep artifacts, bench
-# warmups, session guards) plus THREE new queries (the genuine-decode
-# batch: multimodal_{ppm,wav,y4m}_decode_stats), which enter the window
-# through the never-audited rule without pins. Add any EXISTING query
+# Round 9 changed set: decode_ppm grew a malformed-input dimension
+# guard (r8 ADVICE #4) — valid payloads decode identically, but the
+# query's code path changed, so multimodal_ppm_decode_stats re-audits
+# under the standing rule. New r9 queries (the PNG decode batch) enter
+# via the never-audited rule without pins. Add any EXISTING query
 # whose implementation or oracle changes this round.
-PIN_ROUND = 8
-PIN_FIRST: list[str] = []
+PIN_ROUND = 9
+PIN_FIRST: list[str] = ["multimodal_ppm_decode_stats"]
 
-# Blast-radius ordering for the never-audited class. Round 7 drained
-# the tpch/similarity/streaming/statistics-batch heads; round-7 verdict
-# #1 puts the LLM-data-pipeline core next — it carries the north-star
-# claims (near-dup recall, containment/incremental LSH, SemDeDup, BM25/
-# PCA/negative-sampling, BPE/PMI/log-odds, graph communities, pHash)
-# — then the stateful-window/temporal/statistics mid-tier; the BI long
-# tail (extras 38, insights 26) rotates in after via the default 99.
+# Blast-radius ordering for the never-audited class. Round 8 drained
+# the LLM-pipeline core (dedup/mlprep/curation/text/clusters/multimodal
+# + windows); the remaining debt is the BI long tail, and round-8
+# verdict #1 orders it by user traffic: insights (26) ahead of extras
+# (38), with the windows/temporal/filtering/statistics mid-tier
+# remainder keeping its standing rank. After a green r9 the never-
+# audited set should be ~insights-tail + extras only, finishable in
+# r10.
 _MODULE_PRIORITY: dict[str, int] = {
     "dedup": 0,
     "mlprep": 1,
@@ -76,6 +76,8 @@ _MODULE_PRIORITY: dict[str, int] = {
     "statistics": 10,
     "relational": 11,
     "maintenance": 12,
+    "insights": 13,
+    "extras": 14,
 }
 
 

@@ -97,6 +97,11 @@ def decode_ppm(payload: bytes):
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte terminating the header
     width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval <= 0:
+        # int() happily parses "-3"; a negative frombuffer count would
+        # otherwise read the whole buffer and die in reshape with a
+        # confusing error instead of this parser's ValueError dialect.
+        raise ValueError("invalid PPM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     n = width * height * 3

@@ -10,6 +10,7 @@ import datetime
 import json
 import os
 import sys
+import warnings
 from collections import Counter
 
 import duckdb
@@ -151,12 +152,27 @@ def pytest_sessionfinish(session, exitstatus):
             "failed": counts.get("failed", 0),
             "skipped": counts.get("skipped", 0),
         }
+        # SWEEPS.json is the durable evidence log: a missing file starts
+        # fresh, but a CORRUPT file is preserved aside (never silently
+        # discarded), and the rewrite is temp-file + os.replace so a
+        # crash mid-write can't destroy the history either way.
         try:
             with open(_SWEEPS_PATH) as f:
                 log = json.load(f)
-        except (OSError, ValueError):
+        except OSError:
+            log = []
+        except ValueError:
+            aside = _SWEEPS_PATH + ".corrupt"
+            os.replace(_SWEEPS_PATH, aside)
+            warnings.warn(
+                f"SWEEPS.json was unparsable; moved it to {aside} and "
+                "started a fresh log",
+                stacklevel=1,
+            )
             log = []
         log.append(entry)
-        with open(_SWEEPS_PATH, "w") as f:
+        tmp = _SWEEPS_PATH + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(log, f, indent=2)
             f.write("\n")
+        os.replace(tmp, _SWEEPS_PATH)

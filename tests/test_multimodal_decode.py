@@ -39,6 +39,15 @@ def test_decode_ppm_rejects_garbage():
         decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
 
 
+def test_decode_ppm_rejects_nonpositive_dimensions():
+    # int() parses "-3"; without the guard a negative frombuffer count
+    # reads the whole buffer and fails in reshape instead of raising
+    # the parser's documented ValueError dialect.
+    for bad in (b"P6\n-3 4\n255\n", b"P6\n4 0\n255\n", b"P6\n2 2\n0\n"):
+        with pytest.raises(ValueError, match="invalid PPM dimensions"):
+            decode_ppm(bad + b"\x00" * 64)
+
+
 def test_decode_image_routes_ppm_without_pillow():
     pixels = bytes(range(48))
     w, h, arr = decode_image(_make_ppm(4, 4, pixels))

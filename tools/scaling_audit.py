@@ -48,6 +48,21 @@ def main() -> int:
         )
     (sf_lo, t_lo), (sf_hi, t_hi) = sorted((a, b), key=lambda p: p[0])
     rx = sf_hi / sf_lo
+
+    # A query present in one run but missing (or non-positive) in the
+    # other is exactly what a scale regression looks like (errored or
+    # dropped at the high sf) — fail loudly instead of silently
+    # shrinking the audit (repo no-silent-caps convention).
+    usable_lo = {n for n, t in t_lo.items() if t > 0}
+    usable_hi = {n for n, t in t_hi.items() if t > 0}
+    lost = sorted(usable_lo ^ usable_hi)
+    if lost:
+        print(
+            f"MISSING ({len(lost)}): present/usable in only one input "
+            f"(errored or dropped at one sf?): {lost}",
+            file=sys.stderr,
+        )
+
     rows = []
     for name, hi in t_hi.items():
         lo = t_lo.get(name)
@@ -92,7 +107,7 @@ def main() -> int:
         f"no query above the flag line (exp > {FLAG_EXPONENT} with "
         f"t_hi >= {MIN_HI_SEC}s) among all {eligible} eligible queries"
     )
-    return 0
+    return 1 if lost else 0
 
 
 if __name__ == "__main__":
