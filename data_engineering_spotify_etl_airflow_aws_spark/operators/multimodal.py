@@ -7,16 +7,18 @@ fixture's text bytes stand in as the opaque payload for most operators
 (the point is the Spark-side plumbing: BinaryType columns, metadata
 structs, sha2 content addressing, and a real mapInPandas decode/feature
 path with correct batch shapes). The decode step itself is genuinely
-exercised for the uncompressed format class of every modality:
-decode_ppm() is a complete pure-numpy PPM (P6) image codec, decode_wav()
-a RIFF/WAVE PCM audio chunk parser, and decode_y4m() a YUV4MPEG2 video
-frame parser; the multimodal_{ppm,wav,y4m}_decode_stats queries build
-valid payloads JVM-side, decode them in mapInPandas with the real
+exercised for the uncompressed format class of every modality AND for
+one real compressed format: decode_ppm() is a complete pure-numpy PPM
+(P6) image codec, decode_wav() a RIFF/WAVE PCM audio chunk parser,
+decode_y4m() a YUV4MPEG2 video frame parser, and decode_png() a
+stdlib-zlib + numpy PNG codec (inflate + all five scanline filters,
+CRC-verified) for 8-bit RGB; the multimodal_{ppm,wav,y4m,png}_decode_stats
+queries build valid payloads, decode them in mapInPandas with the real
 codecs, and oracle-check the decoded channel means / waveform stats /
-per-frame plane means bit-for-bit. decode_image() routes P6 payloads to the PPM codec and
-raises NotImplementedError only for compressed formats (JPEG/PNG need
-pillow, which is not importable here); the deterministic digest-based
-feature extractor remains the codec-free fallback.
+per-frame plane means bit-for-bit. decode_image() routes P6 and PNG
+payloads to the native codecs and raises NotImplementedError only for
+JPEG (needs pillow, which is not importable here); the deterministic
+digest-based feature extractor remains the codec-free fallback.
 
 Scale notes (100 TB of images/audio):
   * payloads stay in executor-side Arrow batches end to end - nothing binary
@@ -35,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,14 +115,17 @@ def decode_ppm(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """The codec seam. Compressed formats (JPEG/PNG/...) need pillow,
-    which this container does not ship; uncompressed PPM decodes with
-    the built-in pure-numpy parser above, so the decode path genuinely
-    executes in-sandbox (multimodal_ppm_decode_stats oracle-checks it
-    value-for-value). Returns (width, height, pixel array) for PPM and
-    a PIL.Image when pillow handles the payload."""
+    """The codec seam. Uncompressed PPM decodes with the pure-numpy
+    parser above; 8-bit RGB PNG decodes with the stdlib-zlib + numpy
+    codec below (both oracle-checked value-for-value by their
+    *_decode_stats queries). Only JPEG and exotic PNG variants still
+    need pillow, which this container does not ship. Returns
+    (width, height, pixel array) for natively-decoded formats and a
+    PIL.Image when pillow handles the payload."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: F401  (not shipped in this container)
         import io
@@ -127,9 +133,10 @@ def decode_image(payload: bytes):
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-image decoding requires pillow, which this "
-            "environment does not ship; PPM payloads decode natively, and "
-            "digest_features() is the deterministic fallback for the rest"
+            "JPEG decoding requires pillow, which this environment does "
+            "not ship; PPM and 8-bit RGB PNG payloads decode natively, "
+            "and digest_features() is the deterministic fallback for the "
+            "rest"
         ) from exc
 
 
@@ -700,6 +707,266 @@ def multimodal_y4m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y4m.mapInPandas(
         _y4m_stats_batches, schema=_Y4M_STATS_SCHEMA
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# GENUINE COMPRESSED image decode: PNG for 8-bit RGB, dependency-free
+# (stdlib zlib inflates the IDAT stream; numpy reconstructs scanlines
+# through all five PNG filters: None/Sub/Up/Average/Paeth; chunk CRCs
+# are verified). This closes the r8 "compressed formats need pillow"
+# seam for PNG - pillow now gates only JPEG.
+#
+# Unlike the PPM/WAV/Y4M paths, the payload constructor cannot live
+# JVM-side: DEFLATE + CRC32 are not column expressions. The scan ships
+# (doc_id, 192 raw document bytes); inside mapInPandas encode_png()
+# wraps them into a real PNG (filter type cycling r % 5, so every
+# document exercises all five filters) and decode_png() - the
+# independent inflate+unfilter codec - reconstructs the pixels. The
+# oracle recomputes the statistics from the SOURCE characters, so any
+# asymmetry in the filter math between the two sides shifts pixel
+# values and fails the value hash. (A shared encode/decode bug that
+# cancels exactly is the residual blind spot; the unit tests close it
+# by checking encode_png's filtered bytes against a per-spec scalar
+# reimplementation and decoding test-built PNGs - see
+# tests/test_multimodal_decode.py.) wsum is a position-weighted
+# checksum (sum of (i+1)*byte over row-major RGB order), so scanline or
+# channel permutations that leave the means invariant still fail.
+#
+# Scale notes (100 TB of images): identical to the PPM path - payload
+# bytes live only in executor-side Arrow batches, decode is a
+# shuffle-free projection, and the only shuffle is the presentation
+# sort. Real corpora swap the fixture constructor for a parquet binary
+# column; decode + stats are unchanged.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_W = _PNG_H = 8
+_PNG_NPIX = _PNG_W * _PNG_H  # 64 pixels (power of two: exact means)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal real PNG encoder for 8-bit RGB [h, w, 3] arrays (the
+    fixture-payload constructor; roundtrip source for the decoder
+    tests). Scanline r is filtered with type r % 5, so an 8-row image
+    exercises every PNG filter. Filter predictors reference RAW bytes
+    of the current and prior scanline per the spec."""
+    h, w, _ = arr.shape
+    raw = arr.astype(np.int64)
+    zeros = np.zeros(w * 3, dtype=np.int64)
+    lines = []
+    for r in range(h):
+        ftype = r % 5
+        cur = raw[r].reshape(-1)
+        prev = raw[r - 1].reshape(-1) if r else zeros
+        filt = bytearray([ftype])
+        for x in range(w * 3):
+            a = int(cur[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            filt.append((int(cur[x]) - pred) & 0xFF)
+        lines.append(bytes(filt))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Real, dependency-free PNG decode for 8-bit RGB non-interlaced
+    payloads: (width, height, uint8 array of shape [height, width, 3]).
+    Walks the chunk list verifying each CRC32, inflates the
+    concatenated IDAT stream with stdlib zlib, and reconstructs
+    scanlines through all five PNG filter types. Palette / alpha /
+    16-bit / interlaced images would need pillow."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size : pos + 12 + size]
+        )
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if width == 0 or height == 0:
+                raise ValueError("invalid PNG dimensions")
+            if depth != 8 or color != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+            if comp or filt or inter:
+                raise ValueError(
+                    "unsupported PNG compression/filter/interlace method"
+                )
+        elif ctype == b"IDAT":
+            if width is None:
+                raise ValueError("PNG IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + size
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("PNG missing IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream") from exc
+    stride = 1 + 3 * width
+    if len(raw) != stride * height:
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((height, 3 * width), dtype=np.uint8)
+    prev = np.zeros(3 * width, dtype=np.int64)
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        ftype = line[0]
+        cur = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up: vectorizable (depends only on prior row)
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = cur
+            for x in range(3 * width):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError("invalid PNG filter type")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return width, height, out.reshape(height, width, 3)
+
+
+_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("wsum", T.LongType()),
+    ]
+)
+
+
+def _png_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    weights = np.arange(1, 3 * _PNG_NPIX + 1, dtype=np.int64)
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "wsum": [],
+        }
+        for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+            pixels = np.frombuffer(px, dtype=np.uint8).reshape(
+                _PNG_H, _PNG_W, 3
+            )
+            w, h, arr = decode_png(encode_png(pixels))
+            flat = arr.reshape(-1).astype(np.int64)
+            means = arr.reshape(-1, 3).mean(axis=0)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_r"].append(float(means[0]))
+            out["mean_g"].append(float(means[1]))
+            out["mean_b"].append(float(means[2]))
+            out["wsum"].append(int((flat * weights).sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_png_decode_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               rpad(substring(coalesce(text, ''), 1, {3 * _PNG_NPIX}),
+                    {3 * _PNG_NPIX}, 'x') AS px
+        FROM documents
+    ),
+    codes AS (
+        SELECT doc_id, i, ord(substring(px, i + 1, 1)) AS code
+        FROM base, (SELECT unnest(generate_series(0, {3 * _PNG_NPIX - 1})) AS i)
+    )
+    SELECT doc_id,
+           CAST({_PNG_W} AS BIGINT) AS width,
+           CAST({_PNG_H} AS BIGINT) AS height,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN code END) AS DOUBLE)
+               / {_PNG_NPIX} AS mean_r,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN code END) AS DOUBLE)
+               / {_PNG_NPIX} AS mean_g,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN code END) AS DOUBLE)
+               / {_PNG_NPIX} AS mean_b,
+           CAST(sum((i + 1) * code) AS BIGINT) AS wsum
+    FROM codes
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    png = docs.select(
+        "doc_id",
+        F.encode(
+            F.rpad(
+                F.substring(F.coalesce("text", F.lit("")), 1, 3 * _PNG_NPIX),
+                3 * _PNG_NPIX,
+                "x",
+            ),
+            "UTF-8",
+        ).alias("px"),
+    )
+    return png.mapInPandas(
+        _png_stats_batches, schema=_PNG_STATS_SCHEMA
+    ).orderBy("doc_id")
 
 
 # Perceptual-hash near-dup candidates: the image near-dup pattern (pHash

@@ -153,3 +153,179 @@ def test_decode_image_still_gates_compressed_formats():
     # documented seam error rather than mis-decode
     with pytest.raises((NotImplementedError, OSError)):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the compressed-format codec (stdlib zlib + numpy unfilter).
+
+
+def _spec_filter_scanline(ftype, cur, prev):
+    """Independent per-spec (RFC 2083 §6) scalar filter implementation,
+    deliberately NOT sharing code with the engine's encoder: used to
+    prove encode_png's filtered bytes match the standard, which breaks
+    the encode/decode circularity of the oracle query."""
+    bpp, out = 3, []
+    for x in range(len(cur)):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((cur[x] - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_png_roundtrip_all_filters():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    # h=10 cycles filter types 0..4 twice (encode uses r % 5)
+    pixels = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    w, h, arr = decode_png(encode_png(pixels))
+    assert (w, h) == (7, 10)
+    assert np.array_equal(arr, pixels)
+
+
+def test_png_encoder_matches_spec_filters():
+    import zlib
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    pixels = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    payload = encode_png(pixels)
+    # locate the IDAT body and inflate it
+    idx = payload.index(b"IDAT")
+    (size,) = __import__("struct").unpack(">I", payload[idx - 4 : idx])
+    raw = zlib.decompress(payload[idx + 4 : idx + 4 + size])
+    stride = 1 + 4 * 3
+    rows = [list(map(int, pixels[r].reshape(-1))) for r in range(5)]
+    for r in range(5):
+        line = raw[r * stride : (r + 1) * stride]
+        assert line[0] == r % 5
+        prev = rows[r - 1] if r else [0] * 12
+        assert line[1:] == _spec_filter_scanline(r % 5, rows[r], prev)
+
+
+def test_png_decodes_independently_built_payload():
+    """A PNG assembled in the test from the spec (filter 0 + filter 2
+    rows, chunks and CRCs written longhand) must decode exactly —
+    decoder correctness without touching the engine's encoder."""
+    import struct
+    import zlib
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    row0 = bytes([10, 20, 30, 40, 50, 60])  # 2x2 RGB, w=2
+    row1_raw = bytes([15, 25, 35, 45, 55, 65])
+    # row1 filtered with Up: raw - prior_row mod 256
+    row1_up = bytes((row1_raw[i] - row0[i]) & 0xFF for i in range(6))
+    scanlines = b"\x00" + row0 + b"\x02" + row1_up
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    w, h, arr = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert arr.reshape(-1).tolist() == list(row0) + list(row1_raw)
+
+
+def test_png_rejects_malformed_payloads():
+    import struct
+    import zlib
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n2 2\n255\n" + b"\x00" * 12)
+    # flip one IDAT byte -> CRC mismatch
+    idx = good.index(b"IDAT") + 5
+    bad_crc = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1 :]
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bad_crc)
+    # cut inside the declared IDAT body -> chunk-level truncation
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(good[: good.index(b"IDAT") + 6])
+    # cut the IEND tail off entirely -> stream-level truncation
+    with pytest.raises(ValueError, match="PNG missing IEND"):
+        decode_png(good[:-6])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="only 8-bit RGB"):
+        decode_png(sig + chunk(b"IHDR", gray) + chunk(b"IEND", b""))
+    interlaced = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(sig + chunk(b"IHDR", interlaced) + chunk(b"IEND", b""))
+    zero_dim = struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="invalid PNG dimensions"):
+        decode_png(sig + chunk(b"IHDR", zero_dim) + chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" + b"\x01" * 6)  # one row, needs two
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short)
+            + chunk(b"IEND", b"")
+        )
+    garbage = chunk(b"IDAT", b"not-deflate-data")
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(sig + chunk(b"IHDR", ihdr) + garbage + chunk(b"IEND", b""))
+    bad_filter = zlib.compress(
+        b"\x09" + b"\x00" * 6 + b"\x00" + b"\x00" * 6
+    )
+    with pytest.raises(ValueError, match="invalid PNG filter type"):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bad_filter)
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_decode_image_routes_png_natively():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    pixels = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    w, h, arr = decode_image(encode_png(pixels))
+    assert (w, h) == (4, 4)
+    assert np.array_equal(arr, pixels)
