@@ -210,6 +210,33 @@ def main() -> int:
         if timings.get(name, 0.0) > 4.0:
             _drain_shuffle_cleanup(spark)
 
+    # Min-of-2 for the heaviest queries (r8 verdict #6): this host's
+    # suite-total spread is ~25% on identical code (344 vs 422s, r8),
+    # concentrated in the heavy tail. A second, warm in-process repeat
+    # is cheap there, and min-of-2 is a far lower-variance per-query
+    # statistic for cross-round comparison. Both samples are recorded
+    # under "repeat_samples"; "queries" and the suite total carry the
+    # min. The repeat keeps the main loop's cache/drain discipline so
+    # it measures the same thing the first pass did.
+    n_repeat = 20
+    samples: dict[str, list[float]] = {}
+    for name in sorted(timings, key=lambda n: timings[n], reverse=True)[
+        :n_repeat
+    ]:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            second = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            failed[name] = f"repeat: {type(exc).__name__}: {exc}"[:200]
+            continue
+        spark.catalog.clearCache()
+        if max(timings[name], second) > 4.0:
+            _drain_shuffle_cleanup(spark)
+        samples[name] = [timings[name], second]
+        timings[name] = min(timings[name], second)
+
     out = {
         "metric": "suite_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -218,6 +245,8 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if samples:
+        out["repeat_samples"] = samples
     if failed:
         out["failed"] = failed
     print(json.dumps(out), flush=True)

@@ -78,6 +78,9 @@ _MODULE_PRIORITY: dict[str, int] = {
     "maintenance": 12,
     "insights": 13,
     "extras": 14,
+    # streaming decode twin ties with multimodal: it carries the same
+    # north-star modality claim, so it must not queue behind the BI tail
+    "decode": 5,
 }
 
 
@@ -137,6 +140,7 @@ def load_all_operators() -> None:
         insights,
         maintenance,
     )
+    from .streaming import decode as streaming_decode  # noqa: F401
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401

@@ -390,9 +390,19 @@ def _ppm_stats_batches(
     """,
 )
 def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppm_payload_df(spark, sf_dir).mapInPandas(
+        _ppm_stats_batches, schema=_PPM_STATS_SCHEMA
+    ).orderBy("doc_id")
+
+
+def ppm_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with a valid binary PPM per document — the
+    fixture constructor shared by the batch decode query above and its
+    Structured Streaming twin (streaming/decode.py), so both decode
+    byte-identical payloads."""
     docs = load_table(spark, sf_dir, "documents")
     header = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
-    ppm = docs.select(
+    return docs.select(
         "doc_id",
         F.encode(
             F.concat(
@@ -406,9 +416,6 @@ def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    return ppm.mapInPandas(
-        _ppm_stats_batches, schema=_PPM_STATS_SCHEMA
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

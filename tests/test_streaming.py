@@ -696,3 +696,37 @@ def test_rest_stream_resumes_from_checkpoint(spark, tmp_path):
     assert back.count() == 150
     # every (page, rank) appears exactly once: resumed, not replayed
     assert back.select("scrape_date", "rank").distinct().count() == 150
+
+
+def test_stream_decode_matches_batch_twin(spark):
+    """The streaming decode twin must be hash-equal to the batch decode
+    query: same payload constructor, same codec, same stats — only the
+    engine differs (micro-batch file-source vs one batch scan)."""
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    stream_rows = sorted(
+        tuple(r)
+        for r in QUERIES["stream_multimodal_decode"](
+            spark, SF_CORRECT
+        ).collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in QUERIES["multimodal_ppm_decode_stats"](
+            spark, SF_CORRECT
+        ).collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_ppm_payload_feed_is_multi_file(spark):
+    """The feed must produce >1 chunk so availableNow with
+    maxFilesPerTrigger=2 genuinely exercises multiple micro-batches."""
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.decode import (
+        ppm_payload_feed,
+    )
+
+    chunks = Path(ppm_payload_feed(spark, SF_CORRECT))
+    parts = [p for p in chunks.glob("part-*") if p.is_file()]
+    assert len(parts) > 2
