@@ -107,7 +107,10 @@ def test_simhash_stable_and_full_coverage(spark):
 
 def test_multimodal_decode_seam_and_fallback():
     """decode_image must fail loudly without a codec; digest_features is the
-    deterministic fallback with a fixed width."""
+    deterministic fallback with a fixed width. Since round 9 a PNG
+    signature routes to the NATIVE decoder (so a malformed PNG is a
+    ValueError from the codec, not the pillow seam); the
+    NotImplementedError seam now gates only JPEG."""
     import pytest as _pytest
 
     from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
@@ -115,8 +118,10 @@ def test_multimodal_decode_seam_and_fallback():
         digest_features,
     )
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nfake")
+    with _pytest.raises((NotImplementedError, OSError)):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
     f = digest_features(b"payload")
     assert len(f) == 8 and all(0.0 <= x <= 1.0 for x in f)
     assert f == digest_features(b"payload")
