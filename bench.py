@@ -234,22 +234,30 @@ def main() -> int:
     # it measures the same thing the first pass did.
     n_repeat = 20
     samples: dict[str, list[float]] = {}
+    repeat_failed: dict[str, str] = {}
     for name in sorted(timings, key=lambda n: timings[n], reverse=True)[
         :n_repeat
     ]:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
+        second = None
         try:
             fn(spark, sf_dir).collect()
             second = round(time.perf_counter() - t0, 4)
         except Exception as exc:
-            failed[name] = f"repeat: {type(exc).__name__}: {exc}"[:200]
-            continue
+            # The query ALREADY measured successfully once - a transient
+            # repeat failure must not flip the bench to rc=1 or discard
+            # the valid first sample; record it separately.
+            repeat_failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # cache/drain hygiene runs on BOTH paths: a failed repeat can
+        # still have left cached relations and shuffle litter behind,
+        # and the next repeat's measurement must not absorb them
         spark.catalog.clearCache()
-        if max(timings[name], second) > 4.0:
+        if max(timings[name], second or 0.0) > 4.0:
             _drain_shuffle_cleanup(spark)
-        samples[name] = [timings[name], second]
-        timings[name] = min(timings[name], second)
+        if second is not None:
+            samples[name] = [timings[name], second]
+            timings[name] = min(timings[name], second)
 
     out = {
         "metric": "suite_wall_sec",
@@ -261,6 +269,8 @@ def main() -> int:
     }
     if samples:
         out["repeat_samples"] = samples
+    if repeat_failed:
+        out["repeat_failed"] = repeat_failed
     if failed:
         out["failed"] = failed
     print(json.dumps(out), flush=True)

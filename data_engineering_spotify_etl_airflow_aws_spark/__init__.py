@@ -46,13 +46,23 @@ AUDIT_FIRST: list[str] = []
 AUDIT_WINDOW = 50
 
 # Round 9 changed set: decode_ppm grew a malformed-input dimension
-# guard (r8 ADVICE #4) — valid payloads decode identically, but the
-# query's code path changed, so multimodal_ppm_decode_stats re-audits
-# under the standing rule. New r9 queries (the PNG decode batch) enter
-# via the never-audited rule without pins. Add any EXISTING query
-# whose implementation or oracle changes this round.
+# guard (r8 ADVICE #4), and the r9 code review found maxFilesPerTrigger
+# placed on the WRITER (where Spark silently ignores it) in six
+# registered streaming queries — moving it to the reader makes them
+# genuinely multi-micro-batch, which changes their execution (results
+# are hash-identical, but the standing rule pins any implementation
+# change). New r9 queries (PNG decode, streaming decode twin) enter
+# via the never-audited rule without pins.
 PIN_ROUND = 9
-PIN_FIRST: list[str] = ["multimodal_ppm_decode_stats"]
+PIN_FIRST: list[str] = [
+    "multimodal_ppm_decode_stats",
+    "stream_dedup_events",
+    "stream_static_enrich",
+    "stream_join_click_purchase",
+    "stream_left_join_click_purchase",
+    "stream_full_join_click_purchase",
+    "stream_foreachbatch_upsert",
+]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained
 # the LLM-pipeline core (dedup/mlprep/curation/text/clusters/multimodal

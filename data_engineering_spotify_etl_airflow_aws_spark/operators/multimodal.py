@@ -831,6 +831,10 @@ def decode_png(payload: bytes):
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise ValueError("PNG chunk CRC mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                # keep malformed input inside the codec's ValueError
+                # dialect - struct.error would escape the contract
+                raise ValueError("invalid PNG IHDR length")
             width, height, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body
             )

@@ -73,10 +73,16 @@ def ppm_payload_feed(spark: SparkSession, sf_dir: str) -> str:
 def decode_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     """The operator under test: file-source payload stream decoded by
     the real PPM codec, batch-for-batch identical to the batch twin's
-    mapInPandas stage."""
-    return spark.readStream.schema(_PAYLOAD_SCHEMA).parquet(
-        chunk_dir
-    ).mapInPandas(_ppm_stats_batches, schema=_PPM_STATS_SCHEMA)
+    mapInPandas stage. maxFilesPerTrigger sits on the READER (the file
+    source); on the writer Spark silently ignores it and availableNow
+    collapses to a single batch (r9 review fix, verified via
+    recentProgress: writer-side = 1 batch, reader-side = 2)."""
+    return (
+        spark.readStream.schema(_PAYLOAD_SCHEMA)
+        .option("maxFilesPerTrigger", "2")  # 4 chunks -> 2 micro-batches
+        .parquet(chunk_dir)
+        .mapInPandas(_ppm_stats_batches, schema=_PPM_STATS_SCHEMA)
+    )
 
 
 @query(
@@ -94,7 +100,6 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("parquet")
         .option("path", str(base / "data"))
         .option("checkpointLocation", str(base / "checkpoint"))
-        .option("maxFilesPerTrigger", "2")  # >1 real micro-batch
         .trigger(availableNow=True)
         .start()
     )

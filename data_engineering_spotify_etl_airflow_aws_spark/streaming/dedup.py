@@ -68,16 +68,24 @@ def dedup_within_watermark_stream(
     spark: SparkSession,
     chunk_dir: str,
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The streaming operator under test: schema-bound file stream ->
-    event-time watermark -> per-row dedup on event_id with bounded state."""
+    event-time watermark -> per-row dedup on event_id with bounded state.
+
+    max_files_per_trigger is a READER (file-source) option; setting it on
+    the DataStreamWriter is silently ignored by Spark — the r9 review
+    caught exactly that bug in the registered queries, which therefore
+    ran single-batch while claiming '>1 real micro-batch'."""
     schema = (
         "event_id bigint, user_id bigint, ts timestamp, "
         "event_type string, value double"
     )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
-        spark.readStream.schema(schema)
-        .parquet(chunk_dir)
+        reader.parquet(chunk_dir)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -110,11 +118,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            dedup_within_watermark_stream(spark, chunks)
+            # maxFilesPerTrigger on the READER: 6 chunks / 3 per trigger
+            # = 2+ genuine micro-batches (writer-side placement is
+            # silently ignored - r9 review fix)
+            dedup_within_watermark_stream(
+                spark, chunks, max_files_per_trigger=3
+            )
             .writeStream.format("parquet")
             .option("path", str(base / "data"))
             .option("checkpointLocation", str(base / "checkpoint"))
-            .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
             .trigger(availableNow=True)
             .start()
         )

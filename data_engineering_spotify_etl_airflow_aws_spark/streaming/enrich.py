@@ -47,15 +47,19 @@ def static_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def enrich_stream(
-    spark: SparkSession, chunk_dir: str, dim: DataFrame
+    spark: SparkSession,
+    chunk_dir: str,
+    dim: DataFrame,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The operator under test: file-source stream inner-joined per
-    micro-batch against the static dim on user_id."""
-    return (
-        spark.readStream.schema(_EVENT_SCHEMA).parquet(chunk_dir).join(
-            dim, "user_id"
-        )
-    )
+    micro-batch against the static dim on user_id. max_files_per_trigger
+    must sit on the READER (the file source) — writer-side placement is
+    silently ignored (r9 review fix)."""
+    reader = spark.readStream.schema(_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(chunk_dir).join(dim, "user_id")
 
 
 @query(
@@ -75,11 +79,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = static_user_dim(spark, sf_dir)
 
     q = (
-        enrich_stream(spark, chunks, dim)
+        enrich_stream(spark, chunks, dim, max_files_per_trigger=3)
         .writeStream.format("parquet")
         .option("path", str(base / "data"))
         .option("checkpointLocation", str(base / "checkpoint"))
-        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
         .trigger(availableNow=True)
         .start()
     )

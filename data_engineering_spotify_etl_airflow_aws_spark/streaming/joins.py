@@ -46,13 +46,28 @@ _JOIN_WINDOW = "2 hours"
 _WATERMARK = "30 minutes"
 
 
+def _event_reader(
+    spark: SparkSession, max_files_per_trigger: int | None
+):
+    """File-source reader; maxFilesPerTrigger is a READER option (on the
+    writer Spark silently ignores it - r9 review fix: the registered
+    queries had it writer-side and ran single-batch while claiming
+    '>1 real micro-batch')."""
+    reader = spark.readStream.schema(_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader
+
+
 def click_purchase_join_stream(
-    spark: SparkSession, chunk_dir: str
+    spark: SparkSession,
+    chunk_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The streaming operator under test: two file-source streams over the
     same chunk feed, watermarked both sides, inner-joined on user with an
     event-time interval condition (the state-eviction contract)."""
-    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(chunk_dir)
+    raw = _event_reader(spark, max_files_per_trigger).parquet(chunk_dir)
     clicks = (
         raw.where(F.col("event_type") == "click")
         .select(
@@ -111,11 +126,10 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            click_purchase_join_stream(spark, chunks)
+            click_purchase_join_stream(spark, chunks, max_files_per_trigger=3)
             .writeStream.format("parquet")
             .option("path", str(base / "data"))
             .option("checkpointLocation", str(base / "checkpoint"))
-            .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
             .trigger(availableNow=True)
             .start()
         )
@@ -213,7 +227,7 @@ def stream_left_join_click_purchase(
     shutil.rmtree(base, ignore_errors=True)
 
     chunks = outer_event_feed(spark, sf_dir)
-    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(chunks)
+    raw = _event_reader(spark, 3).parquet(chunks)
     clicks = (
         raw.where(F.col("event_type") == "click")
         .select(
@@ -248,7 +262,6 @@ def stream_left_join_click_purchase(
             joined.writeStream.format("parquet")
             .option("path", str(base / "data"))
             .option("checkpointLocation", str(base / "checkpoint"))
-            .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
             .trigger(availableNow=True)
             .start()
         )
@@ -305,7 +318,7 @@ def stream_full_join_click_purchase(
     shutil.rmtree(base, ignore_errors=True)
 
     chunks = outer_event_feed(spark, sf_dir)
-    raw = spark.readStream.schema(_EVENT_SCHEMA).parquet(chunks)
+    raw = _event_reader(spark, 3).parquet(chunks)
     clicks = (
         raw.where(F.col("event_type") == "click")
         .select(
@@ -340,7 +353,6 @@ def stream_full_join_click_purchase(
             joined.writeStream.format("parquet")
             .option("path", str(base / "data"))
             .option("checkpointLocation", str(base / "checkpoint"))
-            .option("maxFilesPerTrigger", "3")
             .trigger(availableNow=True)
             .start()
         )

@@ -94,12 +94,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(_EVENT_SCHEMA)
+        # READER option: 6 chunks / 3 per trigger = multiple genuine
+        # micro-batches; writer-side placement is silently ignored
+        # (r9 review fix)
+        .option("maxFilesPerTrigger", "3")
         .parquet(chunks)
         .writeStream.foreachBatch(
             lambda df, bid: upsert_batch(spark, state, df, bid)
         )
         .option("checkpointLocation", str(base / "checkpoint"))
-        .option("maxFilesPerTrigger", "3")  # >1 real micro-batch
         .trigger(availableNow=True)
         .start()
     )

@@ -159,14 +159,16 @@ def pytest_sessionfinish(session, exitstatus):
         try:
             with open(_SWEEPS_PATH) as f:
                 log = json.load(f)
+            if not isinstance(log, list):
+                raise ValueError("SWEEPS.json is not a JSON list")
         except OSError:
             log = []
         except ValueError:
             aside = _SWEEPS_PATH + ".corrupt"
             os.replace(_SWEEPS_PATH, aside)
             warnings.warn(
-                f"SWEEPS.json was unparsable; moved it to {aside} and "
-                "started a fresh log",
+                f"SWEEPS.json was unparsable or wrong-shaped; moved it "
+                f"to {aside} and started a fresh log",
                 stacklevel=1,
             )
             log = []

@@ -71,6 +71,26 @@ def test_zeroed_query_counts_as_missing(tmp_path):
     assert "'b'" in r.stderr
 
 
+def test_bench_recorded_failure_beats_allow_missing(tmp_path):
+    """--allow-missing tolerates deliberate subset exclusions, but a
+    query bench RECORDED as failed (e.g. OOM at the high sf) must fail
+    the audit regardless."""
+    lo = _write(tmp_path, "lo.json", 0.01, {"a": 1.0, "b": 0.5})
+    p = tmp_path / "hi.json"
+    p.write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"a": 5.0},
+                "failed": {"b": "OutOfMemoryError: ..."},
+            }
+        )
+    )
+    r = _run("--allow-missing", lo, str(p))
+    assert r.returncode == 1
+    assert "ERRORED" in r.stderr and "'b'" in r.stderr
+
+
 def test_same_sf_inputs_rejected(tmp_path):
     lo = _write(tmp_path, "lo.json", 0.01, {"a": 1.0})
     lo2 = _write(tmp_path, "lo2.json", 0.01, {"a": 1.1})

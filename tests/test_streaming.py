@@ -730,3 +730,50 @@ def test_ppm_payload_feed_is_multi_file(spark):
     chunks = Path(ppm_payload_feed(spark, SF_CORRECT))
     parts = [p for p in chunks.glob("part-*") if p.is_file()]
     assert len(parts) > 2
+
+
+def test_registered_streams_run_multiple_microbatches(spark):
+    """maxFilesPerTrigger is a READER option — on the writer Spark
+    silently ignores it, and availableNow collapses to one batch (the
+    r9 review finding: six registered queries claimed '>1 real
+    micro-batch' while running single-batch). Drive the fixed builders
+    the way the registered queries do and assert the batch count from
+    recentProgress."""
+    import shutil as _shutil
+
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.chunks import (
+        plain_event_feed,
+        run_scratch,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.decode import (
+        decode_stream,
+        ppm_payload_feed,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.streaming.dedup import (
+        dedup_within_watermark_stream,
+    )
+
+    def n_batches(stream_df, name):
+        base = run_scratch(f"mb_probe_{name}")
+        _shutil.rmtree(base, ignore_errors=True)
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", str(base / "data"))
+            .option("checkpointLocation", str(base / "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return len([p for p in q.recentProgress if p["numInputRows"] > 0])
+
+    decode_batches = n_batches(
+        decode_stream(spark, ppm_payload_feed(spark, SF_SMOKE)), "decode"
+    )
+    assert decode_batches >= 2, decode_batches
+
+    chunks = plain_event_feed(spark, SF_SMOKE)
+    dedup_batches = n_batches(
+        dedup_within_watermark_stream(spark, chunks, max_files_per_trigger=3),
+        "dedup",
+    )
+    assert dedup_batches >= 2, dedup_batches

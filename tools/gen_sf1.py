@@ -17,9 +17,14 @@ growth factor per table exact and known:
     (each non-empty whitespace token prefixed with one copy-specific
     letter). Jaccard similarity over token shingles is invariant under
     a bijection, so every within-copy exact-dup / near-dup relation of
-    sf0.1 is reproduced in every copy, while cross-copy token sets are
-    disjoint — near-dup candidate structure grows exactly 10x, never
-    quadratically by fixture artifact. n_chars is recomputed.
+    sf0.1 is reproduced in every copy; near-dup candidate structure
+    grows exactly 10x, never quadratically by fixture artifact.
+    n_chars is recomputed. Cross-copy token-set disjointness is NOT
+    guaranteed by the prefix scheme alone (a verbatim copy-0 token
+    'avec' would collide with copy 1's image of 'vec'), so generation
+    VERIFIES it over the actual vocabulary and fails if any cross-copy
+    token collision exists — the r9 review turned the narrative claim
+    into an enforced invariant.
   * embeddings: 4 copies (the driver's own sub-linear fixture pattern:
     500 @ sf0.01 -> 2000 @ sf0.1, i.e. 4x per decade), vec_id shifted;
     copy i > 0 adds small deterministic Gaussian noise (seeded by copy)
@@ -140,6 +145,28 @@ def main() -> None:
         FROM '{SRC}/documents.parquet'"""
 
     _copies(con, out, "documents", doc_copy)
+
+    # Enforce the scaling-evidence invariant the docstring relies on:
+    # no token may appear in more than one copy's vocabulary, or
+    # cross-copy shingle overlap could create spurious near-dup
+    # candidates and corrupt the decade-2 exponents.
+    collisions = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id // {N_DOC} AS copy_idx,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM '{out}/documents.parquet'
+        )
+        SELECT tok, count(DISTINCT copy_idx) AS n_copies
+        FROM toks WHERE tok <> ''
+        GROUP BY tok HAVING count(DISTINCT copy_idx) > 1
+        LIMIT 5
+    """).fetchall()
+    if collisions:
+        raise SystemExit(
+            f"cross-copy token collisions break the linear-growth "
+            f"invariant: {collisions}"
+        )
+    print("  documents: cross-copy token disjointness verified")
 
     # embeddings: numpy side (list column + per-copy Gaussian noise)
     tbl = pq.read_table(f"{SRC}/embeddings.parquet")

@@ -26,7 +26,9 @@ A query present/usable in only one input fails the audit (a scale
 regression looks exactly like "errored or dropped at the high sf").
 When one input is a DELIBERATE subset run (SPARK_GRAFT_QUERIES, e.g.
 the sf1 flag-eligible-only pass), pass --allow-missing to demote that
-failure to the printed notice.
+failure to the printed notice — but a query the bench JSON itself
+records under "failed" is a hard failure at ANY setting: the subset
+flag cannot launder a query that errored at scale.
 """
 
 from __future__ import annotations
@@ -39,10 +41,10 @@ MIN_HI_SEC = 2.0  # below this at the high sf, ratios are noise
 FLAG_EXPONENT = 1.35  # n log n at 10x is ~1.23; leave jitter headroom
 
 
-def load(path: str) -> tuple[float, dict[str, float]]:
+def load(path: str) -> tuple[float, dict[str, float], dict[str, str]]:
     with open(path) as f:
         d = json.load(f)
-    return float(d["sf"]), d["queries"]
+    return float(d["sf"]), d["queries"], d.get("failed", {})
 
 
 def main() -> int:
@@ -54,8 +56,22 @@ def main() -> int:
             f"both inputs are at sf={a[0]}; need two DIFFERENT scale "
             f"factors to measure scaling"
         )
-    (sf_lo, t_lo), (sf_hi, t_hi) = sorted((a, b), key=lambda p: p[0])
+    (sf_lo, t_lo, f_lo), (sf_hi, t_hi, f_hi) = sorted(
+        (a, b), key=lambda p: p[0]
+    )
     rx = sf_hi / sf_lo
+
+    # A query bench RECORDED as failed is a hard audit failure at any
+    # setting: --allow-missing exists for queries deliberately excluded
+    # from a subset run, and cannot launder one that errored at scale —
+    # bench's "failed" key is exactly how an OOM-at-sf1 would present.
+    errored = sorted(set(f_lo) | set(f_hi))
+    if errored:
+        print(
+            f"ERRORED ({len(errored)}): recorded as failed by bench: "
+            f"{errored}",
+            file=sys.stderr,
+        )
 
     # A query present in one run but missing (or non-positive) in the
     # other is exactly what a scale regression looks like (errored or
@@ -115,6 +131,8 @@ def main() -> int:
         f"no query above the flag line (exp > {FLAG_EXPONENT} with "
         f"t_hi >= {MIN_HI_SEC}s) among all {eligible} eligible queries"
     )
+    if errored:
+        return 1
     return 1 if (lost and not allow_missing) else 0
 
 
