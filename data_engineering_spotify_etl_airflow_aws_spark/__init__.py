@@ -53,6 +53,13 @@ AUDIT_WINDOW = 50
 # are hash-identical, but the standing rule pins any implementation
 # change). New r9 queries (PNG decode, streaming decode twin) enter
 # via the never-audited rule without pins.
+# A second review pass over the dedup/similarity core added four more:
+# simhash_hamming_pairs (cache-drain fix), cosine_vs_l2_rank_agreement
+# (fully-disjoint queries now contribute n_common=0 instead of
+# vanishing from the metric denominator - both sides), fuzzy_name_matches
+# (length-equality predicate mirrors the oracle, closing an empty-name
+# divergence), near_dup_threshold_sweep (tau=None raw-pair path replaces
+# the NaN-unsafe tau=-1.0 sentinel).
 PIN_ROUND = 9
 PIN_FIRST: list[str] = [
     "multimodal_ppm_decode_stats",
@@ -62,6 +69,10 @@ PIN_FIRST: list[str] = [
     "stream_left_join_click_purchase",
     "stream_full_join_click_purchase",
     "stream_foreachbatch_upsert",
+    "simhash_hamming_pairs",
+    "cosine_vs_l2_rank_agreement",
+    "fuzzy_name_matches",
+    "near_dup_threshold_sweep",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

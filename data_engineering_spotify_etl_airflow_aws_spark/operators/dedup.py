@@ -534,6 +534,15 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.pos") == F.col("b.pos"))
             & (F.col("a.v") == F.col("b.v"))
+            # mirrors the oracle's length-equality predicate. Implied for
+            # non-degenerate variants, but an EMPTY name's sequence(1, 0)
+            # yields [1, 0] (Spark infers step -1) whose zero-length
+            # variants would otherwise match every 1-char name across
+            # lengths - latent on TPC-H names, divergent on dirty
+            # corpora (r9 review)
+            & (
+                F.length(F.col("a.c_name")) == F.length(F.col("b.c_name"))
+            )
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         # equal variants at the same position => names identical outside
@@ -957,6 +966,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
+    # Drain the previous invocation's relations BEFORE persisting (the
+    # contract every other persisting operator in this family follows);
+    # append-only here leaked one fingerprint relation per call in
+    # interactive sessions (r9 review).
+    while _SHINGLE_BASE_CACHE:
+        _SHINGLE_BASE_CACHE.pop().unpersist()
     fp = (
         tok.groupBy("doc_id")
         .agg(*bit_sums)

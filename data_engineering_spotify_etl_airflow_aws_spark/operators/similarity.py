@@ -393,10 +393,18 @@ def _duck_bucket(emb: str) -> str:
 _SIG_CACHE: list[DataFrame] = register_cache([])
 
 
-def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
+def near_dup_pairs(
+    v: DataFrame, tau: float | None = NEAR_DUP_TAU
+) -> DataFrame:
     """Core LSH near-dup: v must have (vec_id, emb: array<double>).
     Reused by tests with planted duplicates; the fixture's own answer at
-    tau=0.9 is empty (near-uniform sphere).
+    tau=0.9 is empty (near-uniform sphere). tau=None returns the RAW
+    bucket-pair enumeration (no score predicate, no presentation sort)
+    for the threshold sweep - a sentinel like tau=-1.0 is not
+    equivalent: a zero-norm vector scores NaN, and Spark's NaN >= -1.0
+    is true while DuckDB's histogram cast on NaN errors, so the only
+    cross-engine-safe sweep input is the unfiltered pair set
+    (r9 review).
 
     The signature table carries each vector's l2 norm so the verify join
     multiplies two scalars per pair instead of re-folding both arrays
@@ -435,6 +443,8 @@ def near_dup_pairs(v: DataFrame, tau: float = NEAR_DUP_TAU) -> DataFrame:
             score.alias("score"),
         )
     )
+    if tau is None:
+        return cand
     return cand.where(F.col("score") >= tau).orderBy("vec_a", "vec_b")
 
 
@@ -1729,7 +1739,7 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec_double("embedding").alias("emb")
     )
-    pairs = near_dup_pairs(v, tau=-1.0)  # keep every bucket pair
+    pairs = near_dup_pairs(v, tau=None)  # RAW pair set: no filter/sort
     h = (
         pairs.select(
             F.floor(F.col("score") * 20).cast("bigint").alias("bin")
@@ -1894,11 +1904,17 @@ def _ra_oracle() -> str:
           ON a.qid = b.qid AND a.vec_id < b.vec_id
     ),
     per_q AS (
-        SELECT c.qid,
-               CAST(count(*) AS BIGINT) AS n_common,
+        -- EVERY query participates: one whose two top-10 lists are fully
+        -- disjoint contributes n_common = 0 rather than vanishing from
+        -- the denominator (r9 review: the groupBy-common form silently
+        -- biased mean_overlap upward and shrank n_queries)
+        SELECT q.qid,
+               CAST(coalesce((SELECT count(*) FROM common c
+                              WHERE c.qid = q.qid), 0) AS BIGINT)
+                   AS n_common,
                CAST(coalesce((SELECT sum(s) FROM pairs p
-                              WHERE p.qid = c.qid), 0) AS BIGINT) AS tau_num
-        FROM common c GROUP BY c.qid
+                              WHERE p.qid = q.qid), 0) AS BIGINT) AS tau_num
+        FROM q
     )
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(n_common) AS DOUBLE) / (count(*) * {_RA_K})
@@ -1980,8 +1996,24 @@ def cosine_vs_l2_rank_agreement(
         F.lit(0).cast("bigint"),
         lambda a, v: a + v,
     )
-    per_q = lists.select(
+    per_q_present = lists.select(
         "qid", "n_common", tau_num.alias("tau_num")
+    )
+    # EVERY query participates in the metric: a fully-disjoint query
+    # contributes n_common = 0 instead of vanishing from the denominator
+    # (r9 review; mirrors the oracle's FROM q form)
+    per_q = (
+        q.select("qid")
+        .join(per_q_present, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("bigint")).alias(
+                "n_common"
+            ),
+            F.coalesce(F.col("tau_num"), F.lit(0).cast("bigint")).alias(
+                "tau_num"
+            ),
+        )
     )
     return per_q.agg(
         F.count("*").cast("bigint").alias("n_queries"),

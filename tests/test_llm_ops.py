@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 import data_engineering_spotify_etl_airflow_aws_spark as engine
 from data_engineering_spotify_etl_airflow_aws_spark import registry
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, SF_SMOKE
 
 engine.load_all_operators()
 
@@ -338,7 +338,7 @@ def test_corpus_prep_example_end_to_end(spark):
     finally:
         sys.path.pop(0)
 
-    from .conftest import SF_CORRECT
+    from .conftest import SF_CORRECT, SF_SMOKE
 
     out = corpus_prep.main(spark, SF_CORRECT)
     assert out["quality_total"] > 0
@@ -363,7 +363,7 @@ def test_pagerank_conserves_mass_and_orders_hubs(spark):
         pagerank_trade_graph,
     )
 
-    from .conftest import SF_CORRECT
+    from .conftest import SF_CORRECT, SF_SMOKE
 
     rows = pagerank_trade_graph(spark, SF_CORRECT).collect()
     assert len(rows) == 25
@@ -751,3 +751,76 @@ def test_session_type_affinity_tie_at_session_boundary(spark):
     r = out[0]
     assert (r["a"], r["b"], r["n_ab"]) == ("purchase", "view", 1), out
     assert r["lift"] == 2.0, out
+
+
+def test_fuzzy_name_matches_excludes_cross_length_empty_names(spark, tmp_path):
+    """The r9 review edge: an empty name's sequence(1, 0) yields [1, 0]
+    (step -1), whose zero-length deletion variants would match every
+    1-char name in the nation - a pair the oracle's length-equality
+    predicate excludes. The Spark join now carries the same predicate:
+    '' never pairs with 'A', while identical empty names still pair at
+    dist 0 and genuine substitutions still pair at dist 1."""
+    rows = [
+        (1, "", 7, 0.0, "SEG"),
+        (2, "A", 7, 0.0, "SEG"),
+        (3, "", 7, 0.0, "SEG"),
+        (4, "AB", 7, 0.0, "SEG"),
+        (5, "AC", 7, 0.0, "SEG"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = sorted(
+        (r.custkey_a, r.custkey_b, r.edit_dist)
+        for r in registry.QUERIES["fuzzy_name_matches"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    # ('', '') dist 0; ('AB','AC') dist 1; NO ('', 'A') cross-length pair
+    assert got == [(1, 3, 0), (4, 5, 1)]
+
+
+def test_near_dup_pairs_tau_none_is_raw_pair_set(spark):
+    """tau=None must enumerate every bucket pair with no score predicate
+    (the threshold sweep's contract): superset of any tau filter, and
+    the bucket-join pair count exactly."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        _emb,
+        near_dup_pairs,
+    )
+
+    v = _emb(spark, SF_SMOKE)
+    raw = near_dup_pairs(v, tau=None)
+    n_raw = raw.count()
+    # recompute the bucket-pair count independently of the helper
+    from pyspark.sql import functions as F
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.similarity import (
+        _spark_bucket,
+    )
+
+    sig = v.select("vec_id", _spark_bucket(F.col("emb")).alias("bucket"))
+    expected = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .count()
+    )
+    assert n_raw == expected and n_raw > 0
+    assert near_dup_pairs(v, tau=0.5).count() <= n_raw
+
+
+def test_rank_agreement_counts_every_query(spark):
+    """Every one of the 64 fixed queries contributes to the agreement
+    metric - a fully-disjoint query lands at n_common = 0 instead of
+    vanishing from the denominator (the r9 review bias fix)."""
+    row = registry.QUERIES["cosine_vs_l2_rank_agreement"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row.n_queries == 64
