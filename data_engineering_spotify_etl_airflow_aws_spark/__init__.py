@@ -59,7 +59,14 @@ AUDIT_WINDOW = 50
 # vanishing from the metric denominator - both sides), fuzzy_name_matches
 # (length-equality predicate mirrors the oracle, closing an empty-name
 # divergence), near_dup_threshold_sweep (tau=None raw-pair path replaces
-# the NaN-unsafe tau=-1.0 sentinel).
+# the NaN-unsafe tau=-1.0 sentinel). A third pass over the BI modules
+# added two: ntile_price_deciles and pack_token_sequences now
+# localCheckpoint their approx-percentile boundaries so both consumers
+# of the banded subtree see identical bands (GK sketches are
+# merge-order-dependent across physical re-evaluations). The same fix
+# in decile_lift_table and the TVD integer-quantization fix in
+# hash_sample_bias_audit need no pins - both are never-audited and
+# already ahead of the rotation.
 PIN_ROUND = 9
 PIN_FIRST: list[str] = [
     "multimodal_ppm_decode_stats",
@@ -73,6 +80,8 @@ PIN_FIRST: list[str] = [
     "cosine_vs_l2_rank_agreement",
     "fuzzy_name_matches",
     "near_dup_threshold_sweep",
+    "ntile_price_deciles",
+    "pack_token_sequences",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

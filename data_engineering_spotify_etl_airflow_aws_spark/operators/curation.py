@@ -303,11 +303,15 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PACK_MIN_BANDS, min(_PACK_MAX_BANDS, 2 * len(docs.inputFiles()))
     )
     probs = [i / n_bands for i in range(1, n_bands)]
+    # localCheckpoint freezes the boundaries: `banded` feeds both the
+    # local prefix-sum and the band totals, and a second physical
+    # evaluation of the merge-order-dependent GK sketch could band rows
+    # differently between the two consumers (r9 review)
     bounds = t.agg(
         F.percentile_approx("doc_id", probs, max(10_000, 4 * n_bands)).alias(
             "_bounds"
         )
-    )
+    ).localCheckpoint()
     banded = (
         t.join(F.broadcast(bounds))
         .withColumn(

@@ -306,11 +306,15 @@ def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n_bands = max(_MIN_BANDS, min(_MAX_BANDS, 2 * len(o.inputFiles())))
     probs = [i / n_bands for i in range(1, n_bands)]
+    # localCheckpoint freezes the boundaries: `banded` feeds both the
+    # ranking and the counts, and a second physical evaluation of the
+    # merge-order-dependent GK sketch could band rows differently
+    # between the two consumers (r9 review)
     bounds = o.agg(
         F.percentile_approx(
             "o_totalprice", probs, max(10_000, 4 * n_bands)
         ).alias("_bounds")
-    )
+    ).localCheckpoint()
     # band = #boundaries strictly below the price: rows equal to a boundary
     # all land in the same band, so bands strictly respect the price order
     # and (band, price, orderkey) is a total order.

@@ -2064,11 +2064,18 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "label", (-F.col("score")).alias("key")
     )
     probs = [i / n_bands for i in range(1, n_bands)]
+    # localCheckpoint freezes the approx boundaries: `banded` feeds BOTH
+    # the per-band ranking and the offset counts, and Greenwald-Khanna
+    # summaries are merge-order-dependent, so two physical evaluations
+    # of this subtree could band the same row differently and corrupt
+    # the offsets (r9 review). One bounded 1-row job; correctness never
+    # depends on boundary QUALITY, only on both consumers seeing the
+    # SAME boundaries.
     bounds = pu.agg(
         F.percentile_approx("key", probs, max(10_000, 4 * n_bands)).alias(
             "_bounds"
         )
-    )
+    ).localCheckpoint()
     banded = (
         pu.join(F.broadcast(bounds))
         .withColumn(

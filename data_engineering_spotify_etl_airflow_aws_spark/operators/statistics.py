@@ -1604,8 +1604,13 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: the 20 weights (0.75^j) are exact dyadic doubles emitted
 # as literals - both engines parse the identical values; the weighted
-# sum is a join-ordered agg over exact int counts x literal weights
-# (each product exact-input IEEE, summed via a fixed small set); sigma
+# sum is ORDER-INSENSITIVE despite being a double agg, because every
+# term w*px = px * 3^j / 4^19 is an exact integer multiple of 4^-19
+# (px * 3^j < 2^53 at any realistic daily count), so every partial sum
+# of <= 20 terms is exactly representable and FP addition is
+# associative on this set - no ulp hazard across Spark's partial-agg
+# merge orders (re-examined r9 review; same argument covers sum(w)).
+# The single division and round(.,6) then run on exact inputs; sigma
 # comes from exact integer moments with one sqrt.
 #
 # Scale notes (100 TB): the corpus collapses to the bounded
@@ -2816,9 +2821,14 @@ def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e GROUP BY 1
     ),
     tvd AS (
-        SELECT sum(abs(CAST(c_s AS DOUBLE) / CAST(t.n_s AS DOUBLE)
-                       - CAST(c_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)))
-                   / 2 AS tv
+        -- each per-type term is quantized to integer nano-units BEFORE
+        -- the cross-row sum: the per-row double chain is deterministic,
+        -- the integer sum is order-insensitive (r9 review - a raw
+        -- double sum rides partial-agg arrival order in Spark)
+        SELECT CAST(sum(CAST(floor(
+                   abs(CAST(c_s AS DOUBLE) / CAST(t.n_s AS DOUBLE)
+                       - CAST(c_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+                   * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS tv_n9
         FROM mix CROSS JOIN (SELECT n_s, n_all FROM m) t
     )
     SELECT m.n_s AS n_sample, m.n_all AS n_population,
@@ -2829,8 +2839,7 @@ def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / CAST(m.n_all AS DOUBLE))
                         / CAST(m.n_all AS DOUBLE))
                  * 1000000000 + 0.5) / 1000000000 AS std_mean_diff,
-           floor(tvd.tv * 1000000000 + 0.5) / 1000000000
-               AS type_mix_tvd
+           CAST(tvd.tv_n9 AS DOUBLE) / 2000000000 AS type_mix_tvd
     FROM m CROSS JOIN tvd
     """,
 )
@@ -2855,20 +2864,21 @@ def hash_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c_all"),
         F.count(F.when(F.col("in_sample"), 1)).alias("c_s"),
     )
+    # per-type term -> integer nano-units BEFORE the sum: the per-row
+    # double chain is deterministic, the integer sum order-insensitive
+    # (r9 review - a raw double sum is order-sensitive across Spark's
+    # partial-agg merges, an ulp hazard at the output boundary)
+    term_n9 = F.floor(
+        F.abs(
+            F.col("c_s").cast("double") / F.col("n_s").cast("double")
+            - F.col("c_all").cast("double") / F.col("n_all").cast("double")
+        )
+        * F.lit(1_000_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
     tvd = (
         mix.crossJoin(F.broadcast(m.select("n_s", "n_all")))
-        .agg(
-            (
-                F.sum(
-                    F.abs(
-                        F.col("c_s").cast("double") / F.col("n_s").cast("double")
-                        - F.col("c_all").cast("double")
-                        / F.col("n_all").cast("double")
-                    )
-                )
-                / 2
-            ).alias("tv")
-        )
+        .agg(F.sum(term_n9).alias("tv_n9"))
     )
     var = (
         F.col("ss_all").cast("double")
@@ -2890,7 +2900,9 @@ def hash_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_s").alias("n_sample"),
         F.col("n_all").alias("n_population"),
         q9(smd).alias("std_mean_diff"),
-        q9(F.col("tv")).alias("type_mix_tvd"),
+        (
+            F.col("tv_n9").cast("double") / F.lit(2_000_000_000.0)
+        ).alias("type_mix_tvd"),
     )
 
 
