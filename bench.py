@@ -273,7 +273,23 @@ def main() -> int:
         out["repeat_failed"] = repeat_failed
     if failed:
         out["failed"] = failed
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    print(line, flush=True)
+    # Atomic evidence snapshot (r9 verdict #2): the r9 end-of-round
+    # snapshot truncated a committed evidence file to 0 bytes because the
+    # shell redirection `bench.py > evidence/x.json` truncates the target
+    # the moment the process starts, long before the JSON exists. With
+    # SPARK_GRAFT_BENCH_OUT=<path> the result is instead written to a
+    # temp file in the target directory and os.replace'd into place -
+    # the same temp+rename pattern the SWEEPS.json recorder uses
+    # (tests/conftest.py) - so an interrupted run leaves the previous
+    # snapshot intact rather than an empty file.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(line + "\n")
+        os.replace(tmp, out_path)
     # free the operators' module-level persisted bases (the last query's
     # relation otherwise survives until session shutdown)
     from data_engineering_spotify_etl_airflow_aws_spark import caches

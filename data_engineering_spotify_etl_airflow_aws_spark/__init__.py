@@ -45,44 +45,17 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 9 changed set: decode_ppm grew a malformed-input dimension
-# guard (r8 ADVICE #4), and the r9 code review found maxFilesPerTrigger
-# placed on the WRITER (where Spark silently ignores it) in six
-# registered streaming queries — moving it to the reader makes them
-# genuinely multi-micro-batch, which changes their execution (results
-# are hash-identical, but the standing rule pins any implementation
-# change). New r9 queries (PNG decode, streaming decode twin) enter
-# via the never-audited rule without pins.
-# A second review pass over the dedup/similarity core added four more:
-# simhash_hamming_pairs (cache-drain fix), cosine_vs_l2_rank_agreement
-# (fully-disjoint queries now contribute n_common=0 instead of
-# vanishing from the metric denominator - both sides), fuzzy_name_matches
-# (length-equality predicate mirrors the oracle, closing an empty-name
-# divergence), near_dup_threshold_sweep (tau=None raw-pair path replaces
-# the NaN-unsafe tau=-1.0 sentinel). A third pass over the BI modules
-# added two: ntile_price_deciles and pack_token_sequences now
-# localCheckpoint their approx-percentile boundaries so both consumers
-# of the banded subtree see identical bands (GK sketches are
-# merge-order-dependent across physical re-evaluations). The same fix
-# in decile_lift_table and the TVD integer-quantization fix in
-# hash_sample_bias_audit need no pins - both are never-audited and
-# already ahead of the rotation.
-PIN_ROUND = 9
-PIN_FIRST: list[str] = [
-    "multimodal_ppm_decode_stats",
-    "stream_dedup_events",
-    "stream_static_enrich",
-    "stream_join_click_purchase",
-    "stream_left_join_click_purchase",
-    "stream_full_join_click_purchase",
-    "stream_foreachbatch_upsert",
-    "simhash_hamming_pairs",
-    "cosine_vs_l2_rank_agreement",
-    "fuzzy_name_matches",
-    "near_dup_threshold_sweep",
-    "ntile_price_deciles",
-    "pack_token_sequences",
-]
+# Round 10 changed set: empty at round start — all 13 r9 pins went
+# green in CORRECTNESS_r09.json so they expire by themselves, and the
+# r10 plan (r9 verdict #1) deliberately avoids touching registered-query
+# code so every one of the 50 slots drains the 61-query never-audited
+# debt (insights 23 + extras 38, insights first per _MODULE_PRIORITY;
+# decile_lift_table — the one never-audited query whose code changed in
+# r9 — leads the insights block by registration order already). Add a
+# pin here (and bump PIN_ROUND) only if an r10 review pass changes a
+# registered query's implementation or oracle.
+PIN_ROUND = 10
+PIN_FIRST: list[str] = []
 
 # Blast-radius ordering for the never-audited class. Round 8 drained
 # the LLM-pipeline core (dedup/mlprep/curation/text/clusters/multimodal

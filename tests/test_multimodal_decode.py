@@ -329,3 +329,48 @@ def test_decode_image_routes_png_natively():
     w, h, arr = decode_image(encode_png(pixels))
     assert (w, h) == (4, 4)
     assert np.array_equal(arr, pixels)
+
+
+def test_documents_text_is_ascii_at_all_fixture_sfs():
+    """The synthetic-payload fixtures (PPM / PNG / WAV / Y4M queries)
+    slice documents.text by CHARACTER (substring/rpad) and then
+    encode(..., 'UTF-8') assuming one byte per character; the DuckDB
+    oracles additionally read ord() as a byte value. Both only hold for
+    pure-ASCII text (r9 ADVICE #3): a single multi-byte character would
+    produce an oversized payload that fails the frombuffer/reshape.
+    Assert that invariant once, per scale factor, over the exact column
+    the fixtures consume — if a future fixture generator emits
+    non-ASCII, this fails loudly instead of the codec queries failing
+    obscurely.
+    """
+    import os
+
+    import duckdb
+
+    testdata = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join(testdata, sf, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        try:
+            n_bad, n_rows = con.execute(
+                f"""
+                SELECT count(*) FILTER (
+                           WHERE octet_length(encode(text)) <> length(text)
+                       ),
+                       count(*)
+                FROM '{path}'
+                """
+            ).fetchone()
+        finally:
+            con.close()
+        assert n_rows > 0
+        assert n_bad == 0, (
+            f"{sf}: {n_bad} documents.text rows contain non-ASCII "
+            "characters; the multimodal fixture constructors assume "
+            "1 byte per character"
+        )
+        checked += 1
+    assert checked >= 2  # the driver ships at least sf0.001 + sf0.01

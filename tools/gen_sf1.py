@@ -131,7 +131,15 @@ def main() -> None:
     # are preserved verbatim so tokenization stats match the original.
     def doc_copy(i: int) -> str:
         if i == 0:
-            return f"SELECT * FROM '{SRC}/documents.parquet'"
+            # Explicit column list (r9 ADVICE #2): the copies below are
+            # positionally UNION ALL'd against this branch, and lang /
+            # source are same-typed VARCHARs — a SELECT * here would let
+            # any column-order drift in the fixture silently swap them
+            # instead of erroring.
+            return (
+                "SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{SRC}/documents.parquet'"
+            )
         tag = chr(ord("a") + i - 1)
         text = (
             "array_to_string(list_transform(string_split(text, ' '), "
