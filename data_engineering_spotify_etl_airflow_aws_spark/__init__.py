@@ -45,17 +45,24 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 10 changed set: empty at round start — all 13 r9 pins went
-# green in CORRECTNESS_r09.json so they expire by themselves, and the
-# r10 plan (r9 verdict #1) deliberately avoids touching registered-query
-# code so every one of the 50 slots drains the 61-query never-audited
-# debt (insights 23 + extras 38, insights first per _MODULE_PRIORITY;
+# Round 10 changed set: all 13 r9 pins went green in CORRECTNESS_r09
+# and expire by themselves; the slots drain the 61-query never-audited
+# debt (insights 23 + extras, insights first per _MODULE_PRIORITY;
 # decile_lift_table — the one never-audited query whose code changed in
-# r9 — leads the insights block by registration order already). Add a
-# pin here (and bump PIN_ROUND) only if an r10 review pass changes a
-# registered query's implementation or oracle.
+# r9 — is in-window by registration order). Three pins from the r10
+# spec-vs-oracle review pass over mlprep/clusters (r9 verdict #5): all
+# the same engine-asymmetric class — Spark's sum over a raw BIGINT
+# accumulates in BIGINT and wraps silently at 100 TB cardinalities
+# while the DuckDB oracle's HUGEINT sum does not, so the hash check is
+# structurally blind to it. Each now accumulates in decimal(38,0),
+# cast inside the sum (results hash-identical at every tested SF; the
+# standing rule pins any implementation change regardless).
 PIN_ROUND = 10
-PIN_FIRST: list[str] = []
+PIN_FIRST: list[str] = [
+    "degree_powerlaw_check",
+    "degree_assortativity",
+    "unigram_logprob_filter",
+]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained
 # the LLM-pipeline core (dedup/mlprep/curation/text/clusters/multimodal

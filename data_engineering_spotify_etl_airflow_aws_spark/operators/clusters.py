@@ -798,12 +798,21 @@ def degree_powerlaw_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("n_nodes").cast("double")) * F.lit(1_000_000) + F.lit(0.5)
     ).cast("bigint")
     pts = hist.select(lx.alias("x"), ly.alias("y"))
+    # Moment sums accumulate in decimal(38,0), cast INSIDE the sum (the
+    # covariance-matrix pattern): Spark's sum over a raw BIGINT column
+    # accumulates in BIGINT and wraps silently past 2^63, while the
+    # DuckDB oracle's HUGEINT sum does not - an engine-asymmetric
+    # overflow the hash check cannot see until it fires (r10 review
+    # finding). Per-ROW products provably fit (ln of any count < 90, so
+    # x,y < 9e7 and x*y < 9e15 << 2^63); only the ACCUMULATION needs the
+    # wide type - at 100 TB the distinct-degree table can reach ~1e6
+    # rows x ~8e14 products ~ 8e20 > 2^63.
     m = pts.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("decimal(38,0)").cast("bigint").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     slope = (
         F.col("n").cast("double") * F.col("sxy").cast("double")
@@ -898,10 +907,16 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumnRenamed("d", "dy"), "dst")
         .select("dx", "dy")
     )
+    # sx/sy = sum over EDGES of an endpoint degree = sum of d^2 over
+    # nodes: one 1e6-degree hub alone contributes 1e12, so a heavy-tail
+    # 100 TB graph overflows a BIGINT accumulator long before the edge
+    # count does. Cast to decimal INSIDE the sum (the oracle's HUGEINT
+    # sum never wraps - same engine-asymmetric hazard as
+    # degree_powerlaw_check above, r10 review finding).
     m = e2.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("dx").cast("decimal(38,0)").cast("bigint").alias("sx"),
-        F.sum("dy").cast("decimal(38,0)").cast("bigint").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
         F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
         F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
         F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),

@@ -602,10 +602,19 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_u")
         )
     )
+    # The per-lang rollup sums avg_u (~ -4e7 worst case) over every doc
+    # in the language: at ~1e12 docs/lang the BIGINT accumulator has
+    # under 3x headroom before silent wraparound, while the oracle's
+    # HUGEINT sum never wraps - accumulate in decimal(38,0) like the
+    # moment sums elsewhere (r10 review finding, same class as the
+    # degree_powerlaw_check fix).
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.round(
-            F.sum("avg_u").cast("double") / F.count("*") / 1_000_000, 6
+            F.sum(F.col("avg_u").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1_000_000,
+            6,
         ).alias("mean_logprob"),
         F.round(F.min("avg_u").cast("double") / 1_000_000, 6).alias(
             "min_logprob"
