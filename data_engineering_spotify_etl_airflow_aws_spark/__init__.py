@@ -91,6 +91,9 @@ _MODULE_PRIORITY: dict[str, int] = {
     # streaming decode twin ties with multimodal: it carries the same
     # north-star modality claim, so it must not queue behind the BI tail
     "decode": 5,
+    # r10 timer-bounded sessionization (the transformWithState ask):
+    # the round's one new surface must not queue behind the BI tail
+    "sessions": 6,
 }
 
 
@@ -151,6 +154,7 @@ def load_all_operators() -> None:
         maintenance,
     )
     from .streaming import decode as streaming_decode  # noqa: F401
+    from .streaming import sessions as streaming_sessions  # noqa: F401
     from .streaming import dedup as streaming_dedup  # noqa: F401
     from .streaming import enrich as streaming_enrich  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
