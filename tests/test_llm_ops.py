@@ -106,11 +106,12 @@ def test_simhash_stable_and_full_coverage(spark):
 
 
 def test_multimodal_decode_seam_and_fallback():
-    """decode_image must fail loudly without a codec; digest_features is the
-    deterministic fallback with a fixed width. Since round 9 a PNG
-    signature routes to the NATIVE decoder (so a malformed PNG is a
-    ValueError from the codec, not the pillow seam); the
-    NotImplementedError seam now gates only JPEG."""
+    """decode_image must fail loudly on malformed input; digest_features
+    is the deterministic fallback with a fixed width. Every signature
+    now routes to a NATIVE codec (PPM r8, PNG r9, JPEG r10), so a
+    malformed payload of any format - and an unrecognized signature -
+    raises the codecs' shared ValueError dialect; there is no library
+    seam left."""
     import pytest as _pytest
 
     from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
@@ -120,8 +121,10 @@ def test_multimodal_decode_seam_and_fallback():
 
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nfake")
-    with _pytest.raises((NotImplementedError, OSError)):
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    with _pytest.raises(ValueError, match="unsupported image payload"):
+        decode_image(b"GIF89a not supported")
     f = digest_features(b"payload")
     assert len(f) == 8 and all(0.0 <= x <= 1.0 for x in f)
     assert f == digest_features(b"payload")

@@ -1,7 +1,7 @@
-"""The genuine codec path: decode_ppm must parse real PPM bytes without
-any image library, decode_image must route P6 payloads to it (and only
-gate COMPRESSED formats on pillow), and the oracle-checked decode query
-must produce exact channel means. Complements the digest-feature
+"""The genuine codec path: decode_ppm/decode_png/decode_jpeg must parse
+real bytes without any image library, decode_image must route every
+signature to the right native codec, and the oracle-checked decode
+queries must produce exact channel means. Complements the digest-feature
 fallback tests in test_llm_ops.py."""
 
 from __future__ import annotations
@@ -148,11 +148,25 @@ def test_decode_y4m_rejects_unsupported():
         decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 10)
 
 
-def test_decode_image_still_gates_compressed_formats():
-    # this container ships no pillow, so a JPEG payload must raise the
-    # documented seam error rather than mis-decode
-    with pytest.raises((NotImplementedError, OSError)):
+def test_decode_image_routes_jpeg_natively():
+    # since r10 the JPEG signature routes to the native baseline decoder
+    # (no pillow anywhere): a malformed stream raises the codec dialect,
+    # a valid one round-trips
+    import numpy as np
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    img = np.kron(
+        np.arange(4, dtype=np.int64).reshape(2, 2) * 60,
+        np.ones((8, 8), dtype=np.int64),
+    ).astype(np.uint8)
+    w, h, arr = decode_image(encode_jpeg_gray(img))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(arr, img)
 
 
 # ---------------------------------------------------------------------------
@@ -374,3 +388,316 @@ def test_documents_text_is_ascii_at_all_fixture_sfs():
         )
         checked += 1
     assert checked >= 2  # the driver ships at least sf0.001 + sf0.01
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the Huffman + IDCT codec (r10; dependency-free baseline T.81).
+
+
+def _jpeg_parts():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        _JPEG_A,
+        _JPEG_ZIGZAG,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    return _JPEG_A, _JPEG_ZIGZAG, decode_jpeg, encode_jpeg_gray
+
+
+def test_jpeg_zigzag_is_the_spec_table():
+    """The zigzag scan order written out per T.81 figure 5 - a literal
+    second copy so a typo in the module constant cannot self-verify."""
+    _, zz, _, _ = _jpeg_parts()
+    expect = []
+    r = c = 0
+    up = True
+    for _ in range(64):
+        expect.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r += 1
+                up = False
+            elif r == 0:
+                c += 1
+                up = False
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+                up = True
+            elif c == 0:
+                r += 1
+                up = True
+            else:
+                r += 1
+                c -= 1
+    assert list(zz) == expect
+
+
+def test_jpeg_idct_matches_naive_reference():
+    """The matrix IDCT must equal the O(n^4) per-spec double sum."""
+    import math
+
+    import numpy as np
+
+    A, _, _, _ = _jpeg_parts()
+    rng = np.random.default_rng(3)
+    F = rng.integers(-1024, 1024, (8, 8)).astype(np.float64)
+    got = A.T @ F @ A
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        0.25 * cu * cv * F[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[x, y] = s
+    assert np.abs(got - ref).max() < 1e-9
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant tiles with the default quant table must round-trip
+    BIT-exactly (the registered query's oracle-exactness device),
+    including the 0 and 255 extremes and multi-block DC prediction."""
+    import numpy as np
+
+    _, _, decode_jpeg, encode_jpeg_gray = _jpeg_parts()
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        vals = rng.integers(0, 256, 64, dtype=np.int64)
+        vals[0], vals[1] = 0, 255
+        img = np.kron(
+            vals.reshape(8, 8), np.ones((8, 8), dtype=np.int64)
+        ).astype(np.uint8)
+        w, h, arr = decode_jpeg(encode_jpeg_gray(img))
+        assert (w, h) == (64, 64)
+        assert np.array_equal(arr, img), trial
+
+
+def _build_gray_jpeg_from_coefs(coef_blocks, q, w, h):
+    """Hand-assemble a baseline grayscale payload carrying EXACTLY the
+    given per-block zigzag-order integer coefficients - independent of
+    encode_jpeg_gray's DCT/quant path, so decoding it checks the
+    entropy + dequant + IDCT machinery against ground truth."""
+    import struct as _struct
+
+    import numpy as np
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _huffman_encode_table,
+        _jpeg_magnitude,
+        _JpegBitWriter,
+    )
+
+    def seg(marker, body):
+        return _struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, b"\x00" + bytes(int(x) for x in q))
+    head += seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    head += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    prev = 0
+    for zz in coef_blocks:
+        s, mag = _jpeg_magnitude(int(zz[0]) - prev)
+        prev = int(zz[0])
+        code, length = dc_enc[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(mag, s)
+        nz = np.nonzero(np.asarray(zz[1:]))[0]
+        k_prev = 0
+        for idx in nz:
+            k = int(idx) + 1
+            run = k - k_prev - 1
+            while run > 15:
+                zc, zl = ac_enc[0xF0]
+                wtr.write(zc, zl)
+                run -= 16
+            s, mag = _jpeg_magnitude(int(zz[k]))
+            code, length = ac_enc[(run << 4) | s]
+            wtr.write(code, length)
+            wtr.write(mag, s)
+            k_prev = k
+        if k_prev < 63:
+            code, length = ac_enc[0x00]
+            wtr.write(code, length)
+    wtr.flush()
+    return bytes(head) + bytes(wtr.buf) + b"\xff\xd9"
+
+
+def test_jpeg_decode_of_known_coefficients_matches_idct_reference():
+    """Decode payloads hand-built from KNOWN integer coefficients (long
+    zero runs included, so ZRL/EOB/DC-prediction all fire) and compare
+    every pixel against clip(round(IDCT(C*q) + 128)) computed with plain
+    matmuls the decoder does not share. No quantization ties exist here
+    - the coefficients are ground truth - so the comparison is exact.
+    (Why not compare a full encode(img)->decode chain pixel-for-pixel:
+    DCT coefficients on the (u,v) in {0,4} lattice are exact multiples
+    of 1/8, so an all-ones quant table hits exact-.5 ties where ~1e-13
+    of float-order noise legitimately flips round() - the registered
+    query's block-constant fixtures are tie-free by construction.)"""
+    import numpy as np
+
+    A, zigzag, decode_jpeg, _ = _jpeg_parts()
+    rng = np.random.default_rng(5)
+    q = rng.integers(1, 32, 64)
+    q[0] = 8
+    blocks = []
+    for n in range(6):  # 16 x 24 image = 6 blocks
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = int(rng.integers(-200, 201))
+        for _ in range(int(rng.integers(0, 6))):  # sparse ACs: real runs
+            zz[int(rng.integers(1, 64))] = int(rng.integers(-100, 101))
+        blocks.append(zz)
+    payload = _build_gray_jpeg_from_coefs(blocks, q, 24, 16)
+    w, h, got = decode_jpeg(payload)
+    assert (w, h) == (24, 16)
+    ref = np.zeros((16, 24))
+    for n, zz in enumerate(blocks):
+        coef = np.zeros(64, dtype=np.int64)
+        coef[list(zigzag)] = zz * q
+        by, bx = (n // 3) * 8, (n % 3) * 8
+        ref[by : by + 8, bx : bx + 8] = A.T @ coef.reshape(8, 8) @ A
+    ref = np.clip(np.round(ref + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_general_roundtrip_stays_in_rounding_band():
+    """Random full-detail images through the real encoder with the
+    all-ones quant table: the end-to-end error against the source must
+    stay within the +/-2 rounding band of a unit-quantized DCT - this
+    drives the encoder's AC run-length machinery with dense data."""
+    import numpy as np
+
+    _, _, decode_jpeg, encode_jpeg_gray = _jpeg_parts()
+    rng = np.random.default_rng(6)
+    for trial in range(5):
+        img = rng.integers(0, 256, (16, 24), dtype=np.int64).astype(np.uint8)
+        w, h, got = decode_jpeg(
+            encode_jpeg_gray(img, qtable=np.ones(64, dtype=np.int64))
+        )
+        assert (w, h) == (24, 16)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2, trial
+
+
+def test_jpeg_malformed_inputs_raise_value_errors():
+    """Truncation / unsupported-mode / garbage must all surface as the
+    codec's ValueError dialect, never struct.error or KeyError."""
+    import numpy as np
+    import struct as _struct
+
+    _, _, decode_jpeg, encode_jpeg_gray = _jpeg_parts()
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = encode_jpeg_gray(img)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(good[:20])
+    with pytest.raises(ValueError, match="truncated JPEG entropy|marker"):
+        decode_jpeg(good[:-4])  # cut into the scan
+    with pytest.raises(ValueError, match="missing JPEG EOI"):
+        decode_jpeg(good[:-2] + b"\x00\x00")
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+    def seg(marker, body):
+        return _struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # 16-bit quant table precision
+    with pytest.raises(ValueError, match="16-bit JPEG quant"):
+        decode_jpeg(
+            b"\xff\xd8" + seg(0xDB, b"\x10" + b"\x00" * 128) + b"\xff\xd9"
+        )
+    # progressive frame
+    sof2 = seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+    # restart intervals
+    with pytest.raises(ValueError, match="restart intervals"):
+        decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x00\x08") + b"\xff\xd9")
+    # scan before frame
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        decode_jpeg(
+            b"\xff\xd8" + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + b"\xff\xd9"
+        )
+
+
+def test_jpeg_color_ycbcr_path():
+    """Hand-build a 3-component 4:4:4 stream from three grayscale planes
+    (reusing the encoder's entropy segments is not possible per-plane, so
+    build constant planes where the YCbCr values are known) and check the
+    JFIF color conversion."""
+    import numpy as np
+    import struct as _struct
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        decode_jpeg,
+    )
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        _huffman_encode_table,
+        _jpeg_magnitude,
+        _JpegBitWriter,
+    )
+
+    def seg(marker, body):
+        return _struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    y, cb, cr = 90, 140, 200  # one constant 8x8 block per component
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, b"\x00" + bytes([8] + [16] * 63))
+    head += seg(
+        0xC0,
+        _struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    head += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    prev = 0
+    for comp_val in (y, cb, cr):
+        dc = comp_val - 128  # quant step 8: DC code = v - 128
+        s, mag = _jpeg_magnitude(dc - prev)
+        # per-component DC predictors start at 0 in a 3-component scan
+        prev = 0
+        code, length = dc_enc[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(mag, s)
+        code, length = ac_enc[0x00]
+        wtr.write(code, length)
+    wtr.flush()
+    payload = bytes(head) + bytes(wtr.buf) + b"\xff\xd9"
+    w, h, rgb = decode_jpeg(payload)
+    assert (w, h) == (8, 8) and rgb.shape == (8, 8, 3)
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert (rgb[..., 0] == np.clip(exp_r, 0, 255)).all()
+    assert (rgb[..., 1] == np.clip(exp_g, 0, 255)).all()
+    assert (rgb[..., 2] == np.clip(exp_b, 0, 255)).all()
