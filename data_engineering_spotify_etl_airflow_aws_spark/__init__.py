@@ -62,6 +62,11 @@ PIN_FIRST: list[str] = [
     "degree_powerlaw_check",
     "degree_assortativity",
     "unigram_logprob_filter",
+    # found by extending the same sweep across every operator file: the
+    # per-(type,day) count SQUARE alone passes 2^63 at a 100 TB/day
+    # stream (worse than the three above - single-ROW overflow, not
+    # accumulation); now a decimal product+sum like its OLS siblings
+    "ewma_control_chart",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

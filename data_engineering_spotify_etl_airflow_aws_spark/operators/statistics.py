@@ -1672,10 +1672,16 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("x"))
     )
+    # daily-count squares through a decimal accumulator (the pattern the
+    # OLS/trend moments above already use): at a 100 TB/day stream a
+    # single (type, day) count reaches ~3e9+, whose SQUARE alone passes
+    # 2^63 - Spark's raw BIGINT product/sum would wrap silently while
+    # DuckDB errors loudly (r10 review finding, same class as the
+    # degree_powerlaw_check fix). sx is safe: bounded by total events.
     sig = d.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
     )
     c, p = d.alias("c"), d.alias("p")
     dd = F.datediff(F.col("c.day"), F.col("p.day"))
