@@ -1708,3 +1708,166 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen_small_scan(jpg).mapInPandas(
         _jpeg_stats_batches, schema=_JPG_STATS_SCHEMA
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Image resize - the remaining multimodal primitive from the brief's
+# decode / feature-extract / resize / frame-sample list. Pure-numpy
+# nearest-neighbor and bilinear kernels over decoded pixel arrays; the
+# registered query runs decode -> resize (one downscale + one upscale)
+# -> channel statistics inside a single mapInPandas projection, and the
+# DuckDB oracle recomputes every statistic from the SOURCE characters
+# through the same integer index map - any off-by-one in the resize
+# geometry (or the decode underneath it) shifts pixels and fails the
+# value hash. Bilinear (continuous output, not SQL-reproducible
+# bit-for-bit) is covered by unit tests against an independent scalar
+# reference instead (tests/test_multimodal_decode.py).
+#
+# Scale notes (100 TB of images): resize is a per-row projection inside
+# the same Arrow batch as the decode - no extra pass, no shuffle, and
+# the OUTPUT payload (the resized tensor a training pipeline actually
+# ships) is a fixed small size regardless of source resolution, which
+# is what makes decode+resize-at-ingest the bandwidth win at scale.
+
+
+def resize_image(arr: np.ndarray, out_w: int, out_h: int, method: str = "nearest") -> np.ndarray:
+    """Resize [h, w] or [h, w, C] uint8 pixels to (out_h, out_w).
+
+    nearest: source pixel floor(y * h / out_h), floor(x * w / out_w) -
+    the exact-integer map the oracle-checked query relies on (and the
+    replication upsample used by the JPEG chroma path, generalized to
+    arbitrary ratios). bilinear: half-pixel-center convention
+    (sy = (y + 0.5) * h / out_h - 0.5, edges clamped), float weights,
+    rounded back to uint8."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("invalid resize dimensions")
+    h, w = arr.shape[0], arr.shape[1]
+    if method == "nearest":
+        ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return arr[np.ix_(ys, xs)]
+    if method == "bilinear":
+        sy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+        sx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+        y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+        fx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+        if arr.ndim == 3:
+            fy = fy[..., None]
+            fx = fx[..., None]
+        a = arr.astype(np.float64)
+        top = a[np.ix_(y0, x0)] * (1 - fx) + a[np.ix_(y0, x1)] * fx
+        bot = a[np.ix_(y1, x0)] * (1 - fx) + a[np.ix_(y1, x1)] * fx
+        out = top * (1 - fy) + bot * fy
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown resize method: {method}")
+
+
+_RSZ_SRC_W = _RSZ_SRC_H = 8  # 8x8 RGB source = 192 payload bytes
+_RSZ_DN = 4  # downscale target (4x4)
+_RSZ_UP = 16  # upscale target (16x16)
+_RSZ_NBYTES = 3 * _RSZ_SRC_W * _RSZ_SRC_H
+
+_RSZ_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_dn", T.DoubleType()),
+        T.StructField("wsum_dn", T.LongType()),
+        T.StructField("mean_up", T.DoubleType()),
+        T.StructField("wsum_up", T.LongType()),
+    ]
+)
+
+
+def _resize_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    w_dn = np.arange(1, 3 * _RSZ_DN * _RSZ_DN + 1, dtype=np.int64)
+    w_up = np.arange(1, 3 * _RSZ_UP * _RSZ_UP + 1, dtype=np.int64)
+    header = f"P6\n{_RSZ_SRC_W} {_RSZ_SRC_H}\n255\n".encode()
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "mean_dn": [], "wsum_dn": [],
+            "mean_up": [], "wsum_up": [],
+        }
+        for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+            _, _, arr = decode_ppm(header + bytes(px))
+            dn = resize_image(arr, _RSZ_DN, _RSZ_DN).reshape(-1).astype(np.int64)
+            up = resize_image(arr, _RSZ_UP, _RSZ_UP).reshape(-1).astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["mean_dn"].append(float(dn.sum()) / dn.size)
+            out["wsum_dn"].append(int((dn * w_dn).sum()))
+            out["mean_up"].append(float(up.sum()) / up.size)
+            out["wsum_up"].append(int((up * w_up).sum()))
+        yield pd.DataFrame(out)
+
+
+# Oracle index math (nearest-neighbor, integer): source raster index of
+# an OUTPUT position i (out size N, per-channel stride 3) is
+#   y = i // (3N), x = (i % (3N)) // 3, c = i % 3
+#   src = 3 * (8 * (y * 8 // N) + (x * 8 // N)) + c
+@query(
+    "multimodal_resize_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               rpad(substring(coalesce(text, ''), 1, {_RSZ_NBYTES}),
+                    {_RSZ_NBYTES}, 'x') AS px
+        FROM documents
+    ),
+    dn AS (
+        SELECT doc_id, i,
+               ord(substring(px,
+                   3 * (8 * ((i // {3 * _RSZ_DN}) * 8 // {_RSZ_DN})
+                        + (((i % {3 * _RSZ_DN}) // 3) * 8 // {_RSZ_DN}))
+                   + i % 3 + 1, 1)) AS val
+        FROM base,
+             (SELECT unnest(generate_series(0, {3 * _RSZ_DN * _RSZ_DN - 1}))
+              AS i)
+    ),
+    up AS (
+        SELECT doc_id, i,
+               ord(substring(px,
+                   3 * (8 * ((i // {3 * _RSZ_UP}) * 8 // {_RSZ_UP})
+                        + (((i % {3 * _RSZ_UP}) // 3) * 8 // {_RSZ_UP}))
+                   + i % 3 + 1, 1)) AS val
+        FROM base,
+             (SELECT unnest(generate_series(0, {3 * _RSZ_UP * _RSZ_UP - 1}))
+              AS i)
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(val) AS DOUBLE) / {3 * _RSZ_DN * _RSZ_DN} AS mean_dn,
+               CAST(sum((i + 1) * val) AS BIGINT) AS wsum_dn
+        FROM dn GROUP BY doc_id
+    ),
+    u AS (
+        SELECT doc_id,
+               CAST(sum(val) AS DOUBLE) / {3 * _RSZ_UP * _RSZ_UP} AS mean_up,
+               CAST(sum((i + 1) * val) AS BIGINT) AS wsum_up
+        FROM up GROUP BY doc_id
+    )
+    SELECT doc_id, mean_dn, wsum_dn, mean_up, wsum_up
+    FROM d JOIN u USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.encode(
+            F.rpad(
+                F.substring(F.coalesce("text", F.lit("")), 1, _RSZ_NBYTES),
+                _RSZ_NBYTES,
+                "x",
+            ),
+            "UTF-8",
+        ).alias("px"),
+    )
+    return src.mapInPandas(
+        _resize_stats_batches, schema=_RSZ_STATS_SCHEMA
+    ).orderBy("doc_id")

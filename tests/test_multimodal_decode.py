@@ -701,3 +701,76 @@ def test_jpeg_color_ycbcr_path():
     assert (rgb[..., 0] == np.clip(exp_r, 0, 255)).all()
     assert (rgb[..., 1] == np.clip(exp_g, 0, 255)).all()
     assert (rgb[..., 2] == np.clip(exp_b, 0, 255)).all()
+
+
+# ---------------------------------------------------------------------------
+# Resize: the pure-numpy nearest/bilinear kernels (r10).
+
+
+def test_resize_nearest_matches_integer_index_map():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    dn = resize_image(arr, 4, 4)
+    up = resize_image(arr, 16, 16)
+    for y in range(4):
+        for x in range(4):
+            assert (dn[y, x] == arr[(y * 8) // 4, (x * 8) // 4]).all()
+    for y in range(16):
+        for x in range(16):
+            assert (up[y, x] == arr[(y * 8) // 16, (x * 8) // 16]).all()
+    # non-integer ratio + grayscale 2-D input
+    g = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    out = resize_image(g, 3, 2)
+    for y in range(2):
+        for x in range(3):
+            assert out[y, x] == g[(y * 5) // 2, (x * 7) // 3]
+
+
+def test_resize_bilinear_matches_scalar_reference():
+    """Independent per-pixel scalar reference (half-pixel centers,
+    clamped edges) - deliberately no shared code with the kernel."""
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    rng = np.random.default_rng(19)
+    arr = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    oh, ow = 9, 4
+    got = resize_image(arr, ow, oh, method="bilinear")
+    a = arr.astype(float)
+    for y in range(oh):
+        for x in range(ow):
+            sy = (y + 0.5) * 6 / oh - 0.5
+            sx = (x + 0.5) * 10 / ow - 0.5
+            y0 = min(max(int(np.floor(sy)), 0), 5)
+            x0 = min(max(int(np.floor(sx)), 0), 9)
+            y1, x1 = min(y0 + 1, 5), min(x0 + 1, 9)
+            fy = min(max(sy - y0, 0.0), 1.0)
+            fx = min(max(sx - x0, 0.0), 1.0)
+            for c in range(3):
+                v = (
+                    a[y0, x0, c] * (1 - fy) * (1 - fx)
+                    + a[y0, x1, c] * (1 - fy) * fx
+                    + a[y1, x0, c] * fy * (1 - fx)
+                    + a[y1, x1, c] * fy * fx
+                )
+                assert got[y, x, c] == min(max(round(v), 0), 255), (y, x, c)
+
+
+def test_resize_bilinear_identity_and_errors():
+    from data_engineering_spotify_etl_airflow_aws_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    # same-size bilinear is the identity (weights hit integer centers)
+    assert np.array_equal(resize_image(arr, 8, 8, "bilinear"), arr)
+    with pytest.raises(ValueError, match="invalid resize dimensions"):
+        resize_image(arr, 0, 4)
+    with pytest.raises(ValueError, match="unknown resize method"):
+        resize_image(arr, 4, 4, method="bicubic")
