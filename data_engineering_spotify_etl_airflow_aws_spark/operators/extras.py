@@ -4581,10 +4581,12 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.join(fo, "o_custkey")
         .groupBy("cohort_y", (F.col("oy") - F.col("cohort_y")).alias("age_years"))
+        # stay in decimal through the cumulative window (r10 BIGINT-sum
+        # sweep): a cohort-year's micro-unit revenue is corpus-scale, so
+        # a mid-plan bigint hop would already have wrapped before the
+        # window summed it
         .agg(
-            F.sum(F.col("vm").cast("decimal(38,0)"))
-            .cast("bigint")
-            .alias("rev_micro")
+            F.sum(F.col("vm").cast("decimal(38,0)")).alias("rev_micro")
         )
     )
     w = (
@@ -4595,7 +4597,7 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = rev.select(
         "cohort_y",
         "age_years",
-        F.sum("rev_micro").over(w).cast("bigint").alias("cum_micro"),
+        F.sum("rev_micro").over(w).alias("cum_micro"),
     )
     return cum.join(F.broadcast(sz), "cohort_y").select(
         F.col("cohort_y").cast("bigint").alias("cohort_year"),

@@ -534,7 +534,13 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
         .agg(
             F.count("*").alias("n_conversions"),
-            F.sum("u6").alias("attributed_value_u6"),
+            # decimal accumulator: micro-unit values over a corpus-scale
+            # purchase set pass 2^63 long before the oracle's HUGEINT
+            # does (r10 BIGINT-sum sweep); the bigint output cast then
+            # saturates LOUDLY (null) instead of wrapping silently
+            F.sum(F.col("u6").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("attributed_value_u6"),
         )
     )
 
@@ -907,11 +913,16 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tc.touch_type", "tc.cnt", "k")
     return credits.groupBy("touch_type").agg(
         F.count(F.when(F.col("cnt") > 0, 1)).alias("n_conversions_touched"),
+        # decimal accumulator (r10 BIGINT-sum sweep): <=1e6 credit per
+        # conversion x corpus-scale conversions leaves <40x headroom in
+        # a raw BIGINT accumulator at the design point
         F.sum(
             F.when(
                 F.col("k") > 0,
                 F.expr("cnt * 1000000L div k"),
-            ).otherwise(F.lit(0))
+            )
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
         )
         .cast("bigint")
         .alias("credit_u6"),
@@ -974,7 +985,11 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.sum("rev_u6").alias("total_rev_u6"),
+            # decimal accumulator (r10 BIGINT-sum sweep): a nation's
+            # micro-unit revenue total crosses 2^63 at ~1e5 suppliers
+            F.sum(F.col("rev_u6").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_rev_u6"),
             F.sum(
                 F.col("rev_u6").cast("decimal(38,0)") * F.col("rev_u6")
             ).alias("sum_sq"),
@@ -1337,8 +1352,10 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "rev_u6",
         "l_partkey",
-        F.sum("rev_u6").over(wtot).alias("total"),
-        F.sum("rev_u6").over(wcum).alias("cum"),
+        # decimal window accumulators (r10 BIGINT-sum sweep): the
+        # brand total / running total are corpus-scale micro-unit sums
+        F.sum(F.col("rev_u6").cast("decimal(38,0)")).over(wtot).alias("total"),
+        F.sum(F.col("rev_u6").cast("decimal(38,0)")).over(wcum).alias("cum"),
     )
     cum_d = F.col("cum").cast("decimal(38,0)")
     tot_d = F.col("total").cast("decimal(38,0)")
@@ -1352,7 +1369,9 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "abc_class")
         .agg(
             F.count("*").alias("n_parts"),
-            F.sum("rev_u6").alias("class_rev_u6"),
+            F.sum(F.col("rev_u6").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("class_rev_u6"),
         )
     )
 
@@ -1423,21 +1442,29 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), "s_nationkey")
         .join(F.broadcast(reg), "n_regionkey")
         .groupBy("region", "nation")
-        .agg(F.sum("rev_u6").alias("rev_u6"))
+        # decimal accumulator (r10 BIGINT-sum sweep): nation-level
+        # micro-unit revenue is a corpus-scale sum; the bigint output
+        # cast saturates loudly instead of wrapping silently
+        .agg(
+            F.sum(F.col("rev_u6").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("rev_u6")
+        )
     )
     wreg = W.partitionBy("region")
     wall = W.partitionBy()
+    rev_dec = F.col("rev_u6").cast("decimal(38,0)")
     return by_nation.select(
         "region",
         "nation",
         "rev_u6",
         (
             F.col("rev_u6").cast("double")
-            / F.sum("rev_u6").over(wreg).cast("double")
+            / F.sum(rev_dec).over(wreg).cast("double")
         ).alias("share_of_region"),
         (
-            F.sum("rev_u6").over(wreg).cast("double")
-            / F.sum("rev_u6").over(wall).cast("double")
+            F.sum(rev_dec).over(wreg).cast("double")
+            / F.sum(rev_dec).over(wall).cast("double")
         ).alias("region_share_of_total"),
     )
 
