@@ -3035,6 +3035,14 @@ def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch(7, 3, "D", F.lit(None).cast("decimal(33,3)"))
         )
     )
+    # Cross-engine NULL asymmetry, masked by construction (r10 review):
+    # DuckDB's arg_max(price, seq) IGNORES rows whose VALUE is NULL (a
+    # D op's last_price is the preceding U/I price), while Spark's
+    # max_by returns the max-seq row's price verbatim (NULL for a D).
+    # The engines would disagree on last_price for keys ending in D -
+    # but net_price only reads last_price when last_op <> 'D', so the
+    # divergent case is never emitted. Keep that guard if this op is
+    # ever extended; emitting last_price unguarded would hash-mismatch.
     c = log.groupBy("k").agg(
         F.count("*").alias("n_ops"),
         F.min_by("op", "seq").alias("first_op"),
