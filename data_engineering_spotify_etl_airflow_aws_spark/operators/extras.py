@@ -4817,12 +4817,19 @@ def region_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     )
-    cdim = F.broadcast(
+    # NO broadcast hint on the customer/supplier chains (r10 review):
+    # nation/region are bounded and stay pinned broadcast, but customer
+    # and supplier GROW with the data (the cohort_daily_retention rule)
+    # - a pinned broadcast of a 1.5e9-row resolved dim is a driver OOM
+    # at 100 TB. Unhinted, AQE broadcasts them at fixture scale
+    # (measured plan- and time-identical) and shuffle-joins them at
+    # warehouse scale.
+    cdim = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", F.col("r_name").alias("cust_region"))
     )
-    sdim = F.broadcast(
+    sdim = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
