@@ -981,7 +981,9 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
     m = (
-        rev.join(F.broadcast(supp), "l_suppkey")
+        # no broadcast hint: supplier grows with the data (1e9 rows at
+        # sf100k) - AQE broadcasts at fixture scale, shuffles at 100 TB
+        rev.join(supp, "l_suppkey")
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_suppliers"),
@@ -1438,7 +1440,9 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region"),
     )
     by_nation = (
-        rev.join(F.broadcast(supp), "l_suppkey")
+        # no broadcast hint on supplier (grows with the data); the
+        # nation/region dims below stay hinted - genuinely bounded
+        rev.join(supp, "l_suppkey")
         .join(F.broadcast(nat), "s_nationkey")
         .join(F.broadcast(reg), "n_regionkey")
         .groupBy("region", "nation")
