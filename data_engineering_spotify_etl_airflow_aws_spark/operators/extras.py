@@ -2831,7 +2831,9 @@ def topk_plus_other_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     rev = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # no broadcast hint on supplier (grows with the data); nation
+        # stays hinted - genuinely bounded
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", "l_partkey")
         .agg(

@@ -1350,7 +1350,9 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rev_u6"), "l_partkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    branded = rev.join(F.broadcast(part), "l_partkey").select(
+    # no broadcast hint: part grows with the data (2e10 rows at
+    # sf100k) - AQE broadcasts at fixture scale, shuffles at 100 TB
+    branded = rev.join(part, "l_partkey").select(
         "p_brand",
         "rev_u6",
         "l_partkey",
