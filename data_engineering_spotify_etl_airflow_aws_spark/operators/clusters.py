@@ -483,8 +483,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT c0, rec,
                count(*) AS n_connectors,
-               CAST(sum(CAST(floor(1000000000000.0 / ln(deg.d) + 0.5)
-                   AS HUGEINT)) AS BIGINT) AS score_p
+               sum(CAST(floor(1000000000000.0 / ln(deg.d) + 0.5)
+                   AS HUGEINT)) AS score_p
         FROM cand JOIN deg ON deg.src = cand.c1
         GROUP BY c0, rec
     )
@@ -536,7 +536,15 @@ def supplier_recs_fof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c0", "rec")
         .agg(
             F.count("*").alias("n_connectors"),
-            F.sum(w_p).cast("bigint").alias("score_p"),
+            # r12 fix (SCALING_r10 hit list): score_p stays decimal(38,0)
+            # through the ranking window (it is NOT an output column) -
+            # the previous bigint cast had only ~6x headroom on a
+            # pathological 1e6-connector candidate, and a nulled score
+            # would silently misrank rather than fail loudly. Oracle
+            # mirrors: HUGEINT score, no BIGINT cast. Integer ordering
+            # and the one final ->double conversion are identical in
+            # decimal(38,0) and HUGEINT.
+            F.sum(w_p).alias("score_p"),
         )
     )
     wr = W.partitionBy("c0").orderBy(F.desc("score_p"), "rec")
@@ -913,13 +921,19 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count does. Cast to decimal INSIDE the sum (the oracle's HUGEINT
     # sum never wraps - same engine-asymmetric hazard as
     # degree_powerlaw_check above, r10 review finding).
+    # r12 ADVICE fix: the PRODUCTS must also cast one factor BEFORE the
+    # multiply - (dx * dy).cast(decimal) computes the product in raw
+    # BIGINT first and wraps at degree >= ~3e9, the exact single-row
+    # class fixed in ewma_control_chart (r10). Same pattern here.
+    dxd = F.col("dx").cast("decimal(38,0)")
+    dyd = F.col("dy").cast("decimal(38,0)")
     m = e2.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
-        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(dxd).alias("sx"),
+        F.sum(dyd).alias("sy"),
+        F.sum(dxd * F.col("dy")).alias("sxy"),
+        F.sum(dxd * F.col("dx")).alias("sxx"),
+        F.sum(dyd * F.col("dy")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(

@@ -384,8 +384,9 @@ def latest_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     term tops out ~3e18 < 2^63, and the date strictly dominates for any
     orderkey < 1e12 - TPC-H orderkeys pass 1e7 around sf2, which broke the
     previous 1e7 multiplier; round-2 ADVICE). DuckDB's arg_max takes
-    scalars only, and a bare date key would tie. One broadcast join + one
-    agg shuffle."""
+    scalars only, and a bare date key would tie. One join (customer grows
+    with sf, so no broadcast hint - AQE decides; r12 fix) + one agg
+    shuffle."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     key = (
@@ -395,7 +396,7 @@ def latest_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("o_orderkey")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.max_by("o_orderkey", key).alias("latest_orderkey"),
@@ -965,7 +966,12 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = b.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("u6").alias("su"),
+        # r12 fix (SCALING_r10 hit list): per-type u6 sum accumulates in
+        # decimal(38,0) - a handful of event types over a 100 TB corpus
+        # puts each type's micro-unit total past int64. decimal->double
+        # at the use site rounds-to-nearest exactly like the oracle's
+        # BIGINT->DOUBLE for any value both can hold.
+        F.sum(F.col("u6").cast("decimal(38,0)")).alias("su"),
         F.sum(F.col("u6").cast("decimal(38,0)") * F.col("u6"))
         .cast("double")
         .alias("sq"),

@@ -229,13 +229,16 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: flag corpus docs sharing any token 5-gram
-# with the held-out benchmark split (doc_id % 50 == 0 here). NB unlike
-# the sampling rules fixed in round 6, the %50 is NOT a scale knob: it
-# merely STANDS IN for a real eval suite, which is a separate fixed
-# dataset whose size is independent of the training corpus (MMLU does
-# not grow when the corpus does) - that is what justifies broadcasting
-# the bench gram set; a corpus-sized bench side would need the equi-join
-# without the hint.
+# with the held-out benchmark split. A real eval suite is a separate
+# FIXED dataset whose size is independent of the training corpus (MMLU
+# does not grow when the corpus does), so the fixture's stand-in is a
+# fixed-COUNT pick: the _BENCH_N smallest doc_ids with doc_id % 50 == 0
+# (deterministic; the GlobalLimit bounds the broadcast side by
+# construction, which is what licenses the hint - r12 fix of the last
+# allowlisted unbounded-broadcast lint finding). At sf<=0.01 the cap
+# exceeds the %50 population so results are unchanged; at sf0.1 it
+# truncates 100 -> 50, i.e. the bound actually binds at a tested scale.
+_BENCH_N = 50
 
 # previous invocation's persisted gram base, released on next call
 # (or via caches.release_all())
@@ -251,7 +254,14 @@ _GRAM_BASE_CACHE: list[DataFrame] = register_cache([])
         SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
         FROM g WHERE len(g) > 0
     ),
-    bench AS (SELECT doc_id AS bench_doc, gram FROM gg WHERE doc_id % 50 = 0),
+    bench_ids AS (
+        SELECT doc_id FROM g WHERE len(g) > 0 AND doc_id % 50 = 0
+        ORDER BY doc_id LIMIT {_BENCH_N}
+    ),
+    bench AS (
+        SELECT gg.doc_id AS bench_doc, gram
+        FROM gg JOIN bench_ids USING (doc_id)
+    ),
     corp AS (
         SELECT doc_id, n_grams, gram FROM gg WHERE doc_id % 50 <> 0
     )
@@ -283,8 +293,11 @@ def benchmark_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _GRAM_BASE_CACHE.append(base)
-    bench = base.where(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("bench_doc"), F.explode("g").alias("gram")
+    bench = (
+        base.where(F.col("doc_id") % 50 == 0)
+        .orderBy("doc_id")
+        .limit(_BENCH_N)
+        .select(F.col("doc_id").alias("bench_doc"), F.explode("g").alias("gram"))
     )
     corp = base.where(F.col("doc_id") % 50 != 0).select(
         "doc_id", F.size("g").alias("n_grams"), F.explode("g").alias("gram")
@@ -767,8 +780,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(
+        # r12: cast one factor BEFORE the square - wm = tf*idf micro can
+        # reach ~3e10 (tf 1e3 x idf 28 x 1e6), whose raw-bigint square
+        # wraps; the old cast applied after the wrap.
         F.sqrt(
-            F.sum((F.col("wm") * F.col("wm")).cast("decimal(38,0)")).cast(
+            F.sum(F.col("wm").cast("decimal(38,0)") * F.col("wm")).cast(
                 "double"
             )
         ).alias("nm")
@@ -784,7 +800,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(
-            F.sum((F.col("a.wm") * F.col("b.wm")).cast("decimal(38,0)"))
+            # r12: same cast-one-factor fix as the norm above.
+            F.sum(F.col("a.wm").cast("decimal(38,0)") * F.col("b.wm"))
             .alias("dot")
         )
     )
@@ -892,13 +909,18 @@ def length_quality_correlation(
             F.expr(q_expr).alias("y"),
         )
     )
+    # r12: decimal accumulation + cast-one-factor products (the corpus
+    # quality-micro total has <10x int64 headroom at 1e12 docs; the raw
+    # products wrapped before their old outer casts).
+    xd38 = F.col("x").cast("decimal(38,0)")
+    yd38 = F.col("y").cast("decimal(38,0)")
     m = q.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(xd38).cast("bigint").alias("sx"),
+        F.sum(yd38).cast("bigint").alias("sy"),
+        F.sum(xd38 * F.col("y")).alias("sxy"),
+        F.sum(xd38 * F.col("x")).alias("sxx"),
+        F.sum(yd38 * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(

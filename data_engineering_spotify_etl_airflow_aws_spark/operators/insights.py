@@ -297,7 +297,11 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum("cents").alias("cents"))
+        # r12 fix (SCALING_r10 hit list): decimal accumulation + bigint
+        # output cast, mirroring the oracle's HUGEINT-sum-then-BIGINT-cast
+        # - a hot customer's cents total wraps raw bigint silently; the
+        # output cast nulls loudly instead.
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("cents"))
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
@@ -309,7 +313,10 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = ranked.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.sum("cents").alias("total_cents"),
+        # r12 fix: the per-segment cents total is the hit-list crossing
+        # (~3e18 at 1.5e11 orders, 3x headroom only) - accumulate in
+        # decimal, cast the OUTPUT to bigint like the oracle does.
+        F.sum(dec("cents")).cast("bigint").alias("total_cents"),
         F.sum(dec("rn") * F.col("cents")).alias("s1"),
     )
     num = F.lit(2) * F.col("s1") - (

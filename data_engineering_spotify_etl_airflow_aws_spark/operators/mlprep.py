@@ -700,7 +700,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = [F.count("*").alias("n")]
     aggs += [
-        F.sum(f"u{i}").cast("decimal(38,0)").alias(f"s{i}")
+        F.sum(F.col(f"u{i}").cast("decimal(38,0)")).alias(f"s{i}")
         for i in range(_COV_D)
     ]
     aggs += [
@@ -779,7 +779,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = [F.count("*").alias("n")]
     aggs += [
-        F.sum(f"u{i}").cast("decimal(38,0)").alias(f"s{i}")
+        F.sum(F.col(f"u{i}").cast("decimal(38,0)")).alias(f"s{i}")
         for i in range(D)
     ]
     aggs += [

@@ -1322,6 +1322,11 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("encoder requires multiple-of-8 dimensions")
+    # SOF0 carries dimensions as big-endian uint16 (T.81 B.2.2): beyond
+    # 65535 struct.pack raises an opaque struct.error mid-stream. Guard
+    # up front with the contract's ValueError (r12 ADVICE fix).
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError("dimensions must fit uint16 (1..65535)")
     q = (
         np.full(64, 8, dtype=np.int64)
         if qtable is None
@@ -1460,6 +1465,12 @@ def decode_jpeg(payload: bytes):
                 htables[(tc, th)] = _JpegHuffTable(bits, vals)
                 b += 17 + nsym
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline-decodable
+            # Length-guard BEFORE unpack/index: a truncated body must be
+            # the contract's ValueError, not an escaping struct.error /
+            # IndexError that crashes a corpus-quarantine caller (r12
+            # ADVICE fix; the DQT/DHT arms already guarded).
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
             prec, fh, fw, nc = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
@@ -1467,6 +1478,8 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("invalid JPEG dimensions")
             if nc not in (1, 3):
                 raise ValueError("only 1- or 3-component JPEG supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF components")
             comps = []
             for c in range(nc):
                 cid, hv, qid = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -1479,15 +1492,21 @@ def decode_jpeg(payload: bytes):
                         0xCD, 0xCE, 0xCF):
             raise ValueError("progressive/extended JPEG unsupported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI")
             (ri,) = struct.unpack(">H", body[0:2])
             if ri:
                 raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("truncated JPEG SOS")
             ns = body[0]
             if ns != len(frame[2]):
                 raise ValueError("JPEG partial scans unsupported")
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS components")
             sel = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]

@@ -1520,12 +1520,17 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = j.agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
-        F.sum(F.col("ma") * F.col("mb")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("ma") * F.col("ma")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("mb") * F.col("mb")).cast("decimal(38,0)").alias("syy"),
-        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
-        .cast("decimal(38,0)")
-        .alias("sd2"),
+        # r12: cast one factor BEFORE the product - m9 means reach ~3e9
+        # for unnormalized embeddings, putting the raw-bigint square at
+        # the int64 edge (single-row overflow class); accumulation then
+        # stays decimal end-to-end.
+        F.sum(F.col("ma").cast("decimal(38,0)") * F.col("mb")).alias("sxy"),
+        F.sum(F.col("ma").cast("decimal(38,0)") * F.col("ma")).alias("sxx"),
+        F.sum(F.col("mb").cast("decimal(38,0)") * F.col("mb")).alias("syy"),
+        F.sum(
+            (F.col("ma") - F.col("mb")).cast("decimal(38,0)")
+            * (F.col("ma") - F.col("mb"))
+        ).alias("sd2"),
     )
     wt = W.orderBy(F.abs(F.col("ma") - F.col("mb")).desc(), "dim")
     top = (

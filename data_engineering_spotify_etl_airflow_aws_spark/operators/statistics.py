@@ -40,7 +40,15 @@ from .dedup import _SPARK_H32 as _ST_SH32
 def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, v): exact micro-unit daily total event value - one day-keyed
     shuffle with map-side partials; the result is bounded by the calendar
-    (#days), so every window below runs on a tiny relation."""
+    (#days), so every window below runs on a tiny relation.
+
+    r12 fix (SCALING_r10 hit list): the per-day u6 sum accumulates in
+    decimal(38,0), not raw BIGINT - a 100 TB/day corpus puts the daily
+    total near 3e19 micro-units, past int64's 9.2e18. The bigint OUTPUT
+    cast keeps the downstream contract (and DuckDB's HUGEINT-summed
+    oracle casts to BIGINT the same way); past int64 it nulls loudly
+    instead of wrapping silently. DuckDB's sum(BIGINT) is HUGEINT
+    natively, so only the Spark side needed the widening."""
     return (
         load_table(spark, sf_dir, "events")
         .select(
@@ -48,7 +56,7 @@ def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
         )
         .groupBy("day")
-        .agg(F.sum("u6").cast("bigint").alias("v"))
+        .agg(F.sum(F.col("u6").cast("decimal(38,0)")).cast("bigint").alias("v"))
     )
 
 
@@ -118,8 +126,11 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.lit(lag_days).alias("lag_days"),
                 F.count("*").alias("n"),
-                F.sum("v").cast("bigint").alias("sx"),
-                F.sum(col).cast("bigint").alias("sy"),
+                # r12: series sums stay decimal (internal moments; a
+                # year of 100 TB days crosses int64). decimal->double at
+                # the use site equals the oracle's BIGINT->double.
+                F.sum(vd).alias("sx"),
+                F.sum(ld).alias("sy"),
                 F.sum(vd * F.col("v")).cast("double").alias("sxx"),
                 F.sum(ld * F.col(col)).cast("double").alias("syy"),
                 F.sum(vd * F.col(col)).cast("double").alias("sxy"),
@@ -183,7 +194,10 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
         )
         .groupBy("event_type", "day")
-        .agg(F.sum("u6").cast("bigint").alias("v"))
+        # r12: decimal accumulation (per-(type,day) u6 totals cross int64
+        # at the 100 TB/day design point); bigint OUTPUT cast keeps the
+        # downstream diff arithmetic and nulls loudly past int64.
+        .agg(F.sum(F.col("u6").cast("decimal(38,0)")).cast("bigint").alias("v"))
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -582,7 +596,9 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = idx.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum("v").cast("bigint").alias("sy"),
+        # r12: the value-series total stays decimal (internal moment; a
+        # year of 100 TB days crosses int64) - see autocorr_daily_value.
+        F.sum(vd).alias("sy"),
         F.sum(xd * F.col("x")).cast("double").alias("sxx"),
         F.sum(vd * F.col("v")).cast("double").alias("syy"),
         F.sum(xd * F.col("v")).cast("double").alias("sxy"),
@@ -902,12 +918,15 @@ def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
         )
         .groupBy("event_type", "day", "dow_iso")
-        .agg(F.sum("u6").cast("bigint").alias("v"))
+        # r12: decimal accumulation + bigint output cast (same daily-u6
+        # class as _daily_micro; nulls loudly past int64).
+        .agg(F.sum(F.col("u6").cast("decimal(38,0)")).cast("bigint").alias("v"))
     )
     vd = F.col("v").cast("decimal(38,0)")
     m = daily.groupBy("event_type", "dow_iso").agg(
         F.count("*").alias("n"),
-        F.sum("v").cast("bigint").alias("s"),
+        # r12: per-(type,dow) series total stays decimal (internal).
+        F.sum(vd).alias("s"),
         F.sum(vd * F.col("v")).cast("double").alias("sxx"),
     )
     z = (F.col("n") * F.col("v").cast("double") - F.col("s")) / F.sqrt(
@@ -1312,8 +1331,8 @@ def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y6").cast("decimal(38,0)")).alias("sy"),
         F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
         .cast("decimal(38,0)")
         .alias("sxx"),
@@ -1536,7 +1555,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = e.agg(
         F.count("*").alias("n_events"),
         (
-            F.sum("y6").cast("decimal(38,0)").cast("double")
+            F.sum(F.col("y6").cast("decimal(38,0)")).cast("double")
             / F.count("*")
             / F.lit(1e6)
         ).alias("point_mean"),
@@ -2297,8 +2316,11 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = u.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("y_micro").cast("decimal(38,0)").cast("bigint").alias("sy"),
-        F.sum("x_micro").cast("decimal(38,0)").cast("bigint").alias("sx"),
+        # r12: cast INSIDE the sum - the all-users micro totals are
+        # corpus-scale; the raw-BIGINT accumulator wrapped before the old
+        # outer cast could see the true value.
+        F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("bigint").alias("sy"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)")).cast("bigint").alias("sx"),
         # cast each factor to decimal BEFORE the product: x_micro can
         # exceed 2^31.5, so the int64 square overflows under ANSI
         F.sum(
@@ -2325,15 +2347,15 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_g"),
             (
-                F.sum("y_micro").cast("decimal(38,0)").cast("double")
+                F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("double")
                 / F.count("*")
             ).alias("y_mean"),
             (
                 (
-                    F.sum("y_micro").cast("decimal(38,0)").cast("double")
+                    F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("double")
                     - F.max("theta")
                     * (
-                        F.sum("x_micro").cast("decimal(38,0)").cast("double")
+                        F.sum(F.col("x_micro").cast("decimal(38,0)")).cast("double")
                         - F.count("*")
                         * (
                             F.max("sx").cast("double")
@@ -3095,7 +3117,11 @@ def welch_t_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_weekend")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("v").cast("decimal(38,0)").cast("bigint").alias("s1"),
+            # r12: cast INSIDE the sum - sum("v").cast(decimal) wraps in
+            # the raw-BIGINT accumulator before the cast can see the
+            # true value (2-group split of a 100 TB corpus crosses int64
+            # comfortably). bigint output cast mirrors the oracle.
+            F.sum(F.col("v").cast("decimal(38,0)")).cast("bigint").alias("s1"),
             F.sum(
                 F.col("v").cast("decimal(38,0)")
                 * F.col("v").cast("decimal(38,0)")

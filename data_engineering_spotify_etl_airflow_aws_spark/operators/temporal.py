@@ -765,7 +765,10 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1_000_000).cast("bigint").alias("v_u6"),
     )
     daily = ev.groupBy("event_type", "day").agg(
-        F.sum("v_u6").cast("bigint").alias("v_u6")
+        # r12 review find: decimal accumulation + bigint output cast
+        # (per-(type,day) u6 totals cross int64 at 100 TB/day - the
+        # _daily_micro class; the oracle already sums HUGEINT).
+        F.sum(F.col("v_u6").cast("decimal(38,0)")).cast("bigint").alias("v_u6")
     )
     seqs = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),

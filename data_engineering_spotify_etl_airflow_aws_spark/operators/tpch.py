@@ -468,8 +468,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PS_CTE},
     val AS (
         SELECT ps_partkey,
-               CAST(sum(CAST(ps_supplycost_micro * ps_shipqty
-                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS value_micro
+               CAST(sum(CAST(ps_supplycost_micro AS HUGEINT) * ps_shipqty)
+                    AS DECIMAL(38,0)) AS value_micro
         FROM ps
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON n_nationkey = s_nationkey
@@ -499,10 +499,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .groupBy("ps_partkey")
         .agg(
+            # r12 fix (SCALING_r10 hit list): cast ONE FACTOR to decimal
+            # BEFORE the multiply - the previous bigint*bigint product
+            # wrapped at ~9.2e18 BEFORE its decimal cast could see the
+            # true value (cost_micro ~1e9 x a hot part's corpus shipqty
+            # crosses that at the 100 TB design point). The oracle takes
+            # the same product in HUGEINT.
             F.sum(
-                (F.col("ps_supplycost_micro") * F.col("ps_shipqty")).cast(
-                    "decimal(38,0)"
-                )
+                F.col("ps_supplycost_micro").cast("decimal(38,0)")
+                * F.col("ps_shipqty")
             )
             .cast("decimal(38,0)")
             .alias("value_micro")

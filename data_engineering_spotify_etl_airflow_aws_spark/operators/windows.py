@@ -1334,8 +1334,11 @@ def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy("day").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
-        F.sum("y6").cast("bigint").alias("final_u6"),
-        F.sum(F.when(~late, F.col("y6")).otherwise(0))
+        # r12 review find: per-day u6 totals accumulate in decimal (the
+        # _daily_micro class - crosses int64 at 100 TB/day); bigint
+        # output cast mirrors the oracle's HUGEINT-sum-then-BIGINT-cast.
+        F.sum(F.col("y6").cast("decimal(38,0)")).cast("bigint").alias("final_u6"),
+        F.sum(F.when(~late, F.col("y6")).otherwise(0).cast("decimal(38,0)"))
         .cast("bigint")
         .alias("ontime_u6"),
     )
@@ -1470,7 +1473,12 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.sum("gap").cast("decimal(38,0)").alias("s"),
+            # r12: cast INSIDE the sum - the per-type gap total is
+            # sum-of-user-timespans (~N_users x horizon_us ~ 3e22 at the
+            # design point); the raw-BIGINT accumulator wrapped before
+            # the old outer cast could see the true value. Oracle already
+            # sums HUGEINT.
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s"),
             F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap"))
             .cast("decimal(38,0)")
             .alias("sq"),

@@ -163,7 +163,15 @@ def session_delta_stream(events_stream: DataFrame) -> DataFrame:
 def has_tws_runtime() -> bool:
     """transformWithStateInPandas needs google.protobuf at runtime for
     the Python<->JVM state protocol (StateMessage_pb2); absent in this
-    container, importable everywhere Spark ships with protobuf."""
+    container, importable everywhere Spark ships with protobuf.
+
+    r12 probe (verdict ask #6, conclusive): `import google.protobuf`
+    fails, no vendored wheel exists anywhere on disk (find across
+    site-packages/conda pkgs/pyspark's bundle turns up only JVM-side
+    shaded-protobuf jars, which cannot serve the Python half), and pip's
+    index is unreachable (no DNS in the container). The twin therefore
+    remains environment-gated: tests/test_streaming.py skips it here and
+    executes it verbatim on any Spark deployment with python protobuf."""
     try:
         import google.protobuf  # noqa: F401
 

@@ -640,6 +640,39 @@ def test_jpeg_malformed_inputs_raise_value_errors():
             b"\xff\xd8" + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + b"\xff\xd9"
         )
 
+    # r12 ADVICE probes: truncated SOF/DRI/SOS BODIES (segment length
+    # field itself valid) previously escaped as struct.error/IndexError.
+    sof_full = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_full[:4]) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated JPEG SOF components"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, sof_full[:7]) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated JPEG DRI"):
+        decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x00") + b"\xff\xd9")
+    sof_seg = seg(0xC0, sof_full)
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        decode_jpeg(b"\xff\xd8" + sof_seg + seg(0xDA, b"") + b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated JPEG SOS components"):
+        decode_jpeg(b"\xff\xd8" + sof_seg + seg(0xDA, bytes([1, 1])) + b"\xff\xd9")
+
+
+def test_encode_jpeg_gray_uint16_dimension_guard():
+    """SOF dimensions are uint16; oversized inputs must raise the codec's
+    ValueError up front, not struct.error mid-stream (r12 ADVICE fix).
+    Asserted without allocating a 65544-row image: a zero-height view
+    shaped (65544, 0) is enough to trip the guard before any DCT work -
+    but width 0 fails the uint16 lower bound first, so use a thin
+    strided fake via np.broadcast_to (read-only, no copy)."""
+    import numpy as np
+
+    _, _, _, encode_jpeg_gray = _jpeg_parts()
+    big = np.broadcast_to(np.uint8(0), (65544, 8))
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_gray(big)
+    wide = np.broadcast_to(np.uint8(0), (8, 65544))
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_gray(wide)
+
 
 def test_jpeg_color_ycbcr_path():
     """Hand-build a 3-component 4:4:4 stream from three grayscale planes

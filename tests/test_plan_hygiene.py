@@ -59,23 +59,15 @@ _GROWING_FIRST_COL = {
 }
 _BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Window", "Deduplicate")
 
-# The same defect class fixed pin-free this round in region_flow_matrix /
-# hhi_supplier_concentration / rollup_share_of_parent /
-# abc_classification_parts / topk_plus_other_parts survives in six
-# ALREADY-AUDITED queries, scheduled as r11 re-audit pins (SCALING_r10.md
-# hit list). Remove each entry as its fix lands; the lint then locks the
-# whole registry against regressions. (benchmark_decontam_overlap's
-# right fix is a bounded fixed-count bench pick, not just dropping the
-# hint - a real benchmark set IS bounded, the fixture's modulo
-# derivation is what grows.)
-_KNOWN_UNBOUNDED_HINTS = {
-    "group_avg_join",
-    "star_join_agg",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "benchmark_decontam_overlap",
-    "latest_order_per_segment",
-}
+# r12: allowlist emptied - the last six offenders were fixed (hints
+# dropped on growing sides in group_avg_join / star_join_agg /
+# tpch_q3_shipping_priority / tpch_q5_local_supplier_volume /
+# latest_order_per_segment; benchmark_decontam_overlap's bench side is
+# now a fixed-count GlobalLimit pick, which bounds the broadcast by
+# construction). The lint is now a registry-wide invariant: any new
+# broadcast hint whose subtree reaches a growing-table scan with no
+# bounding node fails CI.
+_KNOWN_UNBOUNDED_HINTS: set[str] = set()
 
 
 def _node_offset(line: str) -> int:
