@@ -45,28 +45,57 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 10 changed set: all 13 r9 pins went green in CORRECTNESS_r09
-# and expire by themselves; the slots drain the 61-query never-audited
-# debt (insights 23 + extras, insights first per _MODULE_PRIORITY;
-# decile_lift_table — the one never-audited query whose code changed in
-# r9 — is in-window by registration order). Three pins from the r10
-# spec-vs-oracle review pass over mlprep/clusters (r9 verdict #5): all
-# the same engine-asymmetric class — Spark's sum over a raw BIGINT
-# accumulates in BIGINT and wraps silently at 100 TB cardinalities
-# while the DuckDB oracle's HUGEINT sum does not, so the hash check is
-# structurally blind to it. Each now accumulates in decimal(38,0),
-# cast inside the sum (results hash-identical at every tested SF; the
-# standing rule pins any implementation change regardless).
-PIN_ROUND = 10
+# Round 12 changed set (r11 shipped nothing, so this executes the open
+# r10/r11 plan): every query whose implementation changed this round is
+# pinned into the driver's window per the standing rule, regardless of
+# the fixes being hash-identical at every tested SF.
+#   * six broadcast-hint removals (the lint allowlist is now empty):
+#     the plan changes, the results must not.
+#   * the BIGINT-accumulator class, finished: raw int64 sums/products of
+#     corpus-scale micro-unit totals moved into decimal(38,0) BEFORE the
+#     operation (Spark's raw BIGINT agg wraps silently past 2^63 while
+#     every DuckDB oracle sums HUGEINT - the engine-asymmetric overflow
+#     the hash gate cannot see until it fires).
+#   * two r12 spec-vs-oracle review finds (holt daily agg, late-data
+#     daily totals) - same class, found by the temporal/windows pass.
+#   * multimodal_jpeg_decode_stats: the decoder grew length guards on
+#     SOF/DRI/SOS bodies (valid-stream behavior unchanged; pinned
+#     because the hot decode path was edited).
+PIN_ROUND = 12
 PIN_FIRST: list[str] = [
-    "degree_powerlaw_check",
+    # broadcast-hint removals
+    "group_avg_join",
+    "star_join_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "latest_order_per_segment",
+    "benchmark_decontam_overlap",
+    # BIGINT hit list (SCALING_r10) + same-class sweep finds
+    "tpch_q11_important_stock",
+    "value_zscore_outliers",
+    "gini_customer_value",
+    "supplier_recs_fof",
+    "autocorr_daily_value",
+    "daily_trend_ols",
+    "cusum_changepoint_daily",
+    "seasonal_naive_error",
+    "dow_adjusted_anomaly_days",
+    "welch_t_weekend_effect",
+    "interarrival_stats_by_type",
+    "cuped_ab_adjustment",
+    "bootstrap_ci_event_value",
+    "user_value_trend_slopes",
+    "embedding_covariance_matrix",
+    "pca_power_iteration",
+    "tfidf_cosine_pairs",
+    "length_quality_correlation",
+    "embedding_centroid_drift",
     "degree_assortativity",
-    "unigram_logprob_filter",
-    # found by extending the same sweep across every operator file: the
-    # per-(type,day) count SQUARE alone passes 2^63 at a 100 TB/day
-    # stream (worse than the three above - single-ROW overflow, not
-    # accumulation); now a decimal product+sum like its OLS siblings
-    "ewma_control_chart",
+    # r12 temporal/windows review finds
+    "holt_linear_forecast",
+    "late_data_restatement",
+    # JPEG decoder guard edits
+    "multimodal_jpeg_decode_stats",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained
