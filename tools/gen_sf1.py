@@ -92,14 +92,28 @@ def main() -> None:
         )
         print(f"  {t}: copied")
 
+    # c_name/s_name embed the entity key ("Customer#000000042"), so they
+    # are REGENERATED from the shifted key rather than copied verbatim:
+    # verbatim copies reuse identical names across copies, and any
+    # name-similarity operator then matches cross-copy pairs that no
+    # real sf1 dataset contains (r12 finding: 94% of
+    # fuzzy_name_matches' sf1 output was cross-copy artifact pairs,
+    # output 165x for a 10x tiling). With key-derived names the sf1
+    # name population is exactly what a dense 0..149999 keyspace
+    # produces, and digit-Hamming match growth is the data's own
+    # (~linear), not the tiling's.
     _copies(con, out, "customer", lambda i: f"""
         SELECT c_custkey + {i * N_CUST} AS c_custkey,
-               * EXCLUDE (c_custkey)
+               'Customer#' || lpad(CAST(c_custkey + {i * N_CUST}
+                   AS VARCHAR), 9, '0') AS c_name,
+               * EXCLUDE (c_custkey, c_name)
         FROM '{SRC}/customer.parquet'""")
 
     _copies(con, out, "supplier", lambda i: f"""
         SELECT s_suppkey + {i * N_SUPP} AS s_suppkey,
-               * EXCLUDE (s_suppkey)
+               'Supplier#' || lpad(CAST(s_suppkey + {i * N_SUPP}
+                   AS VARCHAR), 9, '0') AS s_name,
+               * EXCLUDE (s_suppkey, s_name)
         FROM '{SRC}/supplier.parquet'""")
 
     _copies(con, out, "part", lambda i: f"""
