@@ -1,0 +1,167 @@
+"""Standing source lint for the BIGINT-overflow accumulator class
+(r10 review finding, closed tree-wide in r12): Spark's `sum` over a raw
+BIGINT column accumulates in BIGINT and WRAPS silently past 2^63, while
+every DuckDB oracle sums in HUGEINT — an engine-asymmetric overflow the
+hash gate is structurally blind to until it fires at scale. Two
+anti-patterns kept reappearing, and both are ALWAYS mistakes because the
+cast's own presence proves wide arithmetic was intended:
+
+  1. sum-then-cast:      F.sum(x).cast("decimal…")
+     The accumulator wraps BEFORE the outer cast can see the true
+     value. Intended form: F.sum(x.cast("decimal…")).
+
+  2. product-then-cast:  F.sum((a * b).cast("decimal(38,0)"))
+     The per-ROW int64 product wraps BEFORE the cast. Intended form:
+     F.sum(a.cast("decimal(38,0)") * b) — cast ONE factor first.
+
+This lint walks the operator sources' AST (no Spark session needed) and
+fails on either pattern. Raw `F.sum("count_like")` sums with NO decimal
+cast anywhere are out of scope: the r10 sweep triaged those by physical
+magnitude (corpus bytes ~1e14, row counts ~1e12, per-entity windows all
+fit int64 with orders of magnitude to spare), and a syntactic lint
+cannot judge magnitude — it CAN judge that a decimal cast sits on the
+wrong side of the operation.
+
+Allowlisted sites carry an inline proof that every per-row value fits
+int64 (so only the accumulation needed widening, which those sites do
+in the surrounding F.sum): keep each entry in sync with the proof
+comment at the site.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+import data_engineering_spotify_etl_airflow_aws_spark as engine
+
+_OPS_DIR = os.path.join(os.path.dirname(engine.__file__), "operators")
+
+# (filename, funcdef name) -> justification required at the site.
+# degree_powerlaw_check: products are ln(count)*1e6 ints < 9e7 each, so
+# x*y < 9e15 << 2^63 per row (proof comment at the agg); only the
+# accumulation is corpus-scale, and it is decimal.
+_ALLOWED_PRODUCT_SITES = {
+    ("clusters.py", "degree_powerlaw_check"),
+}
+
+# Sites where the summed columns are ALREADY decimal from an upstream
+# select, so the visible-in-one-expression heuristic cannot see the
+# cast: embedding_covariance_matrix / pca_power_iteration create u{i}
+# as decimal(18,0) a few lines above their aggs, making every product
+# decimal(37,0) and every sum decimal — exact end-to-end. A syntactic
+# lint cannot follow column types across select boundaries; each entry
+# here must name the upstream cast in a comment at the site.
+_ALLOWED_TYPED_UPSTREAM = {
+    ("mlprep.py", "embedding_covariance_matrix"),
+    ("mlprep.py", "pca_power_iteration"),
+}
+
+
+def _is_decimal_cast(node: ast.AST) -> bool:
+    """node is `<expr>.cast("decimal…")`."""
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "cast"
+        and len(node.args) == 1
+        and isinstance(node.args[0], ast.Constant)
+        and isinstance(node.args[0].value, str)
+        and node.args[0].value.lower().startswith("decimal")
+    )
+
+
+def _contains_decimal_cast(node: ast.AST) -> bool:
+    return any(_is_decimal_cast(n) for n in ast.walk(node))
+
+
+def _is_f_sum(node: ast.AST) -> bool:
+    """node is `F.sum(...)`."""
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "sum"
+        and isinstance(node.func.value, ast.Name)
+        and node.func.value.id == "F"
+        and len(node.args) == 1
+    )
+
+
+def _enclosing_function(tree: ast.Module, lineno: int) -> str:
+    best = "<module>"
+    for n in ast.walk(tree):
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            end = getattr(n, "end_lineno", n.lineno)
+            if n.lineno <= lineno <= end:
+                best = n.name
+    return best
+
+
+def _scan_file(path: str) -> list[str]:
+    src = open(path).read()
+    tree = ast.parse(src)
+    fname = os.path.basename(path)
+    bad: list[str] = []
+
+    for node in ast.walk(tree):
+        # pattern 1: F.sum(arg).cast("decimal…") where arg has no
+        # decimal cast of its own — the accumulator already wrapped.
+        if _is_decimal_cast(node) and _is_f_sum(node.func.value):
+            arg = node.func.value.args[0]
+            if not _contains_decimal_cast(arg):
+                site = (fname, _enclosing_function(tree, node.lineno))
+                if site not in _ALLOWED_TYPED_UPSTREAM:
+                    bad.append(
+                        f"{fname}:{node.lineno} sum-then-cast in "
+                        f"{site[1]}: the raw-int accumulator wraps "
+                        f"before .cast('decimal') — cast INSIDE the sum "
+                        f"(or allowlist with an upstream-type proof)"
+                    )
+
+        # pattern 2: F.sum(<expr containing (a*b).cast('decimal…') with
+        # no decimal cast on either factor>) — the per-row product
+        # already wrapped.
+        if _is_f_sum(node):
+            for sub in ast.walk(node.args[0]):
+                if _is_decimal_cast(sub) and isinstance(
+                    sub.func.value, ast.BinOp
+                ) and isinstance(sub.func.value.op, ast.Mult):
+                    binop = sub.func.value
+                    if not (
+                        _contains_decimal_cast(binop.left)
+                        or _contains_decimal_cast(binop.right)
+                    ):
+                        site = (fname, _enclosing_function(tree, sub.lineno))
+                        if site in _ALLOWED_PRODUCT_SITES:
+                            continue
+                        bad.append(
+                            f"{fname}:{sub.lineno} product-then-cast in "
+                            f"{site[1]}: the per-row int64 product wraps "
+                            f"before .cast('decimal') — cast one factor "
+                            f"first (or allowlist with a magnitude proof)"
+                        )
+    return bad
+
+
+def test_no_wrapping_accumulator_patterns():
+    findings: list[str] = []
+    for fn in sorted(os.listdir(_OPS_DIR)):
+        if fn.endswith(".py"):
+            findings.extend(_scan_file(os.path.join(_OPS_DIR, fn)))
+    assert not findings, "\n".join(findings)
+
+
+def test_allowlist_entries_still_exist():
+    """A stale allowlist entry would silently stop guarding anything if
+    the function is renamed (same rule as the plan-hygiene and
+    MAY_BE_EMPTY allowlists)."""
+    for fname, func in _ALLOWED_PRODUCT_SITES | _ALLOWED_TYPED_UPSTREAM:
+        path = os.path.join(_OPS_DIR, fname)
+        assert os.path.exists(path), f"allowlisted file gone: {fname}"
+        tree = ast.parse(open(path).read())
+        names = {
+            n.name
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        assert func in names, f"allowlisted function gone: {fname}:{func}"
