@@ -14,6 +14,9 @@ cuts); this sweep is the executable check of that rule.
 
 Off by default (two collects per query, several minutes); enable with
     SPARK_GRAFT_PART_INVARIANCE=1 python -m pytest tests/test_partition_invariance.py
+for the driver's 50-query audit window, or =full to sweep the ENTIRE
+registry (~10 min — the r12 upgrade that turns the round-7 one-off
+full-registry evidence into a re-runnable standing sweep).
 
 Round-7 evidence: the full 50-slot window (6 changed pins + the TPC-H
 completion batch + the PQ/ADC similarity family + streaming joins +
@@ -37,11 +40,15 @@ from .conftest import SF_CORRECT
 
 engine.load_all_operators()
 
-_ENABLED = os.environ.get("SPARK_GRAFT_PART_INVARIANCE") == "1"
+_MODE = os.environ.get("SPARK_GRAFT_PART_INVARIANCE", "")
+_ENABLED = _MODE in ("1", "full")
 
 
 def _window_names():
-    return list(registry.QUERIES)[: engine.AUDIT_WINDOW]
+    names = list(registry.QUERIES)
+    if _MODE == "full":
+        return names
+    return names[: engine.AUDIT_WINDOW]
 
 
 def _canon(df):
