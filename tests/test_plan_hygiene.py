@@ -159,3 +159,32 @@ def test_cohort_retention_has_no_forced_broadcast(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed[:2000]
     assert "UnresolvedHint" not in analyzed, analyzed[:2000]
+
+
+# The five joins that lost their explicit broadcast() hints in r12 (the
+# allowlist-emptying fix): dropping a hint must trade driver-OOM risk at
+# 100 TB for AQE's size-based choice, NOT silently regress the small-sf
+# plan to a shuffle join. This pins the other half of that contract:
+# with AQE on and the dims comfortably under autoBroadcastJoinThreshold
+# at the smoke scale, the FINAL adaptive plan still contains a
+# broadcast hash join. (benchmark_decontam_overlap keeps an explicit
+# hint - its bench side is GlobalLimit-bounded - so it is not listed.)
+_DEHINTED_BROADCAST_JOINS = [
+    "group_avg_join",
+    "star_join_agg",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "latest_order_per_segment",
+]
+
+
+@pytest.mark.parametrize("name", _DEHINTED_BROADCAST_JOINS)
+def test_aqe_broadcasts_dehinted_joins(name, spark):
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, f"{name}: AQE plan not finalized"
+    assert "BroadcastHashJoin" in plan, (
+        f"{name}: expected AQE to pick a broadcast join at smoke scale "
+        f"after the r12 hint removal; got:\n{plan[:2000]}"
+    )
