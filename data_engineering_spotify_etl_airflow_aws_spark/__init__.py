@@ -94,6 +94,9 @@ PIN_FIRST: list[str] = [
     # r12 temporal/windows review finds
     "holt_linear_forecast",
     "late_data_restatement",
+    # r12 curation review find: the tree's last double-accumulating
+    # fold (w_tot) replaced by an exact pico-quantized integer sum
+    "source_mixture_weights",
     # JPEG decoder guard edits
     "multimodal_jpeg_decode_stats",
 ]

@@ -1119,17 +1119,20 @@ _SMW_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     w AS (
         SELECT source, n_docs, n_tokens,
                (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs))
-               * (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs)) AS w_raw
+               * (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs)) AS w_raw,
+               CAST(floor((CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs))
+                   * (CAST(q_sum AS DOUBLE) / (1000000.0 * n_docs))
+                   * 1000000000000 + 0.5) AS BIGINT) AS w_pico
         FROM s
     ),
-    t AS (SELECT sum(w_raw) AS w_tot FROM w)
+    t AS (SELECT CAST(sum(w_pico) AS BIGINT) AS w_tot FROM w)
     SELECT source, n_docs, n_tokens,
            floor(sqrt(w_raw) * 1000000000 + 0.5) / 1000000000
                AS mean_quality,
-           floor(w_raw / t.w_tot * 1000000000 + 0.5) / 1000000000
-               AS mixture_share,
-           CAST(floor(w_raw / t.w_tot * 1000000 + 0.5) AS BIGINT)
-               AS tokens_per_million
+           floor(CAST(w_pico AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+                 * 1000000000 + 0.5) / 1000000000 AS mixture_share,
+           CAST(floor(CAST(w_pico AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS tokens_per_million
     FROM w CROSS JOIN t
     """,
 )
@@ -1159,23 +1162,39 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_q = F.col("q_sum").cast("double") / (
         F.lit(1_000_000.0) * F.col("n_docs")
     )
-    w = s.select(
-        "source", "n_docs", "n_tokens", (mean_q * mean_q).alias("w_raw")
+    # r12 review find (the only double-accumulating fold left in the
+    # tree): summing the per-source w_raw DOUBLES folds in engine- and
+    # partitioning-dependent order, so an ulp wiggle in w_tot could
+    # straddle the 1e-9 share quantization. Quantize each weight to
+    # exact integer picos FIRST (floor on identical doubles is
+    # cross-engine deterministic), sum exactly, and divide once - the
+    # repo's exact-integer-moments convention.
+    w_pico = (
+        F.floor(mean_q * mean_q * F.lit(1_000_000_000_000) + F.lit(0.5))
+        .cast("bigint")
     )
-    t = w.agg(F.sum("w_raw").alias("w_tot"))
+    w = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (mean_q * mean_q).alias("w_raw"),
+        w_pico.alias("w_pico"),
+    )
+    t = w.agg(F.sum(F.col("w_pico").cast("decimal(38,0)")).cast("bigint").alias("w_tot"))
 
     def q9(col):
         return F.floor(col * F.lit(1_000_000_000) + F.lit(0.5)) / F.lit(
             1_000_000_000
         )
 
+    share = F.col("w_pico").cast("double") / F.col("w_tot").cast("double")
     return w.crossJoin(F.broadcast(t)).select(
         "source",
         "n_docs",
         "n_tokens",
         q9(F.sqrt(F.col("w_raw"))).alias("mean_quality"),
-        q9(F.col("w_raw") / F.col("w_tot")).alias("mixture_share"),
-        F.floor(F.col("w_raw") / F.col("w_tot") * F.lit(1_000_000) + F.lit(0.5))
+        q9(share).alias("mixture_share"),
+        F.floor(share * F.lit(1_000_000) + F.lit(0.5))
         .cast("bigint")
         .alias("tokens_per_million"),
     )
