@@ -97,6 +97,16 @@ PIN_FIRST: list[str] = [
     # r12 curation review find: the tree's last double-accumulating
     # fold (w_tot) replaced by an exact pico-quantized integer sum
     "source_mixture_weights",
+    # r12 late sweep: the same _daily_micro class hiding behind
+    # conditional sums (per-day px/py split by event_type), behind
+    # name-only columns the cast-position lint cannot type (e9 entropy
+    # terms over corpus-scale distinct counts, chi terms near N x 1e6,
+    # day-series trend/seasonal layers, per-brand qty windows)
+    "daily_value_correlation",
+    "stl_daily_decomposition",
+    "column_entropy_profile",
+    "chi_square_lang_source",
+    "weighted_median_price_by_brand",
     # JPEG decoder guard edits
     "multimodal_jpeg_decode_stats",
 ]

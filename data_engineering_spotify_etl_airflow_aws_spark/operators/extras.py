@@ -1511,15 +1511,27 @@ def daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 1_000_000).cast("bigint").alias("u6"),
     )
+    # r12: per-day u6 sums accumulate in decimal (the _daily_micro
+    # class - a 100 TB/day split crosses int64), bigint output cast
+    # mirroring the oracle's HUGEINT-sum-then-BIGINT-cast; the series
+    # sums sx/sy stay decimal internally (see autocorr_daily_value).
     daily = ev.groupBy("day").agg(
         F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("u6"))),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("u6")).cast(
+                    "decimal(38,0)"
+                )
+            ),
             F.lit(0),
         )
         .cast("bigint")
         .alias("px"),
         F.coalesce(
-            F.sum(F.when(F.col("event_type") == "click", F.col("u6"))),
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("u6")).cast(
+                    "decimal(38,0)"
+                )
+            ),
             F.lit(0),
         )
         .cast("bigint")
@@ -1529,8 +1541,8 @@ def daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyd = F.col("py").cast("decimal(38,0)")
     m = daily.agg(
         F.count("*").alias("n"),
-        F.sum("px").cast("bigint").alias("sx"),
-        F.sum("py").cast("bigint").alias("sy"),
+        F.sum(pxd).alias("sx"),
+        F.sum(pyd).alias("sy"),
         F.sum(pxd * F.col("px")).cast("double").alias("sxx"),
         F.sum(pyd * F.col("py")).cast("double").alias("syy"),
         F.sum(pxd * F.col("py")).cast("double").alias("sxy"),

@@ -1126,7 +1126,15 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.join(F.broadcast(tot), "column_name")
         .select("column_name", "n", "n_distinct", e9.alias("e9"))
         .groupBy("column_name", F.col("n").alias("n_rows"), "n_distinct")
-        .agg(F.sum("e9").cast("bigint").alias("entropy_n9"))
+        # r12 late sweep: e9 terms (<= ~3.7e8 each) sum over the
+        # DISTINCT-VALUE count, which is corpus-scale for id-like
+        # columns (~1e12 x 3.7e8 >> int64) - decimal accumulation,
+        # bigint output cast like the oracle.
+        .agg(
+            F.sum(F.col("e9").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("entropy_n9")
+        )
     )
 
 
@@ -1260,7 +1268,12 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stats = terms.agg(
-        F.sum("chi_term_u6").cast("bigint").alias("total_u6"),
+        # r12 late sweep: a fully-dependent contingency table puts each
+        # chi term near N x 1e6 (~1e18 at design scale), so the bounded
+        # grid still sums past int64 - decimal accumulation, bigint out.
+        F.sum(F.col("chi_term_u6").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("total_u6"),
         F.count_distinct("lang").alias("nl"),
         F.count_distinct("source").alias("ns"),
     )
@@ -1806,13 +1819,17 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 late sweep: the _daily_micro class in three layers - the daily
+    # agg, the +/-3-day trend window (7 daily totals ~ 2e20 at the
+    # design point), and the per-dow seasonal sums below all accumulate
+    # in decimal; bigint output casts mirror the oracle's HUGEINT sums.
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(
                 F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
-                    "bigint"
+                    "decimal(38,0)"
                 )
             )
             .cast("bigint")
@@ -1824,7 +1841,7 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "x_micro",
         (
-            F.sum("x_micro").over(w).cast("double")
+            F.sum(F.col("x_micro").cast("decimal(38,0)")).over(w).cast("double")
             / F.count("*").over(w).cast("double")
         ).alias("trend_micro"),
     )
@@ -1840,11 +1857,11 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("det_micro"),
     )
     s = det.groupBy("dow").agg(
-        F.sum("det_micro").cast("bigint").alias("sd"),
+        F.sum(F.col("det_micro").cast("decimal(38,0)")).cast("bigint").alias("sd"),
         F.count("*").cast("bigint").alias("nd"),
     )
     g = s.agg(
-        F.sum("sd").cast("bigint").alias("gs"),
+        F.sum(F.col("sd").cast("decimal(38,0)")).cast("bigint").alias("gs"),
         F.sum("nd").cast("bigint").alias("gn"),
     )
     seasonal = (
@@ -2044,8 +2061,11 @@ def weighted_median_price_by_brand(
         "p_brand",
         "p_retailprice",
         "qty_micro",
-        F.sum("qty_micro").over(w_cum).alias("cum"),
-        F.sum("qty_micro").over(w_tot).alias("tot"),
+        # r12 late sweep: per-brand corpus qty totals have <15x int64
+        # headroom at design scale - decimal window accumulation; the
+        # 2*cum >= tot comparison is exact in decimal.
+        F.sum(F.col("qty_micro").cast("decimal(38,0)")).over(w_cum).alias("cum"),
+        F.sum(F.col("qty_micro").cast("decimal(38,0)")).over(w_tot).alias("tot"),
     )
     return c.groupBy("p_brand").agg(
         F.min(
