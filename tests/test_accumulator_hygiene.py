@@ -143,6 +143,113 @@ def _scan_file(path: str) -> list[str]:
     return bad
 
 
+# ---------------------------------------------------------------------
+# Third lint (r12): the cast-POSITION rules above cannot see a raw
+# BIGINT sum that never mentions decimal at all — the class that hid
+# daily_value_correlation's conditional per-day sums and
+# stl_daily_decomposition's trend window until a name-keyed sweep found
+# them. This rule flags any F.sum whose argument mentions a micro-unit
+# column NAME with no decimal cast anywhere in the expression; each
+# allowlisted site carries the magnitude/type proof from the r12 triage.
+_MICRO_NAMES = (
+    "u6", "y6", "v_u6", "vm", "micro", "cents", "qm", "e9", "u9",
+    "c20", "y_micro", "x_micro", "rev_u6", "w_pico", "px", "py", "gap",
+    "chi_term_u6", "det_micro", "qty_micro", "d_micro", "w_u6",
+)
+
+# (filename, funcdef) -> why a raw sum over a micro-named column is safe
+_TRIAGED_SAFE_MICRO_SUMS = {
+    # decimal via a VARIABLE the one-expression scan can't see
+    ("extras.py", "daily_value_correlation"),   # pxd/pyd are decimal casts
+    ("insights.py", "gini_customer_value"),     # dec() lambda wraps cents
+    # column itself is already decimal-typed upstream
+    ("extras.py", "cohort_ltv_matrix"),         # rev_micro: decimal agg
+    ("tpch.py", "tpch_q11_important_stock"),    # value_micro: decimal agg
+    ("windows.py", "time_weighted_avg_value"),  # val_u6/dt_us: decimal(20,0)
+    # per-row/bounded-group magnitudes provably inside int64
+    ("insights.py", "trending_parts_decayed"),  # w_u6<=1e6, lines/part ~3e3
+    ("similarity.py", "pq_adc_recall_eval"),    # M<=16 subspace terms
+    ("similarity.py", "ivfpq_topk_similar"),    # M<=16 subspace terms
+    ("statistics.py", "ewma_control_chart"),    # 20 exact dyadic weights
+    # per-entity running windows (a user's own lifetime totals)
+    ("temporal.py", "feature_store_training_set"),
+    ("windows.py", "max_drawdown_per_user"),
+    ("windows.py", "trailing_7d_sum_per_event"),
+    # first-level per-entity revenue aggs: supplier/part cardinality
+    # grows WITH the corpus (TPC-H scaling), so lines-per-entity stays
+    # ~constant — per-supplier rev_u6 ~1.8e15, per-part ~9e13 at the
+    # 100 TB design point, thousands of times inside int64. (Their
+    # DOWNSTREAM corpus-scale totals/windows were moved to decimal in
+    # r10 — this entry covers only the per-entity first hop.)
+    ("insights.py", "reciprocal_rank_fusion"),
+    ("insights.py", "hhi_supplier_concentration"),
+    ("insights.py", "abc_classification_parts"),
+    ("insights.py", "rollup_share_of_parent"),
+    # decimal via a VARIABLE (micro/u9 are decimal(38,0) casts bound a
+    # few lines above their F.sum)
+    ("similarity.py", "embedding_dim_stats"),
+    ("similarity.py", "embedding_centroid_drift"),
+}
+
+
+def _mentions_micro_name(node: ast.AST) -> bool:
+    for n in ast.walk(node):
+        if isinstance(n, ast.Constant) and isinstance(n.value, str):
+            if any(m in n.value for m in _MICRO_NAMES):
+                return True
+        if isinstance(n, ast.Name) and any(m in n.id for m in _MICRO_NAMES):
+            return True
+    return False
+
+
+def _scan_file_micro(path: str) -> list[str]:
+    tree = ast.parse(open(path).read())
+    fname = os.path.basename(path)
+    bad = []
+    for node in ast.walk(tree):
+        if _is_f_sum(node):
+            arg = node.args[0]
+            if _contains_decimal_cast(arg) or not _mentions_micro_name(arg):
+                continue
+            site = (fname, _enclosing_function(tree, node.lineno))
+            if site in _TRIAGED_SAFE_MICRO_SUMS:
+                continue
+            bad.append(
+                f"{fname}:{node.lineno} raw F.sum over micro-unit column "
+                f"in {site[1]}: accumulate in decimal(38,0) or allowlist "
+                f"with a magnitude/type proof"
+            )
+    return bad
+
+
+def test_no_raw_micro_unit_sums():
+    findings: list[str] = []
+    for d in (_OPS_DIR, os.path.join(os.path.dirname(_OPS_DIR), "streaming")):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                findings.extend(_scan_file_micro(os.path.join(d, fn)))
+    assert not findings, "\n".join(findings)
+
+
+def test_micro_allowlist_entries_still_exist():
+    for fname, func in _TRIAGED_SAFE_MICRO_SUMS:
+        for d in (
+            _OPS_DIR,
+            os.path.join(os.path.dirname(_OPS_DIR), "streaming"),
+        ):
+            path = os.path.join(d, fname)
+            if os.path.exists(path):
+                break
+        assert os.path.exists(path), f"allowlisted file gone: {fname}"
+        tree = ast.parse(open(path).read())
+        names = {
+            n.name
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        assert func in names, f"allowlisted function gone: {fname}:{func}"
+
+
 def test_no_wrapping_accumulator_patterns():
     findings: list[str] = []
     for fn in sorted(os.listdir(_OPS_DIR)):
