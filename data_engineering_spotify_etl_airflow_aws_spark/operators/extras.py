@@ -940,7 +940,7 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT event_type,
                count(*) AS n,
-               CAST(sum(u6) AS BIGINT) AS su,
+               sum(u6) AS su,
                CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) AS sq
         FROM b GROUP BY event_type
     ),
@@ -968,9 +968,11 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         # r12 fix (SCALING_r10 hit list): per-type u6 sum accumulates in
         # decimal(38,0) - a handful of event types over a 100 TB corpus
-        # puts each type's micro-unit total past int64. decimal->double
-        # at the use site rounds-to-nearest exactly like the oracle's
-        # BIGINT->DOUBLE for any value both can hold.
+        # puts each type's micro-unit total past int64. Convention for
+        # INTERNAL moments (never in the output schema): both engines
+        # keep their wide accumulator type (Spark decimal(38,0), DuckDB
+        # HUGEINT) and narrow only at the use site, where decimal->double
+        # and HUGEINT->DOUBLE round-to-nearest identically.
         F.sum(F.col("u6").cast("decimal(38,0)")).alias("su"),
         F.sum(F.col("u6").cast("decimal(38,0)") * F.col("u6"))
         .cast("double")

@@ -31,6 +31,7 @@ comment at the site.
 from __future__ import annotations
 
 import ast
+import re
 import os
 
 import data_engineering_spotify_etl_airflow_aws_spark as engine
@@ -192,12 +193,25 @@ _TRIAGED_SAFE_MICRO_SUMS = {
 }
 
 
+# r13 (ADVICE): match on identifier SEGMENTS, not raw substring — short
+# tokens like 'px'/'py'/'vm'/'gap' must fire on px/val_px/px_sum but not
+# on unrelated identifiers (pyspark, approx, gaps_ok, overlap) where a
+# containment match would force spurious allowlist entries.
+_MICRO_SEGMENT_RE = re.compile(
+    r"(^|_)(" + "|".join(re.escape(m) for m in _MICRO_NAMES) + r")($|_)"
+)
+
+
+def _is_micro_identifier(ident: str) -> bool:
+    return bool(_MICRO_SEGMENT_RE.search(ident))
+
+
 def _mentions_micro_name(node: ast.AST) -> bool:
     for n in ast.walk(node):
         if isinstance(n, ast.Constant) and isinstance(n.value, str):
-            if any(m in n.value for m in _MICRO_NAMES):
+            if _is_micro_identifier(n.value):
                 return True
-        if isinstance(n, ast.Name) and any(m in n.id for m in _MICRO_NAMES):
+        if isinstance(n, ast.Name) and _is_micro_identifier(n.id):
             return True
     return False
 

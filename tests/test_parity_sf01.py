@@ -310,11 +310,21 @@ AT_RISK = [
     "matryoshka_recall_eval",
 ]
 
+# r13: "full" mode runs the ENTIRE oracle registry at sf0.1, not just
+# the AT_RISK classification — the classifier itself had never been
+# validated at 10x scale (r12 verdict gap #2). A green full run retires
+# the classification risk; the conftest recorder logs it under the
+# distinct sweep name sf01_oracle_parity_full.
+_MODE = os.environ.get("SPARK_GRAFT_SF01_PARITY", "")
+
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_SF01_PARITY"),
-    reason="sf0.1 parity is opt-in (SPARK_GRAFT_SF01_PARITY=1); "
-    "the default suite runs the full registry at sf0.01",
+    _MODE not in ("1", "full"),
+    reason="sf0.1 parity is opt-in (SPARK_GRAFT_SF01_PARITY=1 for the "
+    "at-risk window, =full for the whole registry); the default suite "
+    "runs the full registry at sf0.01",
 )
+
+_NAMES = sorted(registry.ORACLES) if _MODE == "full" else AT_RISK
 
 
 @pytest.fixture(scope="module")
@@ -324,7 +334,7 @@ def duck01():
     con.close()
 
 
-@pytest.mark.parametrize("name", AT_RISK)
+@pytest.mark.parametrize("name", _NAMES)
 def test_parity_at_sf01(name, spark, duck01):
     sdf = registry.QUERIES[name](spark, SF01)
     drel = duck01.sql(registry.ORACLES[name])
@@ -332,5 +342,9 @@ def test_parity_at_sf01(name, spark, duck01):
     # the main suite's None-safe order-insensitive multiset comparator
     s = rows_to_multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
     d = rows_to_multiset(drel.columns, drel.fetchall())
-    assert len(s) == len(d) and len(s) > 0
+    assert len(s) == len(d)
+    if _MODE != "full":
+        # the hand-picked at-risk queries are all known non-empty at
+        # sf0.1; in full mode an empty-but-agreeing result can be correct
+        assert len(s) > 0
     assert s == d
