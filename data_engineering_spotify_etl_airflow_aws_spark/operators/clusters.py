@@ -859,10 +859,10 @@ def _degree_powerlaw_oracle() -> str:
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+               sum(x) AS sx,
+               sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
         FROM pts
     )
     SELECT n,
