@@ -687,26 +687,27 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_double("embedding").alias("emb")
         )
     )
+    # r13 (verdict ask #5): ONE decimal(38,0) cast per component in the
+    # projection replaces the 44 per-aggregate casts - sums of (38,0)
+    # stay (38,0), and the (38,0)x(38,0) products cap at (38,0) scale 0,
+    # exact below 1e38 (per-row products are ~1e20, far inside).
+    # A/B (min-of-3, interleaved, identical rows): 2.36s vs 2.61s at
+    # sf0.1 - evidence/ab_r13_decimal_cast.json.
     u = v.select(
         *[
             F.floor(
                 F.element_at("emb", i + 1) * F.lit(1_000_000_000.0)
                 + F.lit(0.5)
             )
-            .cast("decimal(18,0)")
+            .cast("decimal(38,0)")
             .alias(f"u{i}")
             for i in range(_COV_D)
         ]
     )
     aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(F.col(f"u{i}")).alias(f"s{i}") for i in range(_COV_D)]
     aggs += [
-        F.sum(F.col(f"u{i}").cast("decimal(38,0)")).alias(f"s{i}")
-        for i in range(_COV_D)
-    ]
-    aggs += [
-        F.sum(F.col(f"u{i}") * F.col(f"u{j}"))
-        .cast("decimal(38,0)")
-        .alias(f"s{i}_{j}")
+        F.sum(F.col(f"u{i}") * F.col(f"u{j}")).alias(f"s{i}_{j}")
         for i in range(_COV_D)
         for j in range(i, _COV_D)
     ]
@@ -766,26 +767,23 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_double("embedding").alias("emb")
         )
     )
+    # shared decimal(38,0) cast in the projection (r13 ask #5 - see the
+    # covariance matrix above for the bound argument and the A/B)
     u = v.select(
         *[
             F.floor(
                 F.element_at("emb", i + 1) * F.lit(1_000_000_000.0)
                 + F.lit(0.5)
             )
-            .cast("decimal(18,0)")
+            .cast("decimal(38,0)")
             .alias(f"u{i}")
             for i in range(D)
         ]
     )
     aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(F.col(f"u{i}")).alias(f"s{i}") for i in range(D)]
     aggs += [
-        F.sum(F.col(f"u{i}").cast("decimal(38,0)")).alias(f"s{i}")
-        for i in range(D)
-    ]
-    aggs += [
-        F.sum(F.col(f"u{i}") * F.col(f"u{j}"))
-        .cast("decimal(38,0)")
-        .alias(f"s{i}_{j}")
+        F.sum(F.col(f"u{i}") * F.col(f"u{j}")).alias(f"s{i}_{j}")
         for i in range(D)
         for j in range(i, D)
     ]
