@@ -45,70 +45,23 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 12 changed set (r11 shipped nothing, so this executes the open
-# r10/r11 plan): every query whose implementation changed this round is
-# pinned into the driver's window per the standing rule, regardless of
-# the fixes being hash-identical at every tested SF.
-#   * six broadcast-hint removals (the lint allowlist is now empty):
-#     the plan changes, the results must not.
-#   * the BIGINT-accumulator class, finished: raw int64 sums/products of
-#     corpus-scale micro-unit totals moved into decimal(38,0) BEFORE the
-#     operation (Spark's raw BIGINT agg wraps silently past 2^63 while
-#     every DuckDB oracle sums HUGEINT - the engine-asymmetric overflow
-#     the hash gate cannot see until it fires).
-#   * two r12 spec-vs-oracle review finds (holt daily agg, late-data
-#     daily totals) - same class, found by the temporal/windows pass.
-#   * multimodal_jpeg_decode_stats: the decoder grew length guards on
-#     SOF/DRI/SOS bodies (valid-stream behavior unchanged; pinned
-#     because the hot decode path was edited).
-PIN_ROUND = 12
+# Round 13 changed set: every query whose implementation OR oracle
+# changed this round is pinned into the driver's window per the
+# standing rule; the remaining ~46 slots fill by oldest-evidence
+# rotation (debt is 0, so the window is pure rotation past the pins).
+#   * value_zscore_outliers: oracle's internal su moment left in
+#     DuckDB's native HUGEINT (r12 ADVICE - internal-moment convention).
+#   * degree_powerlaw_check: same convention normalization on the
+#     oracle's sx/sy regression moments (r13 review find).
+#   * embedding_covariance_matrix / pca_power_iteration: shared
+#     decimal(38,0) cast in the moment projection (44 per-aggregate
+#     casts removed; rows verified identical, A/B 0.90x).
+PIN_ROUND = 13
 PIN_FIRST: list[str] = [
-    # broadcast-hint removals
-    "group_avg_join",
-    "star_join_agg",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "latest_order_per_segment",
-    "benchmark_decontam_overlap",
-    # BIGINT hit list (SCALING_r10) + same-class sweep finds
-    "tpch_q11_important_stock",
     "value_zscore_outliers",
-    "gini_customer_value",
-    "supplier_recs_fof",
-    "autocorr_daily_value",
-    "daily_trend_ols",
-    "cusum_changepoint_daily",
-    "seasonal_naive_error",
-    "dow_adjusted_anomaly_days",
-    "welch_t_weekend_effect",
-    "interarrival_stats_by_type",
-    "cuped_ab_adjustment",
-    "bootstrap_ci_event_value",
-    "user_value_trend_slopes",
+    "degree_powerlaw_check",
     "embedding_covariance_matrix",
     "pca_power_iteration",
-    "tfidf_cosine_pairs",
-    "length_quality_correlation",
-    "embedding_centroid_drift",
-    "degree_assortativity",
-    # r12 temporal/windows review finds
-    "holt_linear_forecast",
-    "late_data_restatement",
-    # r12 curation review find: the tree's last double-accumulating
-    # fold (w_tot) replaced by an exact pico-quantized integer sum
-    "source_mixture_weights",
-    # r12 late sweep: the same _daily_micro class hiding behind
-    # conditional sums (per-day px/py split by event_type), behind
-    # name-only columns the cast-position lint cannot type (e9 entropy
-    # terms over corpus-scale distinct counts, chi terms near N x 1e6,
-    # day-series trend/seasonal layers, per-brand qty windows)
-    "daily_value_correlation",
-    "stl_daily_decomposition",
-    "column_entropy_profile",
-    "chi_square_lang_source",
-    "weighted_median_price_by_brand",
-    # JPEG decoder guard edits
-    "multimodal_jpeg_decode_stats",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained
