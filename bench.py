@@ -83,6 +83,13 @@ def main() -> int:
     # (Cold-vs-warm deltas here are 5-8s of interpreter/worker spin-up,
     # measured; the warmups run on sf0.001 so no sf-scale data is cached.)
     warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
+    # The tiled sf1 fixture lives under data/ with no sf0.001 sibling; a
+    # missing warm dir used to make every warmup except-and-pass SILENTLY
+    # (r13 finding: the r12 sf1 subset bench ran unwarmed, charging
+    # first-run codegen to its first measured queries). Fall back to the
+    # driver fixture tree so sf1 runs warm the same paths sf0.1 runs do.
+    if not os.path.isdir(warm_dir):
+        warm_dir = "/root/testdata/sf0.001"
     for warm_q in (
         "count_star",
         "rest_api_songs",  # Python DataSource worker pool

@@ -171,7 +171,9 @@ def has_tws_runtime() -> bool:
     shaded-protobuf jars, which cannot serve the Python half), and pip's
     index is unreachable (no DNS in the container). The twin therefore
     remains environment-gated: tests/test_streaming.py skips it here and
-    executes it verbatim on any Spark deployment with python protobuf."""
+    executes it verbatim on any Spark deployment with python protobuf.
+    Re-probed at round-13 start per the standing rule (one import line):
+    still absent; the note stands."""
     try:
         import google.protobuf  # noqa: F401
 
