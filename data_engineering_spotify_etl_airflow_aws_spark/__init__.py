@@ -56,12 +56,24 @@ AUDIT_WINDOW = 50
 #   * embedding_covariance_matrix / pca_power_iteration: shared
 #     decimal(38,0) cast in the moment projection (44 per-aggregate
 #     casts removed; rows verified identical, A/B 0.90x).
+#   * seven oracles that narrowed a Spark-decimal internal moment to
+#     BIGINT (the oracle would ERROR at the scale the engine side was
+#     widened for) - found by the r13 oracle-narrowing lint sweep, now
+#     a standing AST lint in tests/test_accumulator_hygiene.py.
 PIN_ROUND = 13
 PIN_FIRST: list[str] = [
     "value_zscore_outliers",
     "degree_powerlaw_check",
     "embedding_covariance_matrix",
     "pca_power_iteration",
+    # oracle internal-moment convention sweep (10 sites)
+    "autocorr_daily_value",
+    "daily_trend_ols",
+    "dow_adjusted_anomaly_days",
+    "ewma_control_chart",
+    "daily_value_correlation",
+    "cohort_ltv_matrix",
+    "degree_assortativity",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

@@ -973,11 +973,11 @@ def _assort_oracle() -> str:
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(dx) AS BIGINT) AS sx,
-               CAST(sum(dy) AS BIGINT) AS sy,
-               CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
-               CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
-               CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+               sum(dx) AS sx,
+               sum(dy) AS sy,
+               sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+               sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+               sum(CAST(dy AS HUGEINT) * dy) AS syy
         FROM e2
     )
     SELECT n,

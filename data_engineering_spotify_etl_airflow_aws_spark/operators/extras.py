@@ -1493,8 +1493,8 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT count(*) AS n,
-               CAST(sum(px) AS BIGINT) AS sx,
-               CAST(sum(py) AS BIGINT) AS sy,
+               sum(px) AS sx,
+               sum(py) AS sy,
                CAST(sum(CAST(px AS HUGEINT) * px) AS DOUBLE) AS sxx,
                CAST(sum(CAST(py AS HUGEINT) * py) AS DOUBLE) AS syy,
                CAST(sum(CAST(px AS HUGEINT) * py) AS DOUBLE) AS sxy
@@ -4576,17 +4576,17 @@ def pivot_multi_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev AS (
         SELECT f.cohort_y,
                year(o.o_orderdate) - f.cohort_y AS age_years,
-               CAST(sum(CAST(floor(o.o_totalprice * 1000000 + 0.5)
-                   AS BIGINT)) AS BIGINT) AS rev_micro
+               sum(CAST(floor(o.o_totalprice * 1000000 + 0.5)
+                   AS BIGINT)) AS rev_micro
         FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
         GROUP BY 1, 2
     ),
     cum AS (
         SELECT cohort_y, age_years,
-               CAST(sum(rev_micro) OVER (PARTITION BY cohort_y
+               sum(rev_micro) OVER (PARTITION BY cohort_y
                    ORDER BY age_years
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum_micro
+                   AS cum_micro
         FROM rev
     )
     SELECT CAST(c.cohort_y AS BIGINT) AS cohort_year,

@@ -88,14 +88,14 @@ def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT 1 AS lag_days, count(*) AS n,
-               CAST(sum(v) AS BIGINT) AS sx, CAST(sum(l1) AS BIGINT) AS sy,
+               sum(v) AS sx, sum(l1) AS sy,
                CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
                CAST(sum(CAST(l1 AS HUGEINT) * l1) AS DOUBLE) AS syy,
                CAST(sum(CAST(v AS HUGEINT) * l1) AS DOUBLE) AS sxy
         FROM lagged WHERE l1 IS NOT NULL
         UNION ALL
         SELECT 7 AS lag_days, count(*) AS n,
-               CAST(sum(v) AS BIGINT) AS sx, CAST(sum(l7) AS BIGINT) AS sy,
+               sum(v) AS sx, sum(l7) AS sy,
                CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
                CAST(sum(CAST(l7 AS HUGEINT) * l7) AS DOUBLE) AS syy,
                CAST(sum(CAST(v AS HUGEINT) * l7) AS DOUBLE) AS sxy
@@ -564,7 +564,7 @@ def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT count(*) AS n,
                CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(v) AS BIGINT) AS sy,
+               sum(v) AS sy,
                CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
                CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS syy,
                CAST(sum(CAST(x AS HUGEINT) * v) AS DOUBLE) AS sxy
@@ -893,7 +893,7 @@ _ANOM_MIN_DAYS = 3
     ),
     m AS (
         SELECT event_type, dow_iso, count(*) AS n,
-               CAST(sum(v) AS BIGINT) AS s,
+               sum(v) AS s,
                CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx
         FROM daily GROUP BY event_type, dow_iso
     )
@@ -1666,7 +1666,7 @@ _EWMA_W = [repr(0.75**j) for j in range(_EWMA_LOOKBACK)]
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_days,
                CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(x * x) AS BIGINT) AS sxx
+               sum(CAST(x AS HUGEINT) * x) AS sxx
         FROM d GROUP BY 1
     ),
     lagged AS (

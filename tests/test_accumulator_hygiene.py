@@ -49,10 +49,11 @@ _ALLOWED_PRODUCT_SITES = {
 # Sites where the summed columns are ALREADY decimal from an upstream
 # select, so the visible-in-one-expression heuristic cannot see the
 # cast: embedding_covariance_matrix / pca_power_iteration create u{i}
-# as decimal(18,0) a few lines above their aggs, making every product
-# decimal(37,0) and every sum decimal — exact end-to-end. A syntactic
-# lint cannot follow column types across select boundaries; each entry
-# here must name the upstream cast in a comment at the site.
+# as decimal(38,0) (r13 shared-cast form; previously 18,0) a few lines
+# above their aggs, making every product and sum decimal — exact
+# end-to-end. A syntactic lint cannot follow column types across select
+# boundaries; each entry here must name the upstream cast in a comment
+# at the site.
 _ALLOWED_TYPED_UPSTREAM = {
     ("mlprep.py", "embedding_covariance_matrix"),
     ("mlprep.py", "pca_power_iteration"),
@@ -286,3 +287,124 @@ def test_allowlist_entries_still_exist():
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         }
         assert func in names, f"allowlisted function gone: {fname}:{func}"
+
+
+# ---------------------------------------------------------------------
+# Fourth lint (r13): the ORACLE-side mirror of the class above. When the
+# Spark side deliberately accumulates a moment in decimal(38,0) and does
+# NOT narrow it back to bigint, the DuckDB oracle must keep its native
+# HUGEINT too — a `CAST(sum(…) AS BIGINT) AS x` on that alias makes the
+# oracle ERROR (HUGEINT->BIGINT overflow) at exactly the scale the
+# engine side was widened for, so a scale-regime parity sweep would
+# report an oracle crash instead of validating the engine (r12 ADVICE on
+# value_zscore_outliers; r13 review found 10 more sites across 7
+# queries, all fixed). Convention: internal moments keep each engine's
+# wide type and narrow only at the use site; OUTPUT columns that the
+# Spark side itself casts to bigint keep the oracle cast (both engines
+# narrow loudly - the _daily_micro contract).
+
+_ORACLE_BIGINT_SUM = re.compile(
+    r"CAST\(sum\(.{0,400}?\)\s+AS\s+BIGINT\)\s+AS\s+(\w+)", re.S | re.I
+)
+
+# (query name, alias) -> justification for keeping an oracle BIGINT cast
+# on a Spark-decimal un-narrowed alias. Empty: the class is closed.
+_ALLOWED_ORACLE_NARROWINGS: set[tuple[str, str]] = set()
+
+
+def _spark_decimal_unnarrowed_aliases(fn) -> set[str]:
+    """Aliases whose Spark expression is F.sum over a decimal-cast (or
+    decimal-via-local-variable) argument with NO bigint cast between the
+    sum and the alias."""
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+    except (OSError, TypeError):
+        return set()
+    tree = ast.parse(src)
+
+    def has_decimal(node: ast.AST, dec_names: set[str]) -> bool:
+        for n in ast.walk(node):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "cast"
+                and n.args
+                and isinstance(n.args[0], ast.Constant)
+                and isinstance(n.args[0].value, str)
+                and n.args[0].value.startswith("decimal(")
+            ):
+                return True
+            if isinstance(n, ast.Name) and n.id in dec_names:
+                return True
+        return False
+
+    dec_names = {
+        n.targets[0].id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Assign)
+        and len(n.targets) == 1
+        and isinstance(n.targets[0], ast.Name)
+        and has_decimal(n.value, set())
+    }
+    out: set[str] = set()
+    for n in ast.walk(tree):
+        if not (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "alias"
+            and n.args
+            and isinstance(n.args[0], ast.Constant)
+            and isinstance(n.args[0].value, str)
+        ):
+            continue
+        cur = n.func.value
+        narrowed = False
+        while isinstance(cur, ast.Call) and isinstance(cur.func, ast.Attribute):
+            if cur.func.attr == "cast" and cur.args and isinstance(
+                cur.args[0], ast.Constant
+            ):
+                if cur.args[0].value == "bigint":
+                    narrowed = True
+                cur = cur.func.value
+                continue
+            if cur.func.attr == "over":
+                cur = cur.func.value
+                continue
+            break
+        if (
+            isinstance(cur, ast.Call)
+            and isinstance(cur.func, ast.Attribute)
+            and cur.func.attr == "sum"
+            and isinstance(cur.func.value, ast.Name)
+            and cur.func.value.id == "F"
+            and not narrowed
+            and has_decimal(cur, dec_names)
+        ):
+            out.add(n.args[0].value)
+    return out
+
+
+def test_oracle_does_not_narrow_spark_decimal_moments():
+    from data_engineering_spotify_etl_airflow_aws_spark import registry
+
+    engine.load_all_operators()
+    bad: list[str] = []
+    for name in sorted(registry.ORACLES):
+        sql = registry.ORACLES[name]
+        obig = {m.group(1) for m in _ORACLE_BIGINT_SUM.finditer(sql)}
+        if not obig:
+            continue
+        wide = _spark_decimal_unnarrowed_aliases(registry.QUERIES[name])
+        for alias in sorted(obig & wide):
+            if (name, alias) in _ALLOWED_ORACLE_NARROWINGS:
+                continue
+            bad.append(
+                f"{name}: oracle CASTs sum AS BIGINT for alias '{alias}' "
+                f"that the Spark side keeps decimal un-narrowed — drop "
+                f"the oracle cast (internal-moment convention) or narrow "
+                f"both sides"
+            )
+    assert not bad, "\n".join(bad)
