@@ -74,6 +74,12 @@ PIN_FIRST: list[str] = [
     "daily_value_correlation",
     "cohort_ltv_matrix",
     "degree_assortativity",
+    # r13 statistics.py review: the _daily_micro wrap class hiding
+    # behind anonymous aliases (x/v) - daily totals and their window/
+    # error accumulations moved to decimal; fifth standing lint added
+    "binseg_changepoints",
+    "ks_test_click_vs_purchase",
+    "forecast_model_bakeoff",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

@@ -1436,8 +1436,13 @@ def ks_test_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type", F.to_date("ts").alias("day"))
+        # r13 review: the _daily_micro class hiding behind the anonymous
+        # alias `v` (the r12 name-keyed sweep keyed on micro-ish NAMES,
+        # so it could not see this one) - per-day u6 totals accumulate
+        # in decimal; bigint output cast nulls loudly past int64,
+        # mirroring the oracle's HUGEINT-sum-then-BIGINT-cast.
         .agg(
-            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint"))
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("decimal(38,0)"))
             .cast("bigint")
             .alias("v")
         )
@@ -2502,19 +2507,28 @@ _ST_OR["cuped_ab_adjustment"] = _ST_OR["cuped_ab_adjustment"].format(
     """,
 )
 def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 review: the _daily_micro class hiding behind the anonymous
+    # alias `x` (no micro-ish NAME for the r12 sweep to key on): the
+    # daily total AND its prefix/full-series window sums all rode raw
+    # BIGINT - the full-series total is the single largest accumulation
+    # in the file (a year of 100 TB days ~ 1e22 micro-units). Daily agg
+    # accumulates decimal with the loud-null bigint output cast; the
+    # window sums stay decimal end-to-end like the oracle's HUGEINT
+    # window sums (both only ever narrow into a double at the use site).
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(
                 F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
-                    "bigint"
+                    "decimal(38,0)"
                 )
             )
             .cast("bigint")
             .alias("x")
         )
     )
+    xd = F.col("x").cast("decimal(38,0)")
     w_ord = W.orderBy("day")
     w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
     w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -2522,8 +2536,8 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "x",
         F.row_number().over(w_ord).alias("i"),
-        F.sum("x").over(w_cum).alias("cum"),
-        F.sum("x").over(w_all).alias("tot"),
+        F.sum(xd).over(w_cum).alias("cum"),
+        F.sum(xd).over(w_all).alias("tot"),
         F.count("*").over(w_all).alias("n"),
     )
 
@@ -2558,8 +2572,8 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split1",
         "gap1",
         F.row_number().over(w2).alias("i"),
-        F.sum("x").over(w2_cum).alias("cum"),
-        F.sum("x").over(w2_all).alias("tot"),
+        F.sum(xd).over(w2_cum).alias("cum"),
+        F.sum(xd).over(w2_all).alias("tot"),
         F.count("*").over(w2_all).alias("n"),
     )
     s2 = c2.where((F.col("i") < F.col("n")) & (F.col("n") >= 2)).select(
@@ -3018,13 +3032,20 @@ _BAKE_H = 7  # holdout days
     """,
 )
 def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 review: the _daily_micro class behind the anonymous alias `x`
+    # (same find as binseg_changepoints/ks_test): the daily total, the
+    # 8-day trailing-mean window, and the absolute-error sums all rode
+    # raw BIGINT - each accumulation holds up to 14 daily totals, past
+    # int64 at the 100 TB/day design point while each per-row value
+    # still fits. Accumulate decimal; keep the loud-null bigint output
+    # casts the oracle's HUGEINT-sum-then-BIGINT-cast mirrors.
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(
                 F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5)).cast(
-                    "bigint"
+                    "decimal(38,0)"
                 )
             )
             .cast("bigint")
@@ -3038,7 +3059,8 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.lag("x", 7).over(w).alias("f_naive"),
         F.floor(
-            F.sum("x").over(w_tm).cast("double") / F.count("x").over(w_tm)
+            F.sum(F.col("x").cast("decimal(38,0)")).over(w_tm).cast("double")
+            / F.count("x").over(w_tm)
             + F.lit(0.5)
         )
         .cast("bigint")
@@ -3048,10 +3070,10 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = f.where((F.col("rn") <= _BAKE_H) & F.col("f_naive").isNotNull())
     s = h.agg(
         F.count("*").cast("bigint").alias("n_days"),
-        F.sum(F.abs(F.col("x") - F.col("f_naive")))
+        F.sum(F.abs(F.col("x") - F.col("f_naive")).cast("decimal(38,0)"))
         .cast("bigint")
         .alias("ae_naive"),
-        F.sum(F.abs(F.col("x") - F.col("f_mean")))
+        F.sum(F.abs(F.col("x") - F.col("f_mean")).cast("decimal(38,0)"))
         .cast("bigint")
         .alias("ae_mean"),
     )

@@ -408,3 +408,72 @@ def test_oracle_does_not_narrow_spark_decimal_moments():
                 f"both sides"
             )
     assert not bad, "\n".join(bad)
+
+
+# ---------------------------------------------------------------------
+# Fifth lint (r13): the anonymous-alias escape. The name-keyed micro
+# lint (third rule) keys on micro-ish column NAMES, so a daily/corpus
+# micro-unit total summed under a bland alias like `x` or `v` slipped
+# through — the r13 statistics.py review found three (binseg, ks_test,
+# forecast_bakeoff), each summing floor(value*1e6)-quantized BIGINTs
+# raw. The quantization is visible IN the sum argument, so this rule is
+# name-free: any F.sum whose argument contains BOTH an F.floor call and
+# a .cast("bigint") with NO decimal cast is summing a bigint-cast
+# quantized measure in a raw int64 accumulator.
+
+_ALLOWED_QUANTIZED_BIGINT_SUMS: set[tuple[str, str]] = set()
+
+
+def _scan_file_quantized(path: str) -> list[str]:
+    tree = ast.parse(open(path).read())
+    fname = os.path.basename(path)
+    bad: list[str] = []
+
+    def has_bigint_cast(node: ast.AST) -> bool:
+        return any(
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "cast"
+            and n.args
+            and isinstance(n.args[0], ast.Constant)
+            and n.args[0].value == "bigint"
+            for n in ast.walk(node)
+        )
+
+    def has_floor(node: ast.AST) -> bool:
+        return any(
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "floor"
+            for n in ast.walk(node)
+        )
+
+    for node in ast.walk(tree):
+        if not _is_f_sum(node):
+            continue
+        arg = node.args[0]
+        if (
+            has_floor(arg)
+            and has_bigint_cast(arg)
+            and not _contains_decimal_cast(arg)
+        ):
+            site = (fname, _enclosing_function(tree, node.lineno))
+            if site in _ALLOWED_QUANTIZED_BIGINT_SUMS:
+                continue
+            bad.append(
+                f"{fname}:{node.lineno} raw F.sum over a bigint-cast "
+                f"floor-quantized measure in {site[1]}: accumulate in "
+                f"decimal(38,0) (keep the bigint cast on the OUTPUT if "
+                f"the oracle narrows too) or allowlist with a magnitude "
+                f"proof"
+            )
+    return bad
+
+
+def test_no_raw_sums_of_quantized_bigint_measures():
+    findings: list[str] = []
+    for d in (_OPS_DIR, os.path.join(os.path.dirname(_OPS_DIR), "streaming")):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                findings.extend(_scan_file_quantized(os.path.join(d, fn)))
+    assert not findings, "\n".join(findings)
