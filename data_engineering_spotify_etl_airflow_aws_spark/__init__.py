@@ -80,6 +80,11 @@ PIN_FIRST: list[str] = [
     "binseg_changepoints",
     "ks_test_click_vs_purchase",
     "forecast_model_bakeoff",
+    # r13 checksum sweep: h32 hash sums (avg 2^31/row) wrap int64 at
+    # ~4.3e9 rows - decimal accumulation; sixth standing lint added
+    "orders_table_checksum",
+    "compact_small_files",
+    "replica_bucket_reconcile",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

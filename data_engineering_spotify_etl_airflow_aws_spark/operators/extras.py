@@ -1605,7 +1605,13 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW)))
+        # r13 review: h32 sums cross int64 at ~4.3e9 rows - decimal
+        # accumulation, loud-null bigint output cast (oracle mirrors)
+        F.sum(
+            F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW)).cast(
+                "decimal(38,0)"
+            )
+        )
         .cast("bigint")
         .alias("content_checksum"),
     )
@@ -2467,9 +2473,11 @@ def replica_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_h = F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW))
 
     def side(df: DataFrame, n_name: str, ck_name: str) -> DataFrame:
+        # r13 review: per-bucket h32 sums still cross int64 at ~1e12
+        # rows/256 buckets - decimal accumulation, loud-null output cast
         return df.groupBy(bkt).agg(
             F.count("*").alias(n_name),
-            F.sum(row_h).cast("bigint").alias(ck_name),
+            F.sum(row_h.cast("decimal(38,0)")).cast("bigint").alias(ck_name),
         )
 
     p = side(orders, "n_primary", "primary_checksum")

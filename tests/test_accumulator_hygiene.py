@@ -477,3 +477,68 @@ def test_no_raw_sums_of_quantized_bigint_measures():
             if fn.endswith(".py"):
                 findings.extend(_scan_file_quantized(os.path.join(d, fn)))
     assert not findings, "\n".join(findings)
+
+
+# ---------------------------------------------------------------------
+# Sixth lint (r13): hash-checksum sums. A per-row 32-bit md5-derived
+# hash summed in a raw int64 accumulator crosses 2^63 at ~4.3e9 rows
+# (avg 2^31/row) - far below the 100 TB design point - while the DuckDB
+# oracle's HUGEINT sum never wraps (the class found in
+# orders_table_checksum / compact_small_files / replica_bucket_reconcile
+# this round). These escaped the floor-quantization lint because a hash
+# sum has no floor call. Rule: any F.sum whose argument derives from an
+# md5/h32 expression (inline string or a local/module name bound to
+# one) must carry a decimal cast inside the sum.
+
+_ALLOWED_H32_SUMS: set[tuple[str, str]] = set()
+
+
+def _scan_file_h32_sums(path: str) -> list[str]:
+    src = open(path).read()
+    tree = ast.parse(src)
+    fname = os.path.basename(path)
+    bad: list[str] = []
+
+    def mentions_h32(node: ast.AST, h32_names: set[str]) -> bool:
+        for n in ast.walk(node):
+            if isinstance(n, ast.Constant) and isinstance(n.value, str) and (
+                "md5" in n.value.lower() or "_H32" in n.value
+            ):
+                return True
+            if isinstance(n, ast.Name) and n.id in h32_names:
+                return True
+        return False
+
+    h32_names = {
+        n.targets[0].id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Assign)
+        and len(n.targets) == 1
+        and isinstance(n.targets[0], ast.Name)
+        and mentions_h32(n.value, set())
+    }
+    for n in ast.walk(tree):
+        if not _is_f_sum(n):
+            continue
+        arg = n.args[0]
+        if mentions_h32(arg, h32_names) and not _contains_decimal_cast(arg):
+            site = (fname, _enclosing_function(tree, n.lineno))
+            if site in _ALLOWED_H32_SUMS:
+                continue
+            bad.append(
+                f"{fname}:{n.lineno} raw F.sum over an md5/h32-derived "
+                f"value in {site[1]}: ~4.3e9 rows wrap int64 - accumulate "
+                f"in decimal(38,0) (keep the bigint OUTPUT cast; the "
+                f"oracle narrows loudly too) or allowlist with a "
+                f"cardinality proof"
+            )
+    return bad
+
+
+def test_no_raw_hash_checksum_sums():
+    findings: list[str] = []
+    for d in (_OPS_DIR, os.path.join(os.path.dirname(_OPS_DIR), "streaming")):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                findings.extend(_scan_file_h32_sums(os.path.join(d, fn)))
+    assert not findings, "\n".join(findings)
