@@ -28,8 +28,8 @@ def dsum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
     values carry 2 fractional digits -> scale=2 is lossless; events.value
     carries 6 -> callers pass scale=6). Precision 30 leaves >=24 integral
     digits, unreachable by any realistic sum of the fixtures' magnitudes; on
-    overflow Spark (non-ANSI) yields NULL while DuckDB errors, surfacing as a
-    loud parity break rather than silent corruption.
+    overflow both engines ERROR (Spark under the ANSI mode the session pins,
+    DuckDB natively), surfacing loudly rather than as silent corruption.
 
     TIE WARNING (round-6 finding): the double->decimal cast is NOT
     cross-engine deterministic for inputs that land EXACTLY on a decimal

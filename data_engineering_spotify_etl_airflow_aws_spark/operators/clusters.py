@@ -808,7 +808,8 @@ def degree_powerlaw_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = hist.select(lx.alias("x"), ly.alias("y"))
     # Moment sums accumulate in decimal(38,0), cast INSIDE the sum (the
     # covariance-matrix pattern): Spark's sum over a raw BIGINT column
-    # accumulates in BIGINT and wraps silently past 2^63, while the
+    # accumulates in BIGINT and fails past 2^63 (ANSI raises; with ANSI
+    # off it wraps silently - r13 behavior pins), while the
     # DuckDB oracle's HUGEINT sum does not - an engine-asymmetric
     # overflow the hash check cannot see until it fires (r10 review
     # finding). Per-ROW products provably fit (ln of any count < 90, so

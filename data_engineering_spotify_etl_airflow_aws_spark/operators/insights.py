@@ -300,7 +300,7 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12 fix (SCALING_r10 hit list): decimal accumulation + bigint
         # output cast, mirroring the oracle's HUGEINT-sum-then-BIGINT-cast
         # - a hot customer's cents total wraps raw bigint silently; the
-        # output cast nulls loudly instead.
+        # output cast raises loudly instead (ANSI).
         .agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("cents"))
     )
     cust = load_table(spark, sf_dir, "customer").select(

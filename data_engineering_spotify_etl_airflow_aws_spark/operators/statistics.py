@@ -46,8 +46,9 @@ def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0), not raw BIGINT - a 100 TB/day corpus puts the daily
     total near 3e19 micro-units, past int64's 9.2e18. The bigint OUTPUT
     cast keeps the downstream contract (and DuckDB's HUGEINT-summed
-    oracle casts to BIGINT the same way); past int64 it nulls loudly
-    instead of wrapping silently. DuckDB's sum(BIGINT) is HUGEINT
+    oracle casts to BIGINT the same way); past int64 it fails LOUDLY
+    (ANSI, pinned in session.get_spark: the cast raises; DuckDB's cast
+    errors the same way). DuckDB's sum(BIGINT) is HUGEINT
     natively, so only the Spark side needed the widening."""
     return (
         load_table(spark, sf_dir, "events")
@@ -196,7 +197,7 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         # r12: decimal accumulation (per-(type,day) u6 totals cross int64
         # at the 100 TB/day design point); bigint OUTPUT cast keeps the
-        # downstream diff arithmetic and nulls loudly past int64.
+        # downstream diff arithmetic and raises loudly past int64 (ANSI).
         .agg(F.sum(F.col("u6").cast("decimal(38,0)")).cast("bigint").alias("v"))
     )
     a = daily.alias("a")
@@ -919,7 +920,7 @@ def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day", "dow_iso")
         # r12: decimal accumulation + bigint output cast (same daily-u6
-        # class as _daily_micro; nulls loudly past int64).
+        # class as _daily_micro; raises loudly past int64 under ANSI).
         .agg(F.sum(F.col("u6").cast("decimal(38,0)")).cast("bigint").alias("v"))
     )
     vd = F.col("v").cast("decimal(38,0)")
@@ -1439,7 +1440,7 @@ def ks_test_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r13 review: the _daily_micro class hiding behind the anonymous
         # alias `v` (the r12 name-keyed sweep keyed on micro-ish NAMES,
         # so it could not see this one) - per-day u6 totals accumulate
-        # in decimal; bigint output cast nulls loudly past int64,
+        # in decimal; bigint output cast raises loudly past int64 (ANSI),
         # mirroring the oracle's HUGEINT-sum-then-BIGINT-cast.
         .agg(
             F.sum(F.floor(F.col("value") * 1_000_000).cast("decimal(38,0)"))
@@ -1712,7 +1713,8 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily-count squares through a decimal accumulator (the pattern the
     # OLS/trend moments above already use): at a 100 TB/day stream a
     # single (type, day) count reaches ~3e9+, whose SQUARE alone passes
-    # 2^63 - Spark's raw BIGINT product/sum would wrap silently while
+    # 2^63 - Spark's raw BIGINT product/sum fails there (ANSI raises;
+    # with ANSI off it wraps SILENTLY - r13 behavior pins) while
     # DuckDB errors loudly (r10 review finding, same class as the
     # degree_powerlaw_check fix). sx is safe: bounded by total events.
     sig = d.groupBy("event_type").agg(

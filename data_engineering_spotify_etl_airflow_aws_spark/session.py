@@ -210,6 +210,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "100"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin ANSI mode ON explicitly rather than inheriting the Spark 4
+        # default (r13 behavior pins, tests/
+        # test_accumulator_overflow_behavior.py): the engine's loud-
+        # narrowing contract — a bigint OUTPUT cast of an over-int64
+        # decimal total must FAIL VISIBLY, mirroring the DuckDB oracle's
+        # HUGEINT->BIGINT cast error — holds only under ANSI. With ANSI
+        # off, both the raw int64 accumulators and the narrowing cast
+        # WRAP SILENTLY (measured: Decimal.toLong wraps, it does not
+        # null), so a deployment that flipped the default would turn
+        # every loud at-scale failure into silent corruption.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         # keep catalog state (derby metastore + warehouse) out of the repo
