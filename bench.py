@@ -90,6 +90,22 @@ def main() -> int:
     # driver fixture tree so sf1 runs warm the same paths sf0.1 runs do.
     if not os.path.isdir(warm_dir):
         warm_dir = "/root/testdata/sf0.001"
+    # r14 (ADVICE): the warmup loop's except-and-continue used to be
+    # except-and-PASS, so a missing fallback dir (another host) or a
+    # broken warm query re-created the exact unwarmed-bench failure this
+    # fallback was added to close - silently. A missing fixture dir is
+    # now a hard error (every warm query would fail; the bench would be
+    # entirely cold), and each individual warm failure is counted and
+    # reported on stderr so an unwarmed run is visible in the log.
+    if not os.path.isdir(warm_dir):
+        print(
+            f"bench: no warmup fixture dir ({warm_dir}); refusing to run "
+            "an unwarmed bench - set SPARK_GRAFT_SF_DIR next to an "
+            "sf0.001 sibling or provide /root/testdata/sf0.001",
+            file=sys.stderr,
+        )
+        return 1
+    warm_failures = 0
     for warm_q in (
         "count_star",
         "rest_api_songs",  # Python DataSource worker pool
@@ -121,8 +137,20 @@ def main() -> int:
     ):
         try:
             registry.QUERIES[warm_q](spark, warm_dir).collect()
-        except Exception:
-            pass
+        except Exception as exc:
+            warm_failures += 1
+            print(
+                f"bench: warmup query {warm_q} failed "
+                f"({type(exc).__name__}: {exc})"[:300],
+                file=sys.stderr,
+            )
+    if warm_failures:
+        print(
+            f"bench: {warm_failures} warmup queries failed - the paths "
+            "they cover will pay first-run codegen inside measured "
+            "windows (see r13 unwarmed-sf1 finding)",
+            file=sys.stderr,
+        )
     # Pre-build the streaming chunk feeds for the MEASURED sf_dir: the
     # chunk layout is fixture setup (written once per data generation,
     # chunks.py), not part of the streaming operators under test, so the

@@ -1606,7 +1606,8 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(
         F.count("*").alias("n_rows"),
         # r13 review: h32 sums cross int64 at ~4.3e9 rows - decimal
-        # accumulation, loud-null bigint output cast (oracle mirrors)
+        # accumulation; the bigint output cast raises loudly past int64
+        # under the pinned ANSI mode (oracle mirrors with HUGEINT->BIGINT)
         F.sum(
             F.expr(_CK_SPARK_H32.format(s=_CK_SPARK_ROW)).cast(
                 "decimal(38,0)"
@@ -2474,7 +2475,8 @@ def replica_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(df: DataFrame, n_name: str, ck_name: str) -> DataFrame:
         # r13 review: per-bucket h32 sums still cross int64 at ~1e12
-        # rows/256 buckets - decimal accumulation, loud-null output cast
+        # rows/256 buckets - decimal accumulation; the bigint output
+        # cast raises loudly past int64 under the pinned ANSI mode
         return df.groupBy(bkt).agg(
             F.count("*").alias(n_name),
             F.sum(row_h.cast("decimal(38,0)")).cast("bigint").alias(ck_name),

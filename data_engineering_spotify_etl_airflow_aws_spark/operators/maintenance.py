@@ -132,8 +132,9 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(na).cast("bigint").alias("n_files_after"),
         F.count("*").alias("n_rows"),
         # r13 review: h32 sums cross int64 at ~4.3e9 rows (avg 2^31 per
-        # row) - decimal accumulation, loud-null bigint output cast
-        # mirroring the oracle's HUGEINT-sum-then-BIGINT-cast
+        # row) - decimal accumulation; the bigint output cast raises
+        # loudly past int64 under the pinned ANSI mode, mirroring the
+        # oracle's HUGEINT-sum-then-BIGINT-cast
         F.sum(
             F.expr(_SPARK_H32.format(s=_ROW_SPARK)).cast("decimal(38,0)")
         )

@@ -2514,7 +2514,8 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily total AND its prefix/full-series window sums all rode raw
     # BIGINT - the full-series total is the single largest accumulation
     # in the file (a year of 100 TB days ~ 1e22 micro-units). Daily agg
-    # accumulates decimal with the loud-null bigint output cast; the
+    # accumulates decimal with a bigint output cast that raises loudly
+    # past int64 under the pinned ANSI mode; the
     # window sums stay decimal end-to-end like the oracle's HUGEINT
     # window sums (both only ever narrow into a double at the use site).
     d = (
@@ -3039,8 +3040,9 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-day trailing-mean window, and the absolute-error sums all rode
     # raw BIGINT - each accumulation holds up to 14 daily totals, past
     # int64 at the 100 TB/day design point while each per-row value
-    # still fits. Accumulate decimal; keep the loud-null bigint output
-    # casts the oracle's HUGEINT-sum-then-BIGINT-cast mirrors.
+    # still fits. Accumulate decimal; keep the bigint output casts -
+    # they raise loudly past int64 under the pinned ANSI mode, which the
+    # oracle's HUGEINT-sum-then-BIGINT-cast mirrors (it errors there).
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))

@@ -349,8 +349,14 @@ def q3_top_artist_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def partitioned_roundtrip_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks import write_partitioned
+    from ..streaming.chunks import run_scratch
 
-    path = "/tmp/spark_graft_star/songs"
+    # r14 review: the rewrite OUTPUT is per-run work product, not a
+    # marker-guarded shared fixture - pid-scope it (the run_scratch rule,
+    # same class as compact_small_files' r13 fix) so two engine
+    # processes round-tripping concurrently never interleave dynamic
+    # partition overwrites under each other's reads
+    path = str(run_scratch("star_songs_partitioned"))
     write_partitioned(songs_transform(spark), path)
     back = spark.read.parquet(path)
     # latest-day cutoff as an uncorrelated scalar subquery on the partition

@@ -64,7 +64,11 @@ def read_warehouse_csv(
 @query(
     "csv_null_semantics",
     oracle=f"""
-    SELECT album_id,
+    -- r14 review: album_id gets the SAME NULL_IF treatment as every
+    -- other column (read_warehouse_csv applies _null_if to all fields;
+    -- a bare album_id here would keep '' / 'null' where Spark nulls
+    -- them - fixture-masked, but the contract is all-columns)
+    SELECT nullif(nullif(album_id, 'null'), '') AS album_id,
            nullif(nullif(album_name, 'null'), '') AS album_name,
            CAST(coalesce(
                try_strptime(nullif(nullif(release_date, 'null'), ''), '%Y-%m-%d'),
@@ -122,7 +126,11 @@ WAREHOUSE_DDL_SCHEMA = T.StructType(
     # reader nulls empty fields where DuckDB keeps '' - the Snowflake
     # option the reference's format declares (S:18) pins the semantic.
     oracle=f"""
-    SELECT album_id, nullif(name_, '') AS name_, nullif(url, '') AS url
+    -- r14 review: Spark's reader nulls EVERY empty field (no emptyValue
+    -- set), including the untouched album_id passthrough - mirror that
+    -- here, not just on the explicitly nullif'd columns
+    SELECT nullif(album_id, '') AS album_id, nullif(name_, '') AS name_,
+           nullif(url, '') AS url
     FROM read_csv('{CSV_DIR}/warehouse_feed.csv', header=true,
                   nullstr='NULL', quote='"', escape='"',
                   columns={{'album_id': 'VARCHAR', 'name_': 'VARCHAR',

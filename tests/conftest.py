@@ -89,6 +89,11 @@ _SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
         0.001,
         "SPARK_GRAFT_SF0001_PARITY",
     ),
+    "test_parity_sf1.py": (
+        "sf1_oracle_parity_at_risk",
+        1.0,
+        "SPARK_GRAFT_SF1_PARITY",
+    ),
 }
 
 # full-registry mode (env var == "full") records under a distinct sweep
@@ -98,6 +103,7 @@ _SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
 _FULL_MODE_NAMES: dict[str, str] = {
     "test_partition_invariance.py": "partition_invariance_full",
     "test_parity_sf01.py": "sf01_oracle_parity_full",
+    "test_parity_sf1.py": "sf1_oracle_parity_full",
 }
 
 _sweep_outcomes: dict[str, dict[str, str]] = {}
