@@ -71,6 +71,18 @@ SF1_ORACLE_INFEASIBLE: dict[str, str] = {
         "banding-recall arithmetic it adds is a count ratio, green at "
         "sf0.1 full + sf0.01"
     ),
+    # found by measurement, not analysis: tools/oracle_cost_forecast.py
+    # timed this oracle at 20.5s/sf0.001 and 1315s/sf0.1 (the single
+    # most expensive oracle in the r13 full-sf0.1 sweep), extrapolating
+    # to ~84,000s at sf1 - its recursive-CTE connected-components walk
+    # is quadratic-ish in component edges. The Spark side's pointer-
+    # jumping CC is sf1-benched (20.9s, exp 0.58, zero flags); values
+    # are exact integer set/graph ops, green at sf0.1 full + sf0.01.
+    "dedup_clusters": (
+        "oracle est ~84,000s at sf1 (measured forecast, "
+        "evidence/sf1_oracle_cost_forecast.json); exact integer graph "
+        "ops, green at sf0.1 full + sf0.01"
+    ),
 }
 
 _MODE = os.environ.get("SPARK_GRAFT_SF1_PARITY", "")
