@@ -45,46 +45,22 @@ AUDIT_FIRST: list[str] = []
 
 AUDIT_WINDOW = 50
 
-# Round 13 changed set: every query whose implementation OR oracle
+# Round 14 changed set: every query whose implementation OR oracle
 # changed this round is pinned into the driver's window per the
-# standing rule; the remaining ~46 slots fill by oldest-evidence
-# rotation (debt is 0, so the window is pure rotation past the pins).
-#   * value_zscore_outliers: oracle's internal su moment left in
-#     DuckDB's native HUGEINT (r12 ADVICE - internal-moment convention).
-#   * degree_powerlaw_check: same convention normalization on the
-#     oracle's sx/sy regression moments (r13 review find).
-#   * embedding_covariance_matrix / pca_power_iteration: shared
-#     decimal(38,0) cast in the moment projection (44 per-aggregate
-#     casts removed; rows verified identical, A/B 0.90x).
-#   * seven oracles that narrowed a Spark-decimal internal moment to
-#     BIGINT (the oracle would ERROR at the scale the engine side was
-#     widened for) - found by the r13 oracle-narrowing lint sweep, now
-#     a standing AST lint in tests/test_accumulator_hygiene.py.
-PIN_ROUND = 13
+# standing rule; the remaining slots fill by oldest-evidence rotation
+# (debt is 0, so the window is pure rotation past the pins).
+#   * csv_null_semantics / positional_csv_load: oracle NULL_IF/empty-
+#     as-null treatment extended to album_id, mirroring the Spark side
+#     column-for-column (r14 spec-vs-oracle review find - fixture-
+#     masked asymmetry on the '' and 'null' tokens).
+#   * partitioned_roundtrip_prune: per-run rewrite output pid-scoped
+#     via run_scratch (was a fixed /tmp path two concurrent engine
+#     processes could interleave).
+PIN_ROUND = 14
 PIN_FIRST: list[str] = [
-    "value_zscore_outliers",
-    "degree_powerlaw_check",
-    "embedding_covariance_matrix",
-    "pca_power_iteration",
-    # oracle internal-moment convention sweep (10 sites)
-    "autocorr_daily_value",
-    "daily_trend_ols",
-    "dow_adjusted_anomaly_days",
-    "ewma_control_chart",
-    "daily_value_correlation",
-    "cohort_ltv_matrix",
-    "degree_assortativity",
-    # r13 statistics.py review: the _daily_micro wrap class hiding
-    # behind anonymous aliases (x/v) - daily totals and their window/
-    # error accumulations moved to decimal; fifth standing lint added
-    "binseg_changepoints",
-    "ks_test_click_vs_purchase",
-    "forecast_model_bakeoff",
-    # r13 checksum sweep: h32 hash sums (avg 2^31/row) wrap int64 at
-    # ~4.3e9 rows - decimal accumulation; sixth standing lint added
-    "orders_table_checksum",
-    "compact_small_files",
-    "replica_bucket_reconcile",
+    "csv_null_semantics",
+    "positional_csv_load",
+    "partitioned_roundtrip_prune",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

@@ -106,6 +106,13 @@ _FULL_MODE_NAMES: dict[str, str] = {
     "test_parity_sf1.py": "sf1_oracle_parity_full",
 }
 
+# r14: the sf1 suite's "rest" mode (full-registry MINUS the at-risk
+# window) records under its own name too - the at_risk + rest row pair
+# composes a complete sf1 validation without re-running either half.
+_REST_MODE_NAMES: dict[str, str] = {
+    "test_parity_sf1.py": "sf1_oracle_parity_rest",
+}
+
 _sweep_outcomes: dict[str, dict[str, str]] = {}
 
 
@@ -165,6 +172,8 @@ def pytest_sessionfinish(session, exitstatus):
         # partial, not a fake sweep.
         if mode == "full" and base in _FULL_MODE_NAMES:
             name = _FULL_MODE_NAMES[base]
+        elif mode == "rest" and base in _REST_MODE_NAMES:
+            name = _REST_MODE_NAMES[base]
         entry = {
             "sweep": name,
             "sf": sf,
