@@ -273,7 +273,12 @@ def main() -> int:
     # and the suite total carry the min. The repeat keeps the main
     # loop's cache/drain discipline so it measures the same thing the
     # first pass did.
-    repeat_floor_sec = 1.0
+    # r14: overridable for the very-long-running scale points (sf10
+    # subset runs measure 30-300s queries where a second sample buys <1%
+    # jitter reduction for 2x the wall clock; exponent pairs must then
+    # use the SAME floor on both sides so neither side is min-biased).
+    # The driver never sets it, so per-round runs keep min-of-2.
+    repeat_floor_sec = float(os.environ.get("SPARK_GRAFT_REPEAT_FLOOR", "1.0"))
     samples: dict[str, list[float]] = {}
     repeat_failed: dict[str, str] = {}
     for name in sorted(timings, key=lambda n: timings[n], reverse=True):
