@@ -56,11 +56,53 @@ AUDIT_WINDOW = 50
 #   * partitioned_roundtrip_prune: per-run rewrite output pid-scoped
 #     via run_scratch (was a fixed /tmp path two concurrent engine
 #     processes could interleave).
+#   * the 34 dsum/davg users: the first sf1 parity sweep caught
+#     pricing_summary's scale-6 charge sum crossing 2^53 unscaled,
+#     where DuckDB's native DECIMAL->DOUBLE cast is one ulp off the
+#     correctly-rounded value (the r6 int128 truncation family); both
+#     helpers now take the correctly-rounded STRING path on both
+#     engines (functions/__init__.py dsum/davg/oracle_dsum/
+#     oracle_davg), value-identical below 2^53 and exact above.
 PIN_ROUND = 14
 PIN_FIRST: list[str] = [
     "csv_null_semantics",
     "positional_csv_load",
     "partitioned_roundtrip_prune",
+    # dsum/davg conversion-convention users (r14 sf1 find)
+    "pricing_summary",
+    "bucketed_colocated_join",
+    "cascade_delete_users",
+    "cube_flag_status",
+    "dynamic_partition_pruned_join",
+    "group_avg_join",
+    "left_outer_join_agg",
+    "ohlc_downsample",
+    "orc_roundtrip_agg",
+    "orders_nested_export",
+    "promo_range_join",
+    "range_clustered_scan",
+    "rfm_customer_segments",
+    "rollup_agg",
+    "schema_evolution_union",
+    "session_window_agg",
+    "skew_salted_join_agg",
+    "sliding_window_agg",
+    "star_join_agg",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_balance",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "ts_gap_fill",
+    "tumbling_window_agg",
+    "zorder_box_scan",
 ]
 
 # Blast-radius ordering for the never-audited class. Round 8 drained

@@ -40,9 +40,24 @@ def dsum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
     dyadic-tied); for float32-derived inputs use integer micro-units
     instead: floor(x * 10^s + 0.5) summed as decimal(38,0)/HUGEINT -
     pure IEEE ops both engines compute identically (see
-    curation.label_centroids / _km_update / text.vocab_oov_rate)."""
+    curation.label_centroids / _km_update / text.vocab_oov_rate).
+
+    CONVERSION CONVENTION (r14 finding, measured by the first sf1
+    parity sweep): once the sum's UNSCALED value crosses 2^53 (which
+    pricing_summary's scale-6 charge sum does exactly in the
+    sf0.1->sf1 decade, and any money sum does at 100 TB), the engines'
+    NATIVE decimal->double casts stop agreeing - DuckDB's came out one
+    ulp above the correctly-rounded value (the r6 int128->double
+    truncation family, now measured for DECIMAL too) while Spark's
+    JDK path happened to be correct there; neither native path is
+    specified correctly-rounded at every magnitude. Both sides
+    therefore take their STRING path, which is correctly rounded by
+    spec in both engines (Java Double.parseDouble / DuckDB's
+    VARCHAR->DOUBLE parser - the same hop oracle_exact_double uses for
+    integer moments). Value-identical below 2^53; exact above it. The
+    hop costs one tiny string per GROUP, nothing per row."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("string").cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -51,18 +66,28 @@ def davg(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
     Same quantization contract as dsum(): the mean of inputs rounded to
     `scale` fractional digits."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c)
+    out = (
+        F.sum(c.cast(f"decimal(30,{scale})")).cast("string").cast("double")
+        / F.count(c)
+    )
     return out.alias(alias) if alias else out
 
 
 def oracle_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB SQL fragment matching dsum()."""
-    return f"CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    """DuckDB SQL fragment matching dsum() - VARCHAR hop per the r14
+    conversion convention (see dsum docstring)."""
+    return (
+        f"CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE)"
+    )
 
 
 def oracle_davg(expr: str, scale: int = 2) -> str:
-    """DuckDB SQL fragment matching davg()."""
-    return f"CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) / count({expr})"
+    """DuckDB SQL fragment matching davg() - VARCHAR hop on the sum."""
+    return (
+        f"CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) / count({expr})"
+    )
 
 
 # ---------------------------------------------------------------------------
