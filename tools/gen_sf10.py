@@ -38,7 +38,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/repo/data/sf1"
+# honor the same env var the sf1 parity suite uses, so an sf1 fixture
+# generated elsewhere can feed sf10 generation without editing this file
+SRC = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/data/sf1")
 K_MAIN = 10
 K_EMB = 4
 

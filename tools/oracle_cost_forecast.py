@@ -81,6 +81,9 @@ def main() -> int:
             row["t_sf01"] = time_oracle(con01, registry.ORACLES[name])
         except Exception as exc:
             row["err_sf01"] = f"{type(exc).__name__}: {exc}"[:200]
+            # no timing => no est_sf1; surface it for manual review
+            # instead of letting it drop out of the infeasibility list
+            row["flag"] = "sf01_error_review"
             continue
         ratio = row["t_sf01"] / max(t, 1e-3)
         row["est_sf1"] = round(row["t_sf01"] * max(ratio, 1.0), 1)
