@@ -1,0 +1,161 @@
+"""One-shot mechanical rewrite closing the decimal->double conversion
+class tree-wide (r14 verdict ask #1). Evidence base:
+evidence/decimal_double_rounding_probe.json —
+  * DuckDB native DECIMAL/HUGEINT->DOUBLE diverges from the VARCHAR hop
+    on 2476/15 of 16k/4k adversarial magnitudes (above 2^53);
+  * Spark native decimal->double == string hop on ALL of them (so the
+    Spark-side rewrite is value-preserving at every tested scale);
+  * double->VARCHAR->double is the identity in DuckDB (so hopping an
+    ambiguous sum() that is already DOUBLE is harmless).
+
+Spark side: every `<decimal-sourced>.cast("double")` becomes
+`<...>.cast("string").cast("double")` via AST point edits (re-derived
+from tools/triage_decimal_double.scan_spark_side).
+
+Oracle side: every `CAST(<inner> AS DOUBLE)` in engine source whose
+inner mentions sum(/DECIMAL(/HUGEINT — and is not already the hop, not
+an explicit exact-int64 narrowing (BIGINT/INT), and not an interpolated
+hop helper — becomes `CAST(CAST(<inner> AS VARCHAR) AS DOUBLE)`.
+BIGINT/INT-narrowed inners stay native: int64->double is correctly
+rounded by spec in both engines (JLS long->double; hardware i64->f64).
+
+Run once, review the diff, then verify with the runtime triage and the
+full-registry sf0.01 parity suite. Idempotent (hop inners are skipped).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.triage_decimal_double import scan_spark_side, _PKG, _SCAN_DIRS
+
+_HOP_RE = re.compile(r"^\s*CAST\s*\(.*AS\s+VARCHAR\s*\)\s*$", re.I | re.S)
+_INT_NARROW_RE = re.compile(
+    r"^\s*CAST\s*\(.*AS\s+(BIGINT|INTEGER|INT)\s*\)\s*$", re.I | re.S
+)
+_SUSPECT_RE = re.compile(r"DECIMAL\s*\(|HUGEINT|sum\s*\(", re.I)
+_AS_DOUBLE_RE = re.compile(r"AS\s+DOUBLE\s*\)", re.I)
+
+
+def rewrite_spark_side() -> int:
+    sites = [s for s in scan_spark_side() if s["kind"] == "decimal_native"]
+    by_file: dict[str, list[dict]] = {}
+    for s in sites:
+        by_file.setdefault(s["file"], []).append(s)
+    n = 0
+    for rel, rows in by_file.items():
+        path = os.path.join(_PKG, rel)
+        lines = open(path).read().split("\n")
+        # edit bottom-up so earlier offsets stay valid
+        import ast
+
+        tree = ast.parse("\n".join(lines))
+        targets = {(r["line"], r["col"]) for r in rows}
+        edits = []  # (lineno, col, end_lineno, end_col) of the cast CALL
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "cast"
+                and (node.lineno, node.col_offset) in targets
+            ):
+                arg = node.args[0]
+                edits.append(
+                    (
+                        arg.lineno,
+                        arg.col_offset,
+                        arg.end_lineno,
+                        arg.end_col_offset,
+                        node.end_lineno,
+                        node.end_col_offset,
+                    )
+                )
+        for a_l, a_c, a_el, a_ec, e_l, e_c in sorted(edits, reverse=True):
+            # 1. append .cast("double") after the call
+            ln = lines[e_l - 1]
+            lines[e_l - 1] = ln[:e_c] + '.cast("double")' + ln[e_c:]
+            # 2. change the literal "double" -> "string" in the inner cast
+            ln = lines[a_l - 1]
+            seg = ln[a_c:a_ec] if a_l == a_el else ln[a_c:]
+            assert seg in ('"double"', "'double'"), seg
+            lines[a_l - 1] = ln[:a_c] + '"string"' + ln[a_ec if a_l == a_el else len(ln):]
+            n += 1
+        open(path, "w").write("\n".join(lines))
+    return n
+
+
+def _find_cast_open(src: str, close_idx: int) -> int | None:
+    depth = 0
+    i = close_idx
+    while i >= 0:
+        c = src[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                if src[:i].upper().rstrip().endswith("CAST"):
+                    return i
+                return None
+        i -= 1
+    return None
+
+
+def rewrite_oracle_side() -> int:
+    n = 0
+    for d in _SCAN_DIRS:
+        full = os.path.join(_PKG, d)
+        if not os.path.isdir(full):
+            continue
+        for fn in sorted(os.listdir(full)):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(full, fn)
+            src = open(path).read()
+            orig = src
+            # one edit per pass, rescan to fixpoint: nested CAST(..AS
+            # DOUBLE) spans cannot corrupt each other's offsets
+            changed = True
+            skip: set[int] = set()
+            while changed:
+                changed = False
+                for m in _AS_DOUBLE_RE.finditer(src):
+                    close = m.end() - 1
+                    op = _find_cast_open(src, close)
+                    if op is None or (op, close) in skip:
+                        continue
+                    inner = re.sub(
+                        r"\s+AS\s+DOUBLE\s*$", "", src[op + 1 : close],
+                        flags=re.I,
+                    )
+                    if (
+                        _HOP_RE.match(inner)
+                        or _INT_NARROW_RE.match(inner)
+                        or inner.strip().startswith("{oracle_")
+                        or not _SUSPECT_RE.search(inner)
+                    ):
+                        continue
+                    src = (
+                        src[: op + 1]
+                        + "CAST("
+                        + inner
+                        + " AS VARCHAR) AS DOUBLE)"
+                        + src[m.end() :]
+                    )
+                    n += 1
+                    changed = True
+                    skip = set()
+                    break
+            if src != orig:
+                open(path, "w").write(src)
+    return n
+
+
+if __name__ == "__main__":
+    ns = rewrite_spark_side()
+    no = rewrite_oracle_side()
+    print(f"spark sites hopped: {ns}; oracle sites hopped: {no}")
