@@ -73,7 +73,10 @@ def main() -> int:
     sf = float(m.group(1)) if m else -1.0
 
     engine.load_all_operators()
-    spark = get_spark(app_name="bench")
+    # SF-aware heap: pass the bench fixture so big fixtures (sf10's
+    # 2.3 GB) get the measured 32g sizing instead of OOM-ing 1500s in
+    # (r14 pass-1 finding, codified r15; SPARK_GRAFT_DRIVER_MEM wins)
+    spark = get_spark(app_name="bench", sf_dir=sf_dir)
 
     # Warm one-time infrastructure on the smallest fixture so no measured
     # query pays session startup instead of its own cost: count_star warms

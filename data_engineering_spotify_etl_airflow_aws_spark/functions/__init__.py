@@ -77,16 +77,16 @@ def oracle_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL fragment matching dsum() - VARCHAR hop per the r14
     conversion convention (see dsum docstring)."""
     return (
-        f"CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
-        f" AS DOUBLE)"
+        f"CAST(CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
+        f" AS VARCHAR) AS DOUBLE)"
     )
 
 
 def oracle_davg(expr: str, scale: int = 2) -> str:
     """DuckDB SQL fragment matching davg() - VARCHAR hop on the sum."""
     return (
-        f"CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
-        f" AS DOUBLE) / count({expr})"
+        f"CAST(CAST(CAST(sum(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR)"
+        f" AS VARCHAR) AS DOUBLE) / count({expr})"
     )
 
 

@@ -275,9 +275,9 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     it1 AS (
         SELECT d.node,
                {_PR_RESID} / (SELECT n_nodes FROM n)
-               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+               + {_PR_DAMP} * (CAST(CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
-                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+                     AS HUGEINT)), 0) AS VARCHAR) AS DOUBLE) / 1000000000000.0) AS rank
         FROM nodes d
         LEFT JOIN und e ON e.dst = d.node
         LEFT JOIN r0 r ON r.node = e.src
@@ -287,9 +287,9 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     it2 AS (
         SELECT d.node,
                {_PR_RESID} / (SELECT n_nodes FROM n)
-               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+               + {_PR_DAMP} * (CAST(CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
-                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+                     AS HUGEINT)), 0) AS VARCHAR) AS DOUBLE) / 1000000000000.0) AS rank
         FROM nodes d
         LEFT JOIN und e ON e.dst = d.node
         LEFT JOIN it1 r ON r.node = e.src
@@ -299,9 +299,9 @@ def _pr_spark_micro(c: "F.Column") -> "F.Column":
     it3 AS (
         SELECT d.node,
                {_PR_RESID} / (SELECT n_nodes FROM n)
-               + {_PR_DAMP} * (CAST(coalesce(sum(CAST(floor(
+               + {_PR_DAMP} * (CAST(CAST(coalesce(sum(CAST(floor(
                      (r.rank / g.outdeg) * 1000000000000.0 + 0.5)
-                     AS HUGEINT)), 0) AS DOUBLE) / 1000000000000.0) AS rank
+                     AS HUGEINT)), 0) AS VARCHAR) AS DOUBLE) / 1000000000000.0) AS rank
         FROM nodes d
         LEFT JOIN und e ON e.dst = d.node
         LEFT JOIN it2 r ON r.node = e.src
@@ -382,7 +382,7 @@ def _pr_iterate(und: DataFrame) -> DataFrame:
                     + F.lit(_PR_DAMP)
                     * (
                         F.coalesce(F.col("s_u"), F.lit(0).cast("decimal(38,0)"))
-                        .cast("double")
+                        .cast("string").cast("double")
                         / F.lit(1e12)
                     )
                 ).alias("rank"),
@@ -490,7 +490,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c0 AS custkey, rec AS rec_suppkey, rank,
            CAST(n_connectors AS BIGINT) AS n_connectors,
-           round(CAST(score_p AS DOUBLE) / 1000000000000, 6) AS aa_score
+           round(CAST(CAST(score_p AS VARCHAR) AS DOUBLE) / 1000000000000, 6) AS aa_score
     FROM (
         SELECT c0, rec, n_connectors, score_p,
                row_number() OVER (
@@ -557,7 +557,7 @@ def supplier_recs_fof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("n_connectors").cast("bigint").alias("n_connectors"),
             F.round(
-                F.col("score_p").cast("double") / 1_000_000_000_000, 6
+                F.col("score_p").cast("string").cast("double") / 1_000_000_000_000, 6
             ).alias("aa_score"),
         )
     )
@@ -824,11 +824,11 @@ def degree_powerlaw_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     slope = (
-        F.col("n").cast("double") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
+        F.col("n").cast("double") * F.col("sxy").cast("string").cast("double")
+        - F.col("sx").cast("string").cast("double") * F.col("sy").cast("string").cast("double")
     ) / (
-        F.col("n").cast("double") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+        F.col("n").cast("double") * F.col("sxx").cast("string").cast("double")
+        - F.col("sx").cast("string").cast("double") * F.col("sx").cast("string").cast("double")
     )
     return m.select(
         "n",
@@ -867,10 +867,10 @@ def _degree_powerlaw_oracle() -> str:
         FROM pts
     )
     SELECT n,
-           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           CAST(floor((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
                       * 1000000 + 0.5) AS BIGINT) AS slope_micro
     FROM m
     """
@@ -937,15 +937,15 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dyd * F.col("dy")).alias("syy"),
     )
     nd = F.col("n").cast("double")
-    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+    cov = F.col("sxy").cast("string").cast("double") - F.col("sx").cast("string").cast("double") * F.col(
         "sy"
-    ).cast("double") / nd
-    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+    ).cast("string").cast("double") / nd
+    vx = F.col("sxx").cast("string").cast("double") - F.col("sx").cast("string").cast("double") * F.col(
         "sx"
-    ).cast("double") / nd
-    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+    ).cast("string").cast("double") / nd
+    vy = F.col("syy").cast("string").cast("double") - F.col("sy").cast("string").cast("double") * F.col(
         "sy"
-    ).cast("double") / nd
+    ).cast("string").cast("double") / nd
     r = cov / F.sqrt(vx * vy)
     return m.select(
         "n",
@@ -982,12 +982,12 @@ def _assort_oracle() -> str:
         FROM e2
     )
     SELECT n,
-           CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                              * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           CAST(floor((CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                              * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                                * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
                       * 1000000 + 0.5) AS BIGINT) AS assortativity_micro
     FROM m
     """

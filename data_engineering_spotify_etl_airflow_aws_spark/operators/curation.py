@@ -130,7 +130,7 @@ _U9 = "CAST(floor({v} * 1000000000.0 + 0.5) AS HUGEINT)"
     "label_centroids",
     oracle=f"""
     SELECT label, dim,
-           CAST(sum({_U9.format(v='CAST(val AS DOUBLE)')}) AS DOUBLE)
+           CAST(CAST(sum({_U9.format(v='CAST(val AS DOUBLE)')}) AS VARCHAR) AS DOUBLE)
                / (1000000000.0 * count(*)) AS centroid,
            count(*) AS n_vecs
     FROM (
@@ -156,7 +156,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(
             (
-                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                F.sum(u9.cast("decimal(38,0)")).cast("string").cast("double")
                 / (F.lit(1_000_000_000.0) * F.count("*"))
             ).alias("centroid"),
             F.count("*").alias("n_vecs"),
@@ -501,7 +501,7 @@ def _km_update(assigned: DataFrame) -> DataFrame:
         .groupBy("cid", "dim")
         .agg(
             (
-                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                F.sum(u9.cast("decimal(38,0)")).cast("string").cast("double")
                 / (F.lit(1_000_000_000.0) * F.count("*"))
             ).alias("mv")
         )
@@ -547,7 +547,7 @@ def _km_oracle_assign(vtab: str, ctab: str, out: str) -> str:
     ),
     m1 AS (
         SELECT cid, dim,
-               CAST(sum({_U9.format(v='val')}) AS DOUBLE)
+               CAST(CAST(sum({_U9.format(v='val')}) AS VARCHAR) AS DOUBLE)
                    / (1000000000.0 * count(*)) AS mv
         FROM pe1 GROUP BY 1, 2
     ),
@@ -1005,7 +1005,7 @@ def _curve_oracle() -> str:
            CAST(sum(cch) AS BIGINT) AS sum_chars,
            CAST(sum(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_langs,
-           CAST(sum(cn) AS DOUBLE) / max(total_docs) AS doc_share
+           CAST(CAST(sum(cn) AS VARCHAR) AS DOUBLE) / max(total_docs) AS doc_share
     FROM cum CROSS JOIN tot GROUP BY level_pct
     """
 
@@ -1129,9 +1129,9 @@ _SMW_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     SELECT source, n_docs, n_tokens,
            floor(sqrt(w_raw) * 1000000000 + 0.5) / 1000000000
                AS mean_quality,
-           floor(CAST(w_pico AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+           floor(CAST(CAST(w_pico AS VARCHAR) AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
                  * 1000000000 + 0.5) / 1000000000 AS mixture_share,
-           CAST(floor(CAST(w_pico AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+           CAST(floor(CAST(CAST(w_pico AS VARCHAR) AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
                  * 1000000 + 0.5) AS BIGINT) AS tokens_per_million
     FROM w CROSS JOIN t
     """,
@@ -1159,7 +1159,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         F.sum(F.col("qm").cast("decimal(38,0)")).cast("bigint").alias("q_sum"),
     )
-    mean_q = F.col("q_sum").cast("double") / (
+    mean_q = F.col("q_sum").cast("string").cast("double") / (
         F.lit(1_000_000.0) * F.col("n_docs")
     )
     # r12 review find (the only double-accumulating fold left in the
@@ -1187,7 +1187,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             1_000_000_000
         )
 
-    share = F.col("w_pico").cast("double") / F.col("w_tot").cast("double")
+    share = F.col("w_pico").cast("double") / F.col("w_tot").cast("string").cast("double")
     return w.crossJoin(F.broadcast(t)).select(
         "source",
         "n_docs",

@@ -1269,8 +1269,8 @@ def _impact_oracle() -> str:
                AS removed_chars,
            CAST(coalesce(sum(n_toks) FILTER (is_removed), 0) AS BIGINT)
                AS removed_tokens,
-           CAST(coalesce(sum(n_chars) FILTER (is_removed), 0) AS DOUBLE)
-               / CAST(sum(n_chars) AS DOUBLE) AS removed_char_share
+           CAST(CAST(coalesce(sum(n_chars) FILTER (is_removed), 0) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(n_chars) AS VARCHAR) AS DOUBLE) AS removed_char_share
     FROM d
     """
 

@@ -76,7 +76,7 @@ def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey,
            count(o.o_orderkey) AS n_orders,
-           coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0)
+           coalesce(CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE), 0.0)
                AS total_spent
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY 1
@@ -172,7 +172,7 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -541,8 +541,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
            count(*) OVER w AS n_7d,
-           CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_7d,
-           CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_7d,
+           CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS VARCHAR) AS DOUBLE)
                / count(*) OVER w AS avg_7d
     FROM events
     WINDOW w AS (
@@ -558,7 +558,7 @@ def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-7 * 86_400 * 1_000_000, 0)
     )
-    dec_sum = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+    dec_sum = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("string").cast("double")
     n = F.count("*").over(w)
     # no output sort: full-table projection, driver hash is order-insensitive
     return ev.select(
@@ -583,8 +583,8 @@ def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
     FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
-                        OVER (PARTITION BY o_custkey) AS DOUBLE)
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+                        OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
                    / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
     )
@@ -595,7 +595,7 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey")
     cust_avg = (
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double")
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("string").cast("double")
         / F.count("*").over(w)
     )
     # no output sort: ~half the fact table, driver hash is order-insensitive
@@ -741,7 +741,7 @@ def median_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_events,
            CAST(sum(k) AS BIGINT) AS sum_k,
-           CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+           CAST(CAST(sum(k) AS VARCHAR) AS DOUBLE) / count(k) AS avg_k,
            count(DISTINCT k) AS n_distinct_k
     FROM (
         SELECT event_type,
@@ -874,7 +874,7 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
                AS sum_price,
            CAST(max(o_orderdate) AS DATE) AS latest_order_date
     FROM orders
@@ -906,7 +906,7 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.sum("n").alias("n_orders"),
-            F.sum("s").cast("double").alias("sum_price"),
+            F.sum("s").cast("string").cast("double").alias("sum_price"),
             F.max("d").alias("latest_order_date"),
         )
         # no output sort: driver hash is order-insensitive (r5 rule)
@@ -941,15 +941,15 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                sum(u6) AS su,
-               CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) AS sq
+               CAST(CAST(sum(CAST(u6 AS HUGEINT) * u6) AS VARCHAR) AS DOUBLE) AS sq
         FROM b GROUP BY event_type
     ),
     z AS (
         SELECT b.event_id, b.event_type, b.value,
-               (CAST(b.u6 AS DOUBLE) - CAST(s.su AS DOUBLE) / s.n)
+               (CAST(b.u6 AS DOUBLE) - CAST(CAST(s.su AS VARCHAR) AS DOUBLE) / s.n)
                / sqrt(s.sq / s.n
-                      - (CAST(s.su AS DOUBLE) / s.n)
-                        * (CAST(s.su AS DOUBLE) / s.n)) AS zv
+                      - (CAST(CAST(s.su AS VARCHAR) AS DOUBLE) / s.n)
+                        * (CAST(CAST(s.su AS VARCHAR) AS DOUBLE) / s.n)) AS zv
         FROM b JOIN s USING (event_type)
     )
     SELECT event_id, event_type, value, round(zv, 6) AS zscore
@@ -975,10 +975,10 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and HUGEINT->DOUBLE round-to-nearest identically.
         F.sum(F.col("u6").cast("decimal(38,0)")).alias("su"),
         F.sum(F.col("u6").cast("decimal(38,0)") * F.col("u6"))
-        .cast("double")
+        .cast("string").cast("double")
         .alias("sq"),
     )
-    mean = F.col("su").cast("double") / F.col("n")
+    mean = F.col("su").cast("string").cast("double") / F.col("n")
     zv = (F.col("u6").cast("double") - mean) / F.sqrt(
         F.col("sq") / F.col("n") - mean * mean
     )
@@ -1495,15 +1495,15 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n,
                sum(px) AS sx,
                sum(py) AS sy,
-               CAST(sum(CAST(px AS HUGEINT) * px) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(py AS HUGEINT) * py) AS DOUBLE) AS syy,
-               CAST(sum(CAST(px AS HUGEINT) * py) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(px AS HUGEINT) * px) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(py AS HUGEINT) * py) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(px AS HUGEINT) * py) AS VARCHAR) AS DOUBLE) AS sxy
         FROM daily
     )
     SELECT n AS n_days,
-           round((n * sxy - CAST(sx AS DOUBLE) * sy)
-               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
-                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_value
+           round((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+               / sqrt((n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx)
+                      * (n * syy - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * sy)), 6) AS corr_value
     FROM m
     """,
 )
@@ -1545,12 +1545,12 @@ def daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(pxd).alias("sx"),
         F.sum(pyd).alias("sy"),
-        F.sum(pxd * F.col("px")).cast("double").alias("sxx"),
-        F.sum(pyd * F.col("py")).cast("double").alias("syy"),
-        F.sum(pxd * F.col("py")).cast("double").alias("sxy"),
+        F.sum(pxd * F.col("px")).cast("string").cast("double").alias("sxx"),
+        F.sum(pyd * F.col("py")).cast("string").cast("double").alias("syy"),
+        F.sum(pxd * F.col("py")).cast("string").cast("double").alias("sxy"),
     )
     n = F.col("n")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxd, syd = F.col("sx").cast("string").cast("double"), F.col("sy").cast("string").cast("double")
     return m.select(
         n.alias("n_days"),
         F.round(
@@ -2683,10 +2683,10 @@ def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
                AS sum_price,
-           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
-               / count(*) AS DOUBLE) AS avg_price
+           CAST(CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS VARCHAR) AS DOUBLE) AS avg_price
     FROM orders
     WHERE o_orderkey % 17 <> 3
     GROUP BY o_orderpriority
@@ -2717,8 +2717,8 @@ def retractable_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderpriority",
         "n_orders",
-        F.col("s").cast("double").alias("sum_price"),
-        (F.col("s").cast("double") / F.col("n_orders")).cast("double").alias(
+        F.col("s").cast("string").cast("double").alias("sum_price"),
+        (F.col("s").cast("string").cast("double") / F.col("n_orders")).cast("string").cast("double").alias(
             "avg_price"
         ),
     )
@@ -2768,7 +2768,7 @@ def retractable_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_violating,
            CASE WHEN sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
                 THEN 1 ELSE 0 END AS fd_holds,
-           CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / count(*) AS violation_rate
     FROM g GROUP BY fd
     """,
@@ -2852,7 +2852,7 @@ _TKO_K = 3
     )
     SELECT n_name, part_label,
            CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(sum(r) AS DOUBLE) AS revenue
+           CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lab GROUP BY 1, 2
     """,
 )
@@ -2885,7 +2885,7 @@ def topk_plus_other_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lab.groupBy("n_name", "part_label").agg(
         F.count("*").alias("n_parts"),
-        F.sum("r").cast("double").alias("revenue"),
+        F.sum("r").cast("string").cast("double").alias("revenue"),
     )
 
 
@@ -3214,7 +3214,7 @@ def rollup_lattice_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_qi_groups,
            CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
                AS n_rows_below_5,
-           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / max(n_rows) AS risk_share
     FROM g CROSS JOIN t
     """,
@@ -3297,7 +3297,7 @@ _WOW_TOP = 20
            CAST(p.rnk AS BIGINT) AS rank_prev,
            CAST(c.rnk AS BIGINT) AS rank_curr,
            CAST(p.rnk - c.rnk AS BIGINT) AS rank_delta,
-           CAST(c.rev_m AS DOUBLE) / 1000000 AS revenue_curr
+           CAST(CAST(c.rev_m AS VARCHAR) AS DOUBLE) / 1000000 AS revenue_curr
     FROM ranked c
     JOIN ranked p ON p.l_partkey = c.l_partkey AND p.wk <> c.wk
     WHERE c.wk = c.w_curr
@@ -3424,9 +3424,9 @@ _SLO_ERR = "0.01"  # 1% error budget (dyadic-exact literal not needed:
            CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS err_rate,
            (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
                / {_SLO_ERR} AS burn_rate,
-           CAST(sum(n_errors) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-               / ({_SLO_ERR} * CAST(tot AS DOUBLE)) AS budget_consumed
+           CAST(CAST(sum(n_errors) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               / ({_SLO_ERR} * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS budget_consumed
     FROM d CROSS JOIN t
     """,
 )
@@ -3500,7 +3500,7 @@ def sre_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(max(adiff) AS DOUBLE) / 1000000 AS max_abs_diff,
-           CAST(sum(adiff) AS DOUBLE) / 1000000 AS total_abs_diff
+           CAST(CAST(sum(adiff) AS VARCHAR) AS DOUBLE) / 1000000 AS total_abs_diff
     FROM c GROUP BY status
     """,
 )
@@ -3542,7 +3542,7 @@ def order_header_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_abs_diff"
             ),
             (
-                F.sum(F.col("adiff").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("adiff").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("total_abs_diff"),
         )
@@ -3661,7 +3661,7 @@ def _wd_before(col_sql: str) -> str:
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(bdays) AS BIGINT) AS total_bdays,
-           CAST(sum(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           CAST(CAST(sum(bdays) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                AS avg_bdays,
            CAST(max(bdays) AS BIGINT) AS max_bdays
     FROM j GROUP BY 1
@@ -3712,10 +3712,9 @@ def business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
-               AS DOUBLE) / (1000000.0 * count(*)) AS avg_quantity,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+           CAST(CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quantity,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1000000
                AS revenue
     FROM lineitem
     GROUP BY 1
@@ -3741,11 +3740,11 @@ def discount_elasticity_profile(
         .agg(
             F.count("*").alias("n_lines"),
             (
-                F.sum(qty_micro.cast("decimal(38,0)")).cast("double")
+                F.sum(qty_micro.cast("decimal(38,0)")).cast("string").cast("double")
                 / (F.lit(1_000_000.0) * F.count("*"))
             ).alias("avg_quantity"),
             (
-                F.sum(rev_micro.cast("decimal(38,0)")).cast("double")
+                F.sum(rev_micro.cast("decimal(38,0)")).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("revenue"),
         )
@@ -3869,13 +3868,11 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.5) AS BIGINT) ELSE 0 END AS vol_eff
         FROM b
     )
-    SELECT CAST(sum(delta) AS DOUBLE) / 1000000 AS total_delta,
-           CAST(sum(price_eff) AS DOUBLE) / 1000000 AS price_effect,
-           CAST(sum(vol_eff) AS DOUBLE) / 1000000 AS volume_effect,
-           CAST(sum(CASE WHEN kind = 'new' THEN delta ELSE 0 END)
-               AS DOUBLE) / 1000000 AS new_effect,
-           CAST(sum(CASE WHEN kind = 'discontinued' THEN delta ELSE 0 END)
-               AS DOUBLE) / 1000000 AS discontinued_effect,
+    SELECT CAST(CAST(sum(delta) AS VARCHAR) AS DOUBLE) / 1000000 AS total_delta,
+           CAST(CAST(sum(price_eff) AS VARCHAR) AS DOUBLE) / 1000000 AS price_effect,
+           CAST(CAST(sum(vol_eff) AS VARCHAR) AS DOUBLE) / 1000000 AS volume_effect,
+           CAST(CAST(sum(CASE WHEN kind = 'new' THEN delta ELSE 0 END) AS VARCHAR) AS DOUBLE) / 1000000 AS new_effect,
+           CAST(CAST(sum(CASE WHEN kind = 'discontinued' THEN delta ELSE 0 END) AS VARCHAR) AS DOUBLE) / 1000000 AS discontinued_effect,
            CAST(count(*) FILTER (kind = 'common') AS BIGINT) AS n_common,
            CAST(count(*) FILTER (kind = 'new') AS BIGINT) AS n_new,
            CAST(count(*) FILTER (kind = 'discontinued') AS BIGINT)
@@ -3956,20 +3953,20 @@ def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.lit(1_000_000)
     return eff.agg(
-        (F.sum(F.col("delta").cast("decimal(38,0)")).cast("double") / m).alias(
+        (F.sum(F.col("delta").cast("decimal(38,0)")).cast("string").cast("double") / m).alias(
             "total_delta"
         ),
         (
-            F.sum(F.col("price_eff").cast("decimal(38,0)")).cast("double") / m
+            F.sum(F.col("price_eff").cast("decimal(38,0)")).cast("string").cast("double") / m
         ).alias("price_effect"),
         (
-            F.sum(F.col("vol_eff").cast("decimal(38,0)")).cast("double") / m
+            F.sum(F.col("vol_eff").cast("decimal(38,0)")).cast("string").cast("double") / m
         ).alias("volume_effect"),
         (
             F.sum(
                 F.when(F.col("kind") == "new", F.col("delta")).otherwise(0)
                 .cast("decimal(38,0)")
-            ).cast("double")
+            ).cast("string").cast("double")
             / m
         ).alias("new_effect"),
         (
@@ -3977,7 +3974,7 @@ def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("kind") == "discontinued", F.col("delta"))
                 .otherwise(0)
                 .cast("decimal(38,0)")
-            ).cast("double")
+            ).cast("string").cast("double")
             / m
         ).alias("discontinued_effect"),
         F.count(F.when(F.col("kind") == "common", 1))
@@ -4148,7 +4145,7 @@ def calendar_dim_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(order_idx AS BIGINT) AS order_idx,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST(sum(v_micro) AS DOUBLE) / (1000000.0 * count(*))
+           CAST(CAST(sum(v_micro) AS VARCHAR) AS DOUBLE) / (1000000.0 * count(*))
                AS avg_order_value
     FROM r GROUP BY 1
     """,
@@ -4172,7 +4169,7 @@ def ltv_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
         (
-            F.sum(F.col("v_micro").cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("v_micro").cast("decimal(38,0)")).cast("string").cast("double")
             / (F.lit(1_000_000.0) * F.count("*"))
         ).alias("avg_order_value"),
     )
@@ -4202,12 +4199,12 @@ def ltv_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     )
     SELECT n AS n_orders,
-           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_size,
-           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_size,
+           (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_size,
-           ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           ((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
-               / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion
+               / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion
     FROM m
     """,
 )
@@ -4388,8 +4385,8 @@ def temporal_consistency_audit(
            CAST(GROUPING(y) + GROUPING(q) + GROUPING(m) AS BIGINT)
                AS agg_level,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1000000 AS revenue
     FROM (
         SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
                CAST(quarter(l_shipdate) AS BIGINT) AS q,
@@ -4433,7 +4430,7 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (g("y") + g("q") + g("m")).alias("agg_level"),
             F.count("*").alias("n_lines"),
             (
-                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("revenue"),
         )
@@ -4460,9 +4457,9 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_returned,
            CAST(count(*) FILTER (l.l_returnflag = 'R') AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS return_rate,
-           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+           CAST(CAST(sum(CASE WHEN l.l_returnflag = 'R'
                THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                   * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                   * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / 1000000 AS returned_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1
@@ -4495,7 +4492,7 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(ret, F.col("rev_micro")).otherwise(0)
                     .cast("decimal(38,0)")
-                ).cast("double")
+                ).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("returned_revenue"),
         )
@@ -4602,7 +4599,7 @@ def pivot_multi_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(c.cohort_y AS BIGINT) AS cohort_year,
            CAST(c.age_years AS BIGINT) AS age_years,
            s.cohort_n,
-           CAST(c.cum_micro AS DOUBLE)
+           CAST(CAST(c.cum_micro AS VARCHAR) AS DOUBLE)
                / (1000000.0 * CAST(s.cohort_n AS DOUBLE))
                AS avg_cum_ltv
     FROM cum c JOIN sz s ON s.cohort_y = c.cohort_y
@@ -4809,8 +4806,8 @@ def topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT rc.r_name AS cust_region, rs.r_name AS supp_region,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+           CAST(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+               * 1000000 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1000000
                AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -4874,7 +4871,7 @@ def region_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             (
-                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("rev_micro").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("revenue"),
         )

@@ -542,9 +542,9 @@ _QPC_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     SELECT CAST(band AS BIGINT) AS band,
            CAST(band AS DOUBLE) / 10 AS cutoff,
            n_docs, n_tokens,
-           CAST(sum(n_docs) OVER w AS DOUBLE) / CAST(t.td AS DOUBLE)
+           CAST(CAST(sum(n_docs) OVER w AS VARCHAR) AS DOUBLE) / CAST(t.td AS DOUBLE)
                AS doc_share_retained,
-           CAST(sum(n_tokens) OVER w AS DOUBLE) / CAST(t.tt AS DOUBLE)
+           CAST(CAST(sum(n_tokens) OVER w AS VARCHAR) AS DOUBLE) / CAST(t.tt AS DOUBLE)
                AS token_share_retained
     FROM b CROSS JOIN t
     WINDOW w AS (ORDER BY band DESC
@@ -668,7 +668,7 @@ def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term_pico.cast("decimal(38,0)")).cast("bigint").alias("s_pico"),
     )
     h_raw = F.log(F.col("n_chars_tot").cast("double")) - (
-        F.col("s_pico").cast("double") / F.lit(1_000_000_000_000)
+        F.col("s_pico").cast("string").cast("double") / F.lit(1_000_000_000_000)
     ) / F.col("n_chars_tot").cast("double")
     # quantize the post-ln chain (ln differs at the last ulp between
     # engines - the established quantize-after-ln contract)
@@ -727,7 +727,7 @@ _TFC_TOP = 20
     ),
     nrm AS (
         SELECT doc_id,
-               sqrt(CAST(sum(CAST(wm AS HUGEINT) * wm) AS DOUBLE)) AS nm
+               sqrt(CAST(CAST(sum(CAST(wm AS HUGEINT) * wm) AS VARCHAR) AS DOUBLE)) AS nm
         FROM w GROUP BY 1
     ),
     dots AS (
@@ -738,7 +738,7 @@ _TFC_TOP = 20
     ),
     scored AS (
         SELECT d.doc_a, d.doc_b,
-               CAST(floor(CAST(d.dot AS DOUBLE) / (na.nm * nb.nm)
+               CAST(floor(CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) / (na.nm * nb.nm)
                    * 1000000000 + 0.5) AS BIGINT) AS cos_nano
         FROM dots d
         JOIN nrm na ON na.doc_id = d.doc_a
@@ -785,8 +785,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wraps; the old cast applied after the wrap.
         F.sqrt(
             F.sum(F.col("wm").cast("decimal(38,0)") * F.col("wm")).cast(
-                "double"
-            )
+                "string"
+            ).cast("double")
         ).alias("nm")
     )
     a, b = w.alias("a"), w.alias("b")
@@ -814,7 +814,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.floor(
-                F.col("dot").cast("double")
+                F.col("dot").cast("string").cast("double")
                 / (F.col("na") * F.col("nb"))
                 * F.lit(1_000_000_000)
                 + F.lit(0.5)
@@ -878,12 +878,12 @@ _LQC_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
         FROM q
     )
     SELECT n,
-           CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                              * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           CAST(floor((CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                              * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                                * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
                       * 1000000 + 0.5) AS BIGINT) AS pearson_r_micro
     FROM m
     """,
@@ -923,15 +923,15 @@ def length_quality_correlation(
         F.sum(yd38 * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
-    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+    cov = F.col("sxy").cast("string").cast("double") - F.col("sx").cast("string").cast("double") * F.col(
         "sy"
-    ).cast("double") / nd
-    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+    ).cast("string").cast("double") / nd
+    vx = F.col("sxx").cast("string").cast("double") - F.col("sx").cast("string").cast("double") * F.col(
         "sx"
-    ).cast("double") / nd
-    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+    ).cast("string").cast("double") / nd
+    vy = F.col("syy").cast("string").cast("double") - F.col("sy").cast("string").cast("double") * F.col(
         "sy"
-    ).cast("double") / nd
+    ).cast("string").cast("double") / nd
     return m.select(
         "n",
         F.floor(cov / F.sqrt(vx * vy) * F.lit(1_000_000) + F.lit(0.5))

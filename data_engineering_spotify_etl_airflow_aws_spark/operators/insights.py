@@ -281,10 +281,9 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n_customers, total_cents,
-           round(CAST(2 * s1 - (n_customers + 1) * CAST(total_cents AS HUGEINT)
-                      AS DOUBLE)
-                 / CAST(CAST(n_customers AS HUGEINT)
-                        * CAST(total_cents AS HUGEINT) AS DOUBLE),
+           round(CAST(CAST(2 * s1 - (n_customers + 1) * CAST(total_cents AS HUGEINT) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(CAST(n_customers AS HUGEINT)
+                        * CAST(total_cents AS HUGEINT) AS VARCHAR) AS DOUBLE),
                  6) AS gini
     FROM m
     """,
@@ -328,7 +327,7 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "n_customers",
         "total_cents",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+        F.round(num.cast("string").cast("double") / den.cast("string").cast("double"), 6).alias("gini"),
     )
 
 
@@ -820,7 +819,7 @@ def auc_click_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auc = (
         F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
-    ).cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast(
+    ).cast("string").cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast(
         "double"
     )
     return m.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
@@ -968,7 +967,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_nation GROUP BY s_nationkey
     )
     SELECT s_nationkey, n_suppliers, total_rev_u6,
-           round(CAST(sum_sq AS DOUBLE)
+           round(CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE)
                  / (CAST(total_rev_u6 AS DOUBLE)
                     * CAST(total_rev_u6 AS DOUBLE)), 6) AS hhi
     FROM m
@@ -1004,12 +1003,12 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_sq"),
         )
     )
-    total_d = F.col("total_rev_u6").cast("double")
+    total_d = F.col("total_rev_u6").cast("string").cast("double")
     return m.select(
         "s_nationkey",
         "n_suppliers",
         "total_rev_u6",
-        F.round(F.col("sum_sq").cast("double") / (total_d * total_d), 6).alias(
+        F.round(F.col("sum_sq").cast("string").cast("double") / (total_d * total_d), 6).alias(
             "hhi"
         ),
     )
@@ -1154,7 +1153,7 @@ def time_to_convert_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(cum_prev * 10 // n_total AS BIGINT) AS score_decile,
            CAST(sum(n) AS BIGINT) AS n_users,
            CAST(sum(n_pos) AS BIGINT) AS n_converted,
-           CAST(sum(n_pos) AS DOUBLE) / sum(n) AS conv_rate,
+           CAST(CAST(sum(n_pos) AS VARCHAR) AS DOUBLE) / sum(n) AS conv_rate,
            CAST(min(score) AS BIGINT) AS min_score,
            CAST(max(score) AS BIGINT) AS max_score
     FROM cum GROUP BY 1
@@ -1419,10 +1418,10 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT region, nation, rev_u6,
            CAST(rev_u6 AS DOUBLE)
-               / CAST(sum(rev_u6) OVER (PARTITION BY region) AS DOUBLE)
+               / CAST(CAST(sum(rev_u6) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE)
                AS share_of_region,
-           CAST(sum(rev_u6) OVER (PARTITION BY region) AS DOUBLE)
-               / CAST(sum(rev_u6) OVER () AS DOUBLE) AS region_share_of_total
+           CAST(CAST(sum(rev_u6) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(rev_u6) OVER () AS VARCHAR) AS DOUBLE) AS region_share_of_total
     FROM by_nation
     """,
 )
@@ -1472,12 +1471,12 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "rev_u6",
         (
-            F.col("rev_u6").cast("double")
-            / F.sum(rev_dec).over(wreg).cast("double")
+            F.col("rev_u6").cast("string").cast("double")
+            / F.sum(rev_dec).over(wreg).cast("string").cast("double")
         ).alias("share_of_region"),
         (
-            F.sum(rev_dec).over(wreg).cast("double")
-            / F.sum(rev_dec).over(wall).cast("double")
+            F.sum(rev_dec).over(wreg).cast("string").cast("double")
+            / F.sum(rev_dec).over(wall).cast("string").cast("double")
         ).alias("region_share_of_total"),
     )
 
@@ -2083,8 +2082,8 @@ _LIFT_MAX_BANDS = 65536
            CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
            (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
                / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift,
-           CAST(sum(n_pos) OVER (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                / CAST(tp AS DOUBLE) AS cum_capture
     FROM g CROSS JOIN t
     """,

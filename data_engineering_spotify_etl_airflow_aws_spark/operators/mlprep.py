@@ -92,7 +92,7 @@ _DUCK_TOK_TABLE = f"""
     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
     stats AS (
         SELECT count(*) AS n_docs,
-               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+               CAST(CAST(sum(dl) AS VARCHAR) AS DOUBLE) / count(*) AS avgdl
         FROM dl
     ),
     tf AS (
@@ -120,7 +120,7 @@ _DUCK_TOK_TABLE = f"""
         FROM part GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms_matched,
-           round(CAST(score_p AS DOUBLE) / 1000000000000, 6) AS bm25_score
+           round(CAST(CAST(score_p AS VARCHAR) AS DOUBLE) / 1000000000000, 6) AS bm25_score
     FROM scored
     ORDER BY score_p DESC, doc_id
     LIMIT {_BM25_TOP}
@@ -477,8 +477,8 @@ def _bloom_pos_spark(i: int, key: str) -> str:
            CAST(sum(is_member) AS BIGINT) AS n_true_members,
            CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-           round(CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
-                         THEN 1 ELSE 0 END) AS DOUBLE)
+           round(CAST(CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / (count(*) - sum(is_member)), 6) AS fp_rate
     FROM probe
     """,
@@ -559,7 +559,7 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS ({_DUCK_TOK_TABLE}),
     vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    tot AS (SELECT CAST(CAST(sum(cnt) AS VARCHAR) AS DOUBLE) AS total FROM vocab),
     lp AS (
         SELECT tok,
                CAST(floor(ln(cnt / total) * 1000000) AS BIGINT) AS lp_u
@@ -567,14 +567,14 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_doc AS (
         SELECT doc_id, lang,
-               CAST(floor(CAST(sum(lp_u) AS DOUBLE) / count(*)) AS BIGINT)
+               CAST(floor(CAST(CAST(sum(lp_u) AS VARCHAR) AS DOUBLE) / count(*)) AS BIGINT)
                    AS avg_u
         FROM tok JOIN lp USING (tok)
         GROUP BY doc_id, lang
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(CAST(sum(avg_u) AS DOUBLE) / count(*) / 1000000, 6)
+           round(CAST(CAST(sum(avg_u) AS VARCHAR) AS DOUBLE) / count(*) / 1000000, 6)
                AS mean_logprob,
            round(CAST(min(avg_u) AS DOUBLE) / 1000000, 6) AS min_logprob,
            CAST(sum(CASE WHEN avg_u < {_ULM_FLAG_U} THEN 1 ELSE 0 END)
@@ -611,7 +611,7 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.round(
-            F.sum(F.col("avg_u").cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("avg_u").cast("decimal(38,0)")).cast("string").cast("double")
             / F.count("*")
             / 1_000_000,
             6,
@@ -725,7 +725,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("n").cast("decimal(38,0)")
                                 * F.col(f"s{i}_{j}")
                                 - F.col(f"s{i}") * F.col(f"s{j}")
-                            ).cast("double")
+                            ).cast("string").cast("double")
                             / den
                             / F.lit(1e18)
                         ).alias("cov"),
@@ -796,7 +796,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("n").cast("decimal(38,0)") * F.col(f"s{a}_{b}")
                 - F.col(f"s{a}") * F.col(f"s{b}")
-            ).cast("double")
+            ).cast("string").cast("double")
             / den
             / F.lit(1e18)
         )

@@ -372,11 +372,11 @@ def _ppm_stats_batches(
     SELECT doc_id,
            CAST({_PPM_W} AS BIGINT) AS width,
            CAST({_PPM_H} AS BIGINT) AS height,
-           CAST(sum(CASE WHEN i % 3 = 0 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 0 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PPM_NPIX} AS mean_r,
-           CAST(sum(CASE WHEN i % 3 = 1 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 1 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PPM_NPIX} AS mean_g,
-           CAST(sum(CASE WHEN i % 3 = 2 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 2 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PPM_NPIX} AS mean_b
     FROM codes
     GROUP BY doc_id
@@ -521,7 +521,7 @@ def _wav_stats_batches(
            CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(max(abs(s)) AS BIGINT) AS peak_abs,
-           CAST(sum(s * s) AS DOUBLE) / {_WAV_N_SAMPLES} AS mean_square
+           CAST(CAST(sum(s * s) AS VARCHAR) AS DOUBLE) / {_WAV_N_SAMPLES} AS mean_square
     FROM samples
     GROUP BY doc_id
     ORDER BY doc_id
@@ -670,11 +670,11 @@ def _y4m_stats_batches(
     )
     SELECT doc_id,
            CAST(f AS BIGINT) AS frame_idx,
-           CAST(sum(CASE WHEN p = 0 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN p = 0 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_Y4M_PLANE} AS mean_y,
-           CAST(sum(CASE WHEN p = 1 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN p = 1 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_Y4M_PLANE} AS mean_u,
-           CAST(sum(CASE WHEN p = 2 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN p = 2 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_Y4M_PLANE} AS mean_v
     FROM cells
     GROUP BY doc_id, f
@@ -944,11 +944,11 @@ def _png_stats_batches(
     SELECT doc_id,
            CAST({_PNG_W} AS BIGINT) AS width,
            CAST({_PNG_H} AS BIGINT) AS height,
-           CAST(sum(CASE WHEN i % 3 = 0 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 0 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PNG_NPIX} AS mean_r,
-           CAST(sum(CASE WHEN i % 3 = 1 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 1 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PNG_NPIX} AS mean_g,
-           CAST(sum(CASE WHEN i % 3 = 2 THEN code END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN i % 3 = 2 THEN code END) AS VARCHAR) AS DOUBLE)
                / {_PNG_NPIX} AS mean_b,
            CAST(sum((i + 1) * code) AS BIGINT) AS wsum
     FROM codes
@@ -1695,7 +1695,7 @@ def _jpeg_stats_batches(
     SELECT doc_id,
            CAST({_JPG_W} AS BIGINT) AS width,
            CAST({_JPG_H} AS BIGINT) AS height,
-           CAST(sum(code) AS DOUBLE) / {_JPG_BLOCKS} AS mean_gray,
+           CAST(CAST(sum(code) AS VARCHAR) AS DOUBLE) / {_JPG_BLOCKS} AS mean_gray,
            CAST(sum(code * (32768 * (i // 8) + 512 * (i % 8) + 14624))
                AS BIGINT) AS wsum
     FROM codes
@@ -1859,13 +1859,13 @@ def _resize_stats_batches(
     ),
     d AS (
         SELECT doc_id,
-               CAST(sum(val) AS DOUBLE) / {3 * _RSZ_DN * _RSZ_DN} AS mean_dn,
+               CAST(CAST(sum(val) AS VARCHAR) AS DOUBLE) / {3 * _RSZ_DN * _RSZ_DN} AS mean_dn,
                CAST(sum((i + 1) * val) AS BIGINT) AS wsum_dn
         FROM dn GROUP BY doc_id
     ),
     u AS (
         SELECT doc_id,
-               CAST(sum(val) AS DOUBLE) / {3 * _RSZ_UP * _RSZ_UP} AS mean_up,
+               CAST(CAST(sum(val) AS VARCHAR) AS DOUBLE) / {3 * _RSZ_UP * _RSZ_UP} AS mean_up,
                CAST(sum((i + 1) * val) AS BIGINT) AS wsum_up
         FROM up GROUP BY doc_id
     )

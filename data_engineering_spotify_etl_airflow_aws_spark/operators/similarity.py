@@ -660,8 +660,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_stats",
     oracle="""
     SELECT dim,
-           CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0 + 0.5)
-                         AS HUGEINT)) AS DOUBLE)
+           CAST(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0 + 0.5)
+                         AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                / (1000000000.0 * count(*)) AS dim_mean,
            CAST(min(val) AS DOUBLE) AS dim_min,
            CAST(max(val) AS DOUBLE) AS dim_max,
@@ -683,7 +683,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vecs.groupBy("dim")
         .agg(
-            (F.sum(micro).cast("double") / (F.lit(1e9) * F.count("*"))).alias(
+            (F.sum(micro).cast("string").cast("double") / (F.lit(1e9) * F.count("*"))).alias(
                 "dim_mean"
             ),
             F.min("val").alias("dim_min"),
@@ -1450,7 +1450,7 @@ def _drift_oracle() -> str:
     m AS (
         SELECT half, dim,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(u9) AS DOUBLE) / (1000000000.0 * count(*)) AS mv
+               CAST(CAST(sum(u9) AS VARCHAR) AS DOUBLE) / (1000000000.0 * count(*)) AS mv
         FROM pe GROUP BY 1, 2
     ),
     q AS (SELECT half, dim, n,
@@ -1477,7 +1477,7 @@ def _drift_oracle() -> str:
                AS cos_centroids,
            sqrt({xd('sd2')}) / 1e9 AS l2_shift,
            top.dim AS max_shift_dim,
-           CAST(top.d9 AS DOUBLE) / 1e9 AS max_shift
+           CAST(CAST(top.d9 AS VARCHAR) AS DOUBLE) / 1e9 AS max_shift
     FROM mom CROSS JOIN top WHERE top.rn = 1
     """
 
@@ -1498,7 +1498,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pe.groupBy("half", "dim").agg(
         F.count("*").alias("n"),
         (
-            F.sum(u9).cast("double")
+            F.sum(u9).cast("string").cast("double")
             / (F.lit(1_000_000_000.0) * F.count("*"))
         ).alias("mv"),
     )
@@ -1545,13 +1545,13 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         (
-            F.col("sxy").cast("double")
+            F.col("sxy").cast("string").cast("double")
             / (
-                F.sqrt(F.col("sxx").cast("double"))
-                * F.sqrt(F.col("syy").cast("double"))
+                F.sqrt(F.col("sxx").cast("string").cast("double"))
+                * F.sqrt(F.col("syy").cast("string").cast("double"))
             )
         ).alias("cos_centroids"),
-        (F.sqrt(F.col("sd2").cast("double")) / F.lit(1e9)).alias(
+        (F.sqrt(F.col("sd2").cast("string").cast("double")) / F.lit(1e9)).alias(
             "l2_shift"
         ),
         F.col("dim").alias("max_shift_dim"),
@@ -1593,7 +1593,7 @@ _U9_SIL = "CAST(floor({v} * 1000000000.0 + 0.5) AS HUGEINT)"
     ),
     cd AS (
         SELECT label, dim,
-               CAST(sum({_U9_SIL.format(v='val')}) AS DOUBLE)
+               CAST(CAST(sum({_U9_SIL.format(v='val')}) AS VARCHAR) AS DOUBLE)
                    / (1000000000.0 * count(*)) AS c
         FROM (
             SELECT label,
@@ -1626,7 +1626,7 @@ _U9_SIL = "CAST(floor({v} * 1000000000.0 + 0.5) AS HUGEINT)"
         FROM ab
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(sum(s9) AS DOUBLE) / (1000000000.0 * count(*))
+           CAST(CAST(sum(s9) AS VARCHAR) AS DOUBLE) / (1000000000.0 * count(*))
                AS mean_silhouette,
            CAST(count(*) FILTER (s9 < 0) AS BIGINT) AS n_negative
     FROM s GROUP BY label
@@ -1647,7 +1647,7 @@ def simplified_silhouette_by_label(
                     F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast(
                         "decimal(38,0)"
                     )
-                ).cast("double")
+                ).cast("string").cast("double")
                 / (F.lit(1000000000.0) * F.count("*"))
             ).alias("c")
         )
@@ -1692,7 +1692,7 @@ def simplified_silhouette_by_label(
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
             (
-                F.sum("s9").cast("double")
+                F.sum("s9").cast("string").cast("double")
                 / (F.lit(1000000000.0) * F.count("*"))
             ).alias("mean_silhouette"),
             F.count(F.when(F.col("s9") < 0, 1))
@@ -1809,7 +1809,7 @@ _ANISO_H_D = _DUCK_H32.format(s="concat('aniso:', CAST(vec_id AS VARCHAR))")
         FROM s s1 JOIN s s2 ON s1.vec_id < s2.vec_id
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(cos_nano) AS DOUBLE) / (1000000000.0 * count(*))
+           CAST(CAST(sum(cos_nano) AS VARCHAR) AS DOUBLE) / (1000000000.0 * count(*))
                AS mean_cosine,
            CAST(count(*) FILTER (cos_nano > 500000000) AS BIGINT)
                AS n_above_half
@@ -1838,7 +1838,7 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         (
-            F.sum(F.col("cos_nano").cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("cos_nano").cast("decimal(38,0)")).cast("string").cast("double")
             / (F.lit(1_000_000_000.0) * F.count("*"))
         ).alias("mean_cosine"),
         F.count(F.when(F.col("cos_nano") > 500_000_000, 1))
@@ -1922,7 +1922,7 @@ def _ra_oracle() -> str:
         FROM q
     )
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(n_common) AS DOUBLE) / (count(*) * {_RA_K})
+           CAST(CAST(sum(n_common) AS VARCHAR) AS DOUBLE) / (count(*) * {_RA_K})
                AS mean_overlap_at_10,
            CAST(sum(tau_num) AS BIGINT) AS tau_numerator,
            CAST(sum(n_common * (n_common - 1) / 2) AS BIGINT) AS tau_pairs

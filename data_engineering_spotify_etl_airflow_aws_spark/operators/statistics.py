@@ -90,22 +90,22 @@ def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT 1 AS lag_days, count(*) AS n,
                sum(v) AS sx, sum(l1) AS sy,
-               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l1 AS HUGEINT) * l1) AS DOUBLE) AS syy,
-               CAST(sum(CAST(v AS HUGEINT) * l1) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l1 AS HUGEINT) * l1) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * l1) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lagged WHERE l1 IS NOT NULL
         UNION ALL
         SELECT 7 AS lag_days, count(*) AS n,
                sum(v) AS sx, sum(l7) AS sy,
-               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l7 AS HUGEINT) * l7) AS DOUBLE) AS syy,
-               CAST(sum(CAST(v AS HUGEINT) * l7) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l7 AS HUGEINT) * l7) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * l7) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lagged WHERE l7 IS NOT NULL
     )
     SELECT lag_days, n AS n_pairs,
-           round((n * sxy - CAST(sx AS DOUBLE) * sy)
-               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
-                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           round((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+               / sqrt((n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx)
+                      * (n * syy - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * sy)), 6)
                AS autocorr_value
     FROM m
     """,
@@ -132,15 +132,15 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the use site equals the oracle's BIGINT->double.
                 F.sum(vd).alias("sx"),
                 F.sum(ld).alias("sy"),
-                F.sum(vd * F.col("v")).cast("double").alias("sxx"),
-                F.sum(ld * F.col(col)).cast("double").alias("syy"),
-                F.sum(vd * F.col(col)).cast("double").alias("sxy"),
+                F.sum(vd * F.col("v")).cast("string").cast("double").alias("sxx"),
+                F.sum(ld * F.col(col)).cast("string").cast("double").alias("syy"),
+                F.sum(vd * F.col(col)).cast("string").cast("double").alias("sxy"),
             )
         )
 
     m = moments("l1", 1).unionByName(moments("l7", 7))
     n = F.col("n")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxd, syd = F.col("sx").cast("string").cast("double"), F.col("sy").cast("string").cast("double")
     return m.select(
         "lag_days",
         n.alias("n_pairs"),
@@ -176,9 +176,9 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(CAST(abs(a.v - b.v) AS HUGEINT)) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(abs(a.v - b.v) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                / count(*) / 1000000, 6) AS mae_value,
-           round(CAST(sum(CAST(a.v - b.v AS HUGEINT)) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(a.v - b.v AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                / count(*) / 1000000, 6) AS bias_value
     FROM daily a
     JOIN daily b ON b.event_type = a.event_type
@@ -213,10 +213,10 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_pairs"),
             F.round(
-                F.sum(F.abs(diff)).cast("double") / F.count("*") / 1_000_000, 6
+                F.sum(F.abs(diff)).cast("string").cast("double") / F.count("*") / 1_000_000, 6
             ).alias("mae_value"),
             F.round(
-                F.sum(diff).cast("double") / F.count("*") / 1_000_000, 6
+                F.sum(diff).cast("string").cast("double") / F.count("*") / 1_000_000, 6
             ).alias("bias_value"),
         )
     )
@@ -263,7 +263,7 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_values,
            CAST(sum(lo) AS BIGINT) AS n_clamped_low,
            CAST(sum(hi) AS BIGINT) AS n_clamped_high,
-           round(CAST(sum(CAST(c20 AS HUGEINT)) AS DOUBLE)
+           round(CAST(CAST(sum(CAST(c20 AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                / count(*) / 20000000, 6) AS winsorized_mean,
            round(CAST(p05_20 AS DOUBLE) / 20000000, 6) AS p05_value,
            round(CAST(p95_20 AS DOUBLE) / 20000000, 6) AS p95_value
@@ -296,7 +296,7 @@ def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lo").cast("bigint").alias("n_clamped_low"),
             F.sum("hi").cast("bigint").alias("n_clamped_high"),
             F.round(
-                F.sum(F.col("c20").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("c20").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.count("*")
                 / 20_000_000,
                 6,
@@ -350,7 +350,7 @@ def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment, fold,
            CAST(cnt AS BIGINT) AS n_rows,
-           round(CAST(sum(s) OVER (PARTITION BY segment) - s AS DOUBLE)
+           round(CAST(CAST(sum(s) OVER (PARTITION BY segment) - s AS VARCHAR) AS DOUBLE)
                / (sum(cnt) OVER (PARTITION BY segment) - cnt) / 100, 6)
                AS encoding_value
     FROM g
@@ -380,7 +380,7 @@ def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         F.col("cnt").cast("bigint").alias("n_rows"),
         F.round(
-            (F.sum("s").over(wseg) - F.col("s")).cast("double")
+            (F.sum("s").over(wseg) - F.col("s")).cast("string").cast("double")
             / (F.sum("cnt").over(wseg) - F.col("cnt"))
             / 100,
             6,
@@ -422,9 +422,8 @@ def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(n) AS BIGINT) AS n_keys,
                CAST(sum(CAST(n AS HUGEINT) * c) AS BIGINT) AS n_orders,
                CAST(max(c) AS BIGINT) AS max_orders,
-               CAST(sum(2 * CAST(n AS HUGEINT)
-                   * (CAST(c AS HUGEINT) * cum_n_prev - cum_s_prev))
-                   AS DOUBLE) AS pair_sum
+               CAST(CAST(sum(2 * CAST(n AS HUGEINT)
+                   * (CAST(c AS HUGEINT) * cum_n_prev - cum_s_prev)) AS VARCHAR) AS DOUBLE) AS pair_sum
         FROM cum
     )
     SELECT n_keys, n_orders, max_orders,
@@ -463,11 +462,11 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             * nd
             * (cd * F.col("cum_n_prev") - F.col("cum_s_prev"))
         )
-        .cast("double")
+        .cast("string").cast("double")
         .alias("pair_sum"),
     )
     nk = F.col("n_keys").cast("double")
-    no = F.col("n_orders").cast("double")
+    no = F.col("n_orders").cast("string").cast("double")
     return m.select(
         "n_keys",
         "n_orders",
@@ -566,23 +565,23 @@ def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n,
                CAST(sum(x) AS BIGINT) AS sx,
                sum(v) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS syy,
-               CAST(sum(CAST(x AS HUGEINT) * v) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS sxy
         FROM idx
     )
     SELECT n AS n_days,
-           round((n * sxy - CAST(sx AS DOUBLE) * sy)
-               / (n * sxx - CAST(sx AS DOUBLE) * sx) / 1000000, 6)
+           round((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+               / (n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx) / 1000000, 6)
                AS slope_value,
-           round((CAST(sy AS DOUBLE)
-                  - (n * sxy - CAST(sx AS DOUBLE) * sy)
-                    / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+           round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - (n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+                    / (n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx) * sx)
                / n / 1000000, 6) AS intercept_value,
-           round((n * sxy - CAST(sx AS DOUBLE) * sy)
-               * (n * sxy - CAST(sx AS DOUBLE) * sy)
-               / ((n * sxx - CAST(sx AS DOUBLE) * sx)
-                  * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2_value
+           round((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+               * (n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+               / ((n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx)
+                  * (n * syy - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * sy)), 6) AS r2_value
     FROM m
     """,
 )
@@ -600,12 +599,12 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: the value-series total stays decimal (internal moment; a
         # year of 100 TB days crosses int64) - see autocorr_daily_value.
         F.sum(vd).alias("sy"),
-        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
-        F.sum(vd * F.col("v")).cast("double").alias("syy"),
-        F.sum(xd * F.col("v")).cast("double").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("string").cast("double").alias("sxx"),
+        F.sum(vd * F.col("v")).cast("string").cast("double").alias("syy"),
+        F.sum(xd * F.col("v")).cast("string").cast("double").alias("sxy"),
     )
     n = F.col("n")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("string").cast("double")
     cov = n * F.col("sxy") - sxd * F.col("sy")
     varx = n * F.col("sxx") - sxd * F.col("sx")
     vary = n * F.col("syy") - syd * F.col("sy")
@@ -650,7 +649,7 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day AS change_day,
            CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
-           round(CAST(abs(c) AS DOUBLE) / n / 1000000, 6) AS max_cusum_value
+           round(CAST(CAST(abs(c) AS VARCHAR) AS DOUBLE) / n / 1000000, 6) AS max_cusum_value
     FROM cus
     ORDER BY abs(c) DESC, day
     LIMIT 1
@@ -681,7 +680,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("change_day"),
             F.col("n").cast("bigint").alias("n_days"),
             F.round(
-                F.abs(F.col("c")).cast("double") / F.col("n") / 1_000_000, 6
+                F.abs(F.col("c")).cast("string").cast("double") / F.col("n") / 1_000_000, 6
             ).alias("max_cusum_value"),
         )
     )
@@ -708,7 +707,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, dow_iso,
            CAST(n_events AS BIGINT) AS n_events,
-           round(CAST(s AS DOUBLE) / n_events / 1000000, 6) AS mean_value,
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_events / 1000000, 6) AS mean_value,
            round(CAST(n_events AS DOUBLE)
                / sum(n_events) OVER (PARTITION BY event_type), 6)
                AS share_of_type
@@ -735,7 +734,7 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow_iso",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(
-            F.col("s").cast("double") / F.col("n_events") / 1_000_000, 6
+            F.col("s").cast("string").cast("double") / F.col("n_events") / 1_000_000, 6
         ).alias("mean_value"),
         F.round(
             F.col("n_events").cast("double") / F.sum("n_events").over(wtype), 6
@@ -837,8 +836,7 @@ _RL_CAP = 3
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CASE WHEN rn > {_RL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_throttled,
-           round(CAST(sum(CASE WHEN rn > {_RL_CAP} THEN 1 ELSE 0 END)
-               AS DOUBLE) / count(*), 6) AS throttle_rate
+           round(CAST(CAST(sum(CASE WHEN rn > {_RL_CAP} THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) / count(*), 6) AS throttle_rate
     FROM ranked
     GROUP BY event_type
     """,
@@ -895,18 +893,18 @@ _ANOM_MIN_DAYS = 3
     m AS (
         SELECT event_type, dow_iso, count(*) AS n,
                sum(v) AS s,
-               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE) AS sxx
         FROM daily GROUP BY event_type, dow_iso
     )
     SELECT d.event_type, d.day,
            round(CAST(v AS DOUBLE) / 1000000, 6) AS day_value,
            round((n * CAST(v AS DOUBLE) - s)
-               / sqrt(n * sxx - CAST(s AS DOUBLE) * s), 6) AS z_value
+               / sqrt(n * sxx - CAST(CAST(s AS VARCHAR) AS DOUBLE) * s), 6) AS z_value
     FROM daily d JOIN m ON m.event_type = d.event_type
                        AND m.dow_iso = d.dow_iso
     WHERE n >= {_ANOM_MIN_DAYS}
       AND abs((n * CAST(v AS DOUBLE) - s)
-              / sqrt(n * sxx - CAST(s AS DOUBLE) * s)) > {_ANOM_SIGMA}
+              / sqrt(n * sxx - CAST(CAST(s AS VARCHAR) AS DOUBLE) * s)) > {_ANOM_SIGMA}
     """,
 )
 def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,10 +926,10 @@ def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         # r12: per-(type,dow) series total stays decimal (internal).
         F.sum(vd).alias("s"),
-        F.sum(vd * F.col("v")).cast("double").alias("sxx"),
+        F.sum(vd * F.col("v")).cast("string").cast("double").alias("sxx"),
     )
-    z = (F.col("n") * F.col("v").cast("double") - F.col("s")) / F.sqrt(
-        F.col("n") * F.col("sxx") - F.col("s").cast("double") * F.col("s")
+    z = (F.col("n") * F.col("v").cast("string").cast("double") - F.col("s")) / F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("s").cast("string").cast("double") * F.col("s")
     )
     return (
         daily.join(F.broadcast(m), ["event_type", "dow_iso"])
@@ -939,7 +937,7 @@ def dow_adjusted_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "day",
-            F.round(F.col("v").cast("double") / 1_000_000, 6).alias(
+            F.round(F.col("v").cast("string").cast("double") / 1_000_000, 6).alias(
                 "day_value"
             ),
             F.round(z, 6).alias("z_value"),
@@ -1285,7 +1283,7 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_u6",
         "chi_term_u6",
         (
-            F.col("total_u6").cast("double") / F.lit(1_000_000).cast("double")
+            F.col("total_u6").cast("string").cast("double") / F.lit(1_000_000).cast("double")
         ).alias("chi2"),
         ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
     )
@@ -1355,14 +1353,14 @@ def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     n38 = F.col("n_events").cast("decimal(38,0)")
-    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("string").cast("double")
     den_exact = n38 * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         m.where(den_exact != F.lit(0))
         .select(
             "user_id",
             "n_events",
-            (num / den_exact.cast("double") / F.lit(1e6)).alias(
+            (num / den_exact.cast("string").cast("double") / F.lit(1e6)).alias(
                 "slope_per_day"
             ),
         )
@@ -1548,7 +1546,7 @@ def _boot_weight_sql(u: str) -> str:
     m AS (
         SELECT b, CAST(CAST(sum(CAST(w AS HUGEINT) * y6) AS VARCHAR)
                        AS DOUBLE)
-                  / CAST(sum(w) AS DOUBLE) / 1e6 AS mean_b
+                  / CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / 1e6 AS mean_b
         FROM r GROUP BY b HAVING sum(w) > 0
     ),
     o AS (
@@ -1574,7 +1572,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = e.agg(
         F.count("*").alias("n_events"),
         (
-            F.sum(F.col("y6").cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("y6").cast("decimal(38,0)")).cast("string").cast("double")
             / F.count("*")
             / F.lit(1e6)
         ).alias("point_mean"),
@@ -1604,7 +1602,7 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b",
             (
-                F.col("swy").cast("double")
+                F.col("swy").cast("string").cast("double")
                 / F.col("sw").cast("double")
                 / F.lit(1e6)
             ).alias("mean_b"),
@@ -1692,12 +1690,12 @@ _EWMA_W = [repr(0.75**j) for j in range(_EWMA_LOOKBACK)]
         FROM lagged GROUP BY 1, 2
     )
     SELECT e.event_type, e.day, e.x, round(e.ewma, 6) AS ewma_round,
-           round(sqrt((CAST(s.sxx AS DOUBLE)
+           round(sqrt((CAST(CAST(s.sxx AS VARCHAR) AS DOUBLE)
                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
                          / CAST(s.n_days AS DOUBLE))
                       / CAST(s.n_days AS DOUBLE)), 6) AS sigma_round,
-           abs(CAST(e.x AS DOUBLE) - e.ewma)
-               > 3.0 * sqrt((CAST(s.sxx AS DOUBLE)
+           abs(CAST(CAST(e.x AS VARCHAR) AS DOUBLE) - e.ewma)
+               > 3.0 * sqrt((CAST(CAST(s.sxx AS VARCHAR) AS DOUBLE)
                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
                          / CAST(s.n_days AS DOUBLE))
                       / CAST(s.n_days AS DOUBLE)) AS out_of_control
@@ -1745,7 +1743,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma"),
     )
     var = (
-        F.col("sxx").cast("double")
+        F.col("sxx").cast("string").cast("double")
         - F.col("sx").cast("double")
         * F.col("sx").cast("double")
         / F.col("n_days").cast("double")
@@ -1792,7 +1790,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tr AS (
         SELECT day, x_micro,
-               CAST(sum(x_micro) OVER w AS DOUBLE)
+               CAST(CAST(sum(x_micro) OVER w AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) OVER w AS DOUBLE) AS trend_micro
         FROM d
         WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
@@ -1848,7 +1846,7 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "x_micro",
         (
-            F.sum(F.col("x_micro").cast("decimal(38,0)")).over(w).cast("double")
+            F.sum(F.col("x_micro").cast("decimal(38,0)")).over(w).cast("string").cast("double")
             / F.count("*").over(w).cast("double")
         ).alias("trend_micro"),
     )
@@ -1858,7 +1856,7 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_micro",
         (F.weekday("day") + F.lit(1)).alias("dow"),
         F.floor(
-            F.col("x_micro").cast("double") - F.col("trend_micro") + F.lit(0.5)
+            F.col("x_micro").cast("string").cast("double") - F.col("trend_micro") + F.lit(0.5)
         )
         .cast("bigint")
         .alias("det_micro"),
@@ -1872,15 +1870,15 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nd").cast("bigint").alias("gn"),
     )
     seasonal = (
-        F.col("sd").cast("double") / F.col("nd").cast("double")
-        - F.col("gs").cast("double") / F.col("gn").cast("double")
+        F.col("sd").cast("string").cast("double") / F.col("nd").cast("double")
+        - F.col("gs").cast("string").cast("double") / F.col("gn").cast("double")
     )
     return (
         det.join(F.broadcast(s), "dow")
         .crossJoin(F.broadcast(g))
         .select(
             "day",
-            (F.col("x_micro").cast("double") / F.lit(1_000_000)).alias(
+            (F.col("x_micro").cast("string").cast("double") / F.lit(1_000_000)).alias(
                 "value_total"
             ),
             # floor(x + 0.5)/1e6, not round(,6): round() half-boundary
@@ -1894,7 +1892,7 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 F.floor(
-                    F.col("x_micro").cast("double")
+                    F.col("x_micro").cast("string").cast("double")
                     - F.col("trend_micro")
                     - seasonal
                     + F.lit(0.5)
@@ -1974,7 +1972,7 @@ def diurnal_circular_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_p").cast("decimal(38,0)")).cast("bigint").alias("ss"),
         F.sum(F.col("c_p").cast("decimal(38,0)")).cast("bigint").alias("cc"),
     )
-    ang = F.atan2(F.col("ss").cast("double"), F.col("cc").cast("double"))
+    ang = F.atan2(F.col("ss").cast("string").cast("double"), F.col("cc").cast("string").cast("double"))
     mean_hour = (
         F.floor(
             ((ang + two_pi) % two_pi) / two_pi * 24 * F.lit(1_000_000_000)
@@ -1985,8 +1983,8 @@ def diurnal_circular_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         F.floor(
             F.sqrt(
-                F.col("ss").cast("double") * F.col("ss").cast("double")
-                + F.col("cc").cast("double") * F.col("cc").cast("double")
+                F.col("ss").cast("string").cast("double") * F.col("ss").cast("string").cast("double")
+                + F.col("cc").cast("string").cast("double") * F.col("cc").cast("string").cast("double")
             )
             / (F.lit(1_000_000_000_000.0) * F.col("n").cast("double"))
             * F.lit(1_000_000_000)
@@ -2032,8 +2030,7 @@ def diurnal_circular_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
     )
     SELECT p_brand,
-           CAST(min(CASE WHEN 2 * cum >= tot THEN p_retailprice END)
-               AS DOUBLE) AS weighted_median_price,
+           CAST(CAST(min(CASE WHEN 2 * cum >= tot THEN p_retailprice END) AS VARCHAR) AS DOUBLE) AS weighted_median_price,
            CAST(max(tot) AS BIGINT) AS total_qty_micro,
            CAST(count(*) AS BIGINT) AS n_parts
     FROM c GROUP BY p_brand
@@ -2078,7 +2075,7 @@ def weighted_median_price_by_brand(
         F.min(
             F.when(2 * F.col("cum") >= F.col("tot"), F.col("p_retailprice"))
         )
-        .cast("double")
+        .cast("string").cast("double")
         .alias("weighted_median_price"),
         F.max("tot").cast("bigint").alias("total_qty_micro"),
         F.count("*").cast("bigint").alias("n_parts"),
@@ -2114,7 +2111,7 @@ def weighted_median_price_by_brand(
     SELECT date_trunc('month', launch_day) AS launch_month,
            CAST(count(*) AS BIGINT) AS n_parts,
            CAST(sum(n_orders_30d) AS BIGINT) AS total_early_orders,
-           CAST(sum(n_orders_30d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           CAST(CAST(sum(n_orders_30d) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                AS avg_early_orders,
            CAST(count(*) FILTER (n_orders_30d >= 5) AS BIGINT)
                AS n_fast_starters
@@ -2183,9 +2180,9 @@ def part_adoption_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT seg,
            CAST(max(n) AS BIGINT) AS n_orders,
-           CAST(min(CASE WHEN 4 * cum >= n THEN price END) AS DOUBLE) AS p25,
-           CAST(min(CASE WHEN 2 * cum >= n THEN price END) AS DOUBLE) AS p50,
-           CAST(min(CASE WHEN 4 * cum >= 3 * n THEN price END) AS DOUBLE)
+           CAST(CAST(min(CASE WHEN 4 * cum >= n THEN price END) AS VARCHAR) AS DOUBLE) AS p25,
+           CAST(CAST(min(CASE WHEN 2 * cum >= n THEN price END) AS VARCHAR) AS DOUBLE) AS p50,
+           CAST(CAST(min(CASE WHEN 4 * cum >= 3 * n THEN price END) AS VARCHAR) AS DOUBLE)
                AS p75
     FROM c GROUP BY seg
     """,
@@ -2280,18 +2277,18 @@ def segment_price_quartiles_exact(
     ),
     th AS (
         SELECT n, sx,
-               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+               (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)
                    / CAST(n AS DOUBLE))
-               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta
+               / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) AS theta
         FROM m
     ),
     g AS (
         SELECT u.treated,
                CAST(count(*) AS BIGINT) AS n_g,
-               CAST(sum(u.y_micro) AS DOUBLE) / count(*) AS y_mean,
-               (CAST(sum(u.y_micro) AS DOUBLE)
-                - th.theta * (CAST(sum(u.x_micro) AS DOUBLE)
+               CAST(CAST(sum(u.y_micro) AS VARCHAR) AS DOUBLE) / count(*) AS y_mean,
+               (CAST(CAST(sum(u.y_micro) AS VARCHAR) AS DOUBLE)
+                - th.theta * (CAST(CAST(sum(u.x_micro) AS VARCHAR) AS DOUBLE)
                               - count(*) * (CAST(max(th.sx) AS DOUBLE)
                                             / CAST(max(th.n) AS DOUBLE))))
                    / count(*) AS y_adj_mean,
@@ -2361,11 +2358,11 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     theta = (
-        F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+        F.col("sxy").cast("string").cast("double")
+        - F.col("sx").cast("string").cast("double") * F.col("sy").cast("string").cast("double") / nd
     ) / (
-        F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+        F.col("sxx").cast("string").cast("double")
+        - F.col("sx").cast("string").cast("double") * F.col("sx").cast("string").cast("double") / nd
     )
     th = m.select("n", "sx", theta.alias("theta"))
     g = (
@@ -2374,18 +2371,18 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_g"),
             (
-                F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.count("*")
             ).alias("y_mean"),
             (
                 (
-                    F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("double")
+                    F.sum(F.col("y_micro").cast("decimal(38,0)")).cast("string").cast("double")
                     - F.max("theta")
                     * (
-                        F.sum(F.col("x_micro").cast("decimal(38,0)")).cast("double")
+                        F.sum(F.col("x_micro").cast("decimal(38,0)")).cast("string").cast("double")
                         - F.count("*")
                         * (
-                            F.max("sx").cast("double")
+                            F.max("sx").cast("string").cast("double")
                             / F.max("n").cast("double")
                         )
                     )
@@ -2464,8 +2461,8 @@ _ST_OR["cuped_ab_adjustment"] = _ST_OR["cuped_ab_adjustment"].format(
     ),
     s1 AS (
         SELECT day, i,
-               abs(CAST(floor(CAST(cum AS DOUBLE) / i
-                   - CAST(tot - cum AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
+               abs(CAST(floor(CAST(CAST(cum AS VARCHAR) AS DOUBLE) / i
+                   - CAST(CAST(tot - cum AS VARCHAR) AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
                    AS gap
         FROM c WHERE i < n
     ),
@@ -2487,8 +2484,8 @@ _ST_OR["cuped_ab_adjustment"] = _ST_OR["cuped_ab_adjustment"].format(
     ),
     s2 AS (
         SELECT left_side, day,
-               abs(CAST(floor(CAST(cum AS DOUBLE) / i
-                   - CAST(tot - cum AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
+               abs(CAST(floor(CAST(CAST(cum AS VARCHAR) AS DOUBLE) / i
+                   - CAST(CAST(tot - cum AS VARCHAR) AS DOUBLE) / (n - i) + 0.5) AS BIGINT))
                    AS gap
         FROM c2 WHERE i < n AND n >= 2
     ),
@@ -2547,8 +2544,8 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gap_col():
         return F.abs(
             F.floor(
-                F.col("cum").cast("double") / F.col("i")
-                - (F.col("tot") - F.col("cum")).cast("double")
+                F.col("cum").cast("string").cast("double") / F.col("i")
+                - (F.col("tot") - F.col("cum")).cast("string").cast("double")
                 / (F.col("n") - F.col("i"))
                 + F.lit(0.5)
             ).cast("bigint")
@@ -2633,10 +2630,10 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT event_type, n,
-               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
-               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
-               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
-               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+               CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r4
         FROM m
     ),
     k AS (
@@ -2673,10 +2670,10 @@ def skewness_kurtosis_by_type(
         F.sum(d * d * d * d).alias("s4"),
     )
     nd = F.col("n").cast("double")
-    m1 = F.col("s1").cast("double") / nd
-    r2 = F.col("s2").cast("double") / nd
-    r3 = F.col("s3").cast("double") / nd
-    r4 = F.col("s4").cast("double") / nd
+    m1 = F.col("s1").cast("string").cast("double") / nd
+    r2 = F.col("s2").cast("string").cast("double") / nd
+    r3 = F.col("s3").cast("string").cast("double") / nd
+    r4 = F.col("s4").cast("string").cast("double") / nd
     mu2 = r2 - m1 * m1
     mu3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
     mu4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
@@ -2899,7 +2896,7 @@ def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.n_s AS n_sample, m.n_all AS n_population,
            floor((CAST(m.s_s AS DOUBLE) / CAST(m.n_s AS DOUBLE)
                   - CAST(m.s_all AS DOUBLE) / CAST(m.n_all AS DOUBLE))
-                 / sqrt((CAST(m.ss_all AS DOUBLE)
+                 / sqrt((CAST(CAST(m.ss_all AS VARCHAR) AS DOUBLE)
                          - CAST(m.s_all AS DOUBLE) * CAST(m.s_all AS DOUBLE)
                            / CAST(m.n_all AS DOUBLE))
                         / CAST(m.n_all AS DOUBLE))
@@ -2946,14 +2943,14 @@ def hash_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term_n9).alias("tv_n9"))
     )
     var = (
-        F.col("ss_all").cast("double")
-        - F.col("s_all").cast("double")
-        * F.col("s_all").cast("double")
+        F.col("ss_all").cast("string").cast("double")
+        - F.col("s_all").cast("string").cast("double")
+        * F.col("s_all").cast("string").cast("double")
         / F.col("n_all").cast("double")
     ) / F.col("n_all").cast("double")
     smd = (
-        F.col("s_s").cast("double") / F.col("n_s").cast("double")
-        - F.col("s_all").cast("double") / F.col("n_all").cast("double")
+        F.col("s_s").cast("string").cast("double") / F.col("n_s").cast("double")
+        - F.col("s_all").cast("string").cast("double") / F.col("n_all").cast("double")
     ) / F.sqrt(var)
 
     def q9(col):
@@ -3008,8 +3005,8 @@ _BAKE_H = 7  # holdout days
     f AS (
         SELECT day, x,
                lag(x, 7) OVER w AS f_naive,
-               CAST(floor(CAST(sum(x) OVER (ORDER BY day
-                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+               CAST(floor(CAST(CAST(sum(x) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS VARCHAR) AS DOUBLE)
                    / count(x) OVER (ORDER BY day
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) + 0.5)
                    AS BIGINT) AS f_mean,
@@ -3063,7 +3060,7 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.lag("x", 7).over(w).alias("f_naive"),
         F.floor(
-            F.sum(F.col("x").cast("decimal(38,0)")).over(w_tm).cast("double")
+            F.sum(F.col("x").cast("decimal(38,0)")).over(w_tm).cast("string").cast("double")
             / F.count("x").over(w_tm)
             + F.lit(0.5)
         )
@@ -3085,7 +3082,7 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("seasonal_naive").alias("model"),
         "n_days",
         (
-            F.col("ae_naive").cast("double")
+            F.col("ae_naive").cast("string").cast("double")
             / (F.lit(1_000_000.0) * F.col("n_days"))
         ).alias("mae"),
         (F.col("ae_naive") <= F.col("ae_mean")).alias("is_winner"),
@@ -3094,7 +3091,7 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("trailing_mean").alias("model"),
         "n_days",
         (
-            F.col("ae_mean").cast("double")
+            F.col("ae_mean").cast("string").cast("double")
             / (F.lit(1_000_000.0) * F.col("n_days"))
         ).alias("mae"),
         (F.col("ae_mean") < F.col("ae_naive")).alias("is_winner"),
@@ -3130,8 +3127,8 @@ def forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT is_weekend, n,
-               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
                    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
         FROM g
     ),
@@ -3178,11 +3175,11 @@ def welch_t_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = g.select(
         "is_weekend",
         "n",
-        (F.col("s1").cast("double") / nd).alias("mean"),
+        (F.col("s1").cast("string").cast("double") / nd).alias("mean"),
         (
             (
-                F.col("s2").cast("double")
-                - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+                F.col("s2").cast("string").cast("double")
+                - F.col("s1").cast("string").cast("double") * F.col("s1").cast("string").cast("double") / nd
             )
             / (F.col("n") - 1).cast("double")
         ).alias("var"),

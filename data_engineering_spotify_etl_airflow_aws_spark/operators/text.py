@@ -371,8 +371,8 @@ _VOCAB_K = 500
         GROUP BY t.doc_id, t.lang
     )
     SELECT lang, count(*) AS n_docs,
-           CAST(sum(CAST(floor((1.0 - CAST(n_in AS DOUBLE) / n_tok)
-                          * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+           CAST(CAST(sum(CAST(floor((1.0 - CAST(n_in AS DOUBLE) / n_tok)
+                          * 1000000000.0 + 0.5) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
                / (1000000000.0 * count(*)) AS avg_oov_ratio
     FROM per_doc GROUP BY lang ORDER BY lang
     """,
@@ -412,7 +412,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             (
-                F.sum(u9.cast("decimal(38,0)")).cast("double")
+                F.sum(u9.cast("decimal(38,0)")).cast("string").cast("double")
                 / (F.lit(1_000_000_000.0) * F.count("*"))
             ).alias("avg_oov_ratio"),
         )
@@ -593,21 +593,21 @@ def _register_zipf() -> None:
             SELECT count(*) AS n,
                    CAST(sum(x) AS BIGINT) AS sx,
                    CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-                   CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
-                   CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+                   CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
             FROM ranked
         )
         SELECT n AS vocab_size,
-               round((n * sxy - CAST(sx AS DOUBLE) * sy)
-                   / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
-               round((CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) * sy)
-                       / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+               round((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+                   / (n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx), 6) AS zipf_slope,
+               round((CAST(CAST(sy AS VARCHAR) AS DOUBLE) - ((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+                       / (n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx)) * sx)
                    / n / 1000000, 6) AS intercept_ln,
-               round(((n * sxy - CAST(sx AS DOUBLE) * sy)
-                      * (n * sxy - CAST(sx AS DOUBLE) * sy))
-                   / ((n * sxx - CAST(sx AS DOUBLE) * sx)
-                      * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+               round(((n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy)
+                      * (n * sxy - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sy))
+                   / ((n * sxx - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * sx)
+                      * (n * syy - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * sy)), 6) AS r2
         FROM m
         """,
     )
@@ -633,9 +633,9 @@ def _register_zipf() -> None:
             F.count("*").alias("n"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
-            F.sum(xd * F.col("x")).cast("double").alias("sxx"),
-            F.sum(yd * F.col("y")).cast("double").alias("syy"),
-            F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+            F.sum(xd * F.col("x")).cast("string").cast("double").alias("sxx"),
+            F.sum(yd * F.col("y")).cast("string").cast("double").alias("syy"),
+            F.sum(xd * F.col("y")).cast("string").cast("double").alias("sxy"),
         )
         n = F.col("n")
         sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -1180,7 +1180,7 @@ _VCC_KS = (10, 100, 1000, 10000)
     )
     SELECT CAST(rk AS BIGINT) AS k,
            CAST(cum AS BIGINT) AS tokens_covered,
-           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage_share,
+           CAST(CAST(cum AS VARCHAR) AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS coverage_share,
            CAST(n_types AS BIGINT) AS n_types
     FROM r WHERE rk IN {_VCC_KS}
     """,

@@ -384,7 +384,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PS_CTE}
     SELECT nation, o_year,
-           CAST(sum(CAST(amount_micro AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+           CAST(CAST(sum(CAST(amount_micro AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000
                AS profit
     FROM (
         SELECT n_name AS nation,
@@ -445,7 +445,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.col("amount_micro").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("amount_micro").cast("decimal(38,0)")).cast("string").cast("double")
                 / F.lit(1_000_000)
             ).alias("profit")
         )
@@ -477,10 +477,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ps_partkey
     )
     SELECT ps_partkey,
-           CAST(value_micro AS DOUBLE) / 1000000 AS stock_value
+           CAST(CAST(value_micro AS VARCHAR) AS DOUBLE) / 1000000 AS stock_value
     FROM val
-    WHERE CAST(value_micro AS DOUBLE)
-          > (SELECT CAST(sum(value_micro) AS DOUBLE) * 0.0001 FROM val)
+    WHERE CAST(CAST(value_micro AS VARCHAR) AS DOUBLE)
+          > (SELECT CAST(CAST(sum(value_micro) AS VARCHAR) AS DOUBLE) * 0.0001 FROM val)
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,14 +516,14 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _Q11_VAL_CACHE.append(val)
     total = val.agg(
-        (F.sum("value_micro").cast("double") * F.lit(0.0001)).alias("threshold")
+        (F.sum("value_micro").cast("string").cast("double") * F.lit(0.0001)).alias("threshold")
     )
     return (
         val.join(F.broadcast(total))
-        .where(F.col("value_micro").cast("double") > F.col("threshold"))
+        .where(F.col("value_micro").cast("string").cast("double") > F.col("threshold"))
         .select(
             "ps_partkey",
-            (F.col("value_micro").cast("double") / F.lit(1_000_000)).alias(
+            (F.col("value_micro").cast("string").cast("double") / F.lit(1_000_000)).alias(
                 "stock_value"
             ),
         )

@@ -381,8 +381,8 @@ def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_intervals,
            CAST(sum(dt_us) AS BIGINT) AS span_us,
-           round(CAST(sum(val_u6 * dt_us) AS DOUBLE)
-               / (1000000.0 * CAST(sum(dt_us) AS DOUBLE)), 6) AS twa_value
+           round(CAST(CAST(sum(val_u6 * dt_us) AS VARCHAR) AS DOUBLE)
+               / (1000000.0 * CAST(CAST(sum(dt_us) AS VARCHAR) AS DOUBLE)), 6) AS twa_value
     FROM iv GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -413,8 +413,8 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engines' int128/decimal -> double conversions can differ in
             # the last ulp (same reason value_quantiles_exact rounds)
             F.round(
-                F.sum(F.col("val_u6") * F.col("dt_us")).cast("double")
-                / (F.lit(1_000_000.0) * F.sum("dt_us").cast("double")),
+                F.sum(F.col("val_u6") * F.col("dt_us")).cast("string").cast("double")
+                / (F.lit(1_000_000.0) * F.sum("dt_us").cast("string").cast("double")),
                 6,
             ).alias("twa_value"),
         )
@@ -778,7 +778,7 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bounces,
-           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / count(*) AS bounce_rate
     FROM sessions GROUP BY day
     """,
@@ -1129,9 +1129,9 @@ def _wm_oracle() -> str:
            CAST(sum(n_events) OVER (ORDER BY lateness_bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_events,
-           CAST(sum(n_events) OVER (ORDER BY lateness_bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-               / CAST(sum(n_events) OVER () AS DOUBLE) AS cum_share
+           CAST(CAST(sum(n_events) OVER (ORDER BY lateness_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(n_events) OVER () AS VARCHAR) AS DOUBLE) AS cum_share
     FROM hist
     """
 
@@ -1346,14 +1346,14 @@ def late_data_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_events",
         "n_late",
-        (F.col("final_u6").cast("double") / F.lit(1e6)).alias("final_value"),
-        (F.col("ontime_u6").cast("double") / F.lit(1e6)).alias(
+        (F.col("final_u6").cast("string").cast("double") / F.lit(1e6)).alias("final_value"),
+        (F.col("ontime_u6").cast("string").cast("double") / F.lit(1e6)).alias(
             "ontime_value"
         ),
         F.when(
             F.col("final_u6") != 0,
-            (F.col("final_u6") - F.col("ontime_u6")).cast("double")
-            / F.col("final_u6").cast("double"),
+            (F.col("final_u6") - F.col("ontime_u6")).cast("string").cast("double")
+            / F.col("final_u6").cast("string").cast("double"),
         ).alias("restatement_share"),
     )
 
@@ -1387,7 +1387,7 @@ _TRAIL_7D_US = 7 * 24 * 3600 * 1_000_000
         FROM events
     )
     SELECT event_id, user_id,
-           CAST(sum(y6) OVER w AS DOUBLE) / 1e6 AS trail_7d_value,
+           CAST(CAST(sum(y6) OVER w AS VARCHAR) AS DOUBLE) / 1e6 AS trail_7d_value,
            CAST(count(*) OVER w AS BIGINT) AS n_in_window
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY us
@@ -1489,11 +1489,11 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_gaps",
         (
-            (F.col("s").cast("double") / F.col("n_gaps")) / F.lit(1e6)
+            (F.col("s").cast("string").cast("double") / F.col("n_gaps")) / F.lit(1e6)
         ).alias("mean_gap_sec"),
         (
-            F.sqrt((n38 * F.col("sq") - F.col("s") * F.col("s")).cast("double"))
-            / F.col("s").cast("double")
+            F.sqrt((n38 * F.col("sq") - F.col("s") * F.col("s")).cast("string").cast("double"))
+            / F.col("s").cast("string").cast("double")
         ).alias("cv_gap"),
     )
 
@@ -1618,7 +1618,7 @@ _MACRO_GAP_US = 24 * 3600 * 1_000_000
            CAST(sum(n_ev) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(new_v) AS BIGINT) AS n_visits,
-           CAST(count(*) AS DOUBLE) / CAST(sum(new_v) AS DOUBLE)
+           CAST(count(*) AS DOUBLE) / CAST(CAST(sum(new_v) AS VARCHAR) AS DOUBLE)
                AS sessions_per_visit
     FROM v GROUP BY user_id
     """,
@@ -1836,9 +1836,9 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT p.a, p.b, p.n_ab,
-           (CAST(p.n_ab AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
-               / ((CAST(ta.n_t AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
-                  * (CAST(tb.n_t AS DOUBLE) / CAST(n.n_sessions AS DOUBLE)))
+           (CAST(CAST(p.n_ab AS VARCHAR) AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
+               / ((CAST(CAST(ta.n_t AS VARCHAR) AS DOUBLE) / CAST(n.n_sessions AS DOUBLE))
+                  * (CAST(CAST(tb.n_t AS VARCHAR) AS DOUBLE) / CAST(n.n_sessions AS DOUBLE)))
                AS lift
     FROM pairs p
     JOIN tp ta ON ta.typ = p.a
@@ -2168,8 +2168,8 @@ def breach_run_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.slot * 30 // 60 AS BIGINT) AS hour,
            s.n AS n_events,
            CAST(s.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS slot_share,
-           CAST(sum(s.n) OVER (ORDER BY s.slot
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           CAST(CAST(sum(s.n) OVER (ORDER BY s.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                / CAST(t.tot AS DOUBLE) AS cum_share
     FROM s CROSS JOIN t
     """,

@@ -165,14 +165,76 @@ def _default_local_dir() -> str:
     return "/tmp/spark_graft_local"
 
 
+# SF-aware driver-heap sizing (r14 finding, codified r15 per verdict
+# ask #5): in local mode every executor thread shares the driver JVM,
+# so the heap must scale with DATA, not be maximized. Measured: 8g is
+# optimal through sf1 (~240 MB parquet; 64g is 3-4x slower on iterative
+# ops), while the sf10 heavy family (2.3 GB parquet) OOMs at 8g
+# (GCLocker retry storms, then JVM death 1500s into the run) and
+# completes clean at 32g with zero scaling flags (SCALING_r14.md pass
+# 2). On a real cluster this is ordinary per-executor memory sizing.
+_BIG_FIXTURE_BYTES = 600 * 1024 * 1024
+_BIG_FIXTURE_MEM = "32g"
+
+
+def _mem_gib(spec: str) -> float:
+    import re as _re
+
+    m = _re.match(r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)", spec.lower())
+    if not m:
+        return 0.0
+    n, unit = float(m.group(1)), m.group(2)
+    return n * {"k": 1 / 1024 / 1024, "m": 1 / 1024, "g": 1.0, "t": 1024.0,
+                "": 1 / 1024 / 1024 / 1024}[unit]
+
+
+def recommended_driver_mem(sf_dir: str | None) -> str | None:
+    """Return the fixture-derived heap override ("32g" past ~sf3-scale
+    data), or None when the host-derived default (<=8g) is right."""
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return None
+    total = 0
+    for dirpath, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+        if total > _BIG_FIXTURE_BYTES:
+            return _BIG_FIXTURE_MEM
+    return _BIG_FIXTURE_MEM if total > _BIG_FIXTURE_BYTES else None
+
+
 def get_spark(
     app_name: str = "spotify-analytics-engine",
     shuffle_partitions: int | str | None = None,
     master: str | None = None,
+    sf_dir: str | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     sp = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    sf_mem = recommended_driver_mem(sf_dir)
+    env_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if sf_mem and not env_mem:
+        import sys as _sys
+
+        print(
+            f"session: fixture at {sf_dir} exceeds "
+            f"{_BIG_FIXTURE_BYTES >> 20} MB - sizing driver heap to "
+            f"{sf_mem} (SPARK_GRAFT_DRIVER_MEM overrides)",
+            file=_sys.stderr,
+        )
+    elif sf_mem and env_mem and _mem_gib(env_mem) < _mem_gib(sf_mem):
+        import sys as _sys
+
+        print(
+            f"session: WARNING - SPARK_GRAFT_DRIVER_MEM={env_mem} is below "
+            f"the {sf_mem} this fixture size needs (measured: 8g OOMs on "
+            f"the sf10 heavy family, SCALING_r14.md); expect JVM death "
+            f"under the heavy queries",
+            file=_sys.stderr,
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -194,7 +256,9 @@ def get_spark(
         # ADVICE); the env var still wins when set.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", sf_mem or _default_driver_mem()
+            ),
         )
         # The generated-code cache (CodeGenerator.cache) defaults to 100
         # entries while this suite compiles ~1000+ distinct codegen

@@ -347,7 +347,7 @@ def _drain_session_deltas(spark, sf_dir: str, out_dir: str) -> None:
            CAST(sum(n_ev) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(new_v) AS BIGINT) AS n_visits,
-           CAST(count(*) AS DOUBLE) / CAST(sum(new_v) AS DOUBLE)
+           CAST(count(*) AS DOUBLE) / CAST(CAST(sum(new_v) AS VARCHAR) AS DOUBLE)
                AS sessions_per_visit
     FROM v GROUP BY user_id
     """,

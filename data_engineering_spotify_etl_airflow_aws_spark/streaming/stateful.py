@@ -329,8 +329,7 @@ def rate_limit_stream(events_stream: DataFrame) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CASE WHEN rn > {_SRL_CAP} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_throttled,
-           round(CAST(sum(CASE WHEN rn > {_SRL_CAP} THEN 1 ELSE 0 END)
-               AS DOUBLE) / count(*), 6) AS throttle_rate
+           round(CAST(CAST(sum(CASE WHEN rn > {_SRL_CAP} THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) / count(*), 6) AS throttle_rate
     FROM ranked
     GROUP BY event_type
     """,

@@ -94,6 +94,18 @@ _SWEEP_SUITES: dict[str, tuple[str, float, str]] = {
         1.0,
         "SPARK_GRAFT_SF1_PARITY",
     ),
+    "test_parity_sf10.py": (
+        "sf10_oracle_parity_at_risk",
+        10.0,
+        "SPARK_GRAFT_SF10_PARITY",
+    ),
+    # the 5k-doc hash sample OF THE SF1 FIXTURE (sf recorded as 1.0:
+    # sf1 vocabulary/shingle statistics are the point of the evidence)
+    "test_parity_sf1_sampled.py": (
+        "sf1_sampled_quadratic_parity",
+        1.0,
+        "SPARK_GRAFT_SF1_SAMPLED_PARITY",
+    ),
 }
 
 # full-registry mode (env var == "full") records under a distinct sweep
@@ -104,6 +116,7 @@ _FULL_MODE_NAMES: dict[str, str] = {
     "test_partition_invariance.py": "partition_invariance_full",
     "test_parity_sf01.py": "sf01_oracle_parity_full",
     "test_parity_sf1.py": "sf1_oracle_parity_full",
+    "test_parity_sf10.py": "sf10_oracle_parity_full",
 }
 
 # r14: the sf1 suite's "rest" mode (full-registry MINUS the at-risk
@@ -111,6 +124,7 @@ _FULL_MODE_NAMES: dict[str, str] = {
 # composes a complete sf1 validation without re-running either half.
 _REST_MODE_NAMES: dict[str, str] = {
     "test_parity_sf1.py": "sf1_oracle_parity_rest",
+    "test_parity_sf10.py": "sf10_oracle_parity_rest",
 }
 
 _sweep_outcomes: dict[str, dict[str, str]] = {}

@@ -542,3 +542,69 @@ def test_no_raw_hash_checksum_sums():
             if fn.endswith(".py"):
                 findings.extend(_scan_file_h32_sums(os.path.join(d, fn)))
     assert not findings, "\n".join(findings)
+
+
+# ---------------------------------------------------------------------
+# Seventh lint (r15): the decimal->double CONVERSION class — the family
+# that produced r14's only wrong answer (pricing_summary's sum_charge,
+# one ulp off at sf1 only). Once a decimal/HUGEINT value's unscaled
+# magnitude crosses 2^53, the engines' NATIVE wide->double casts are not
+# both correctly rounded (measured: DuckDB's DECIMAL->DOUBLE diverges
+# from its correctly-rounded VARCHAR parser on 2476/16k adversarial
+# magnitudes, HUGEINT->DOUBLE on 15/4k — the r6 int128 truncation
+# family; Spark's JDK path agreed with the string hop on all of them;
+# evidence/decimal_double_rounding_probe.json). Every money sum crosses
+# 2^53 at the 100 TB design point, so the convention is tree-wide: a
+# decimal-sourced `.cast("double")` must take `.cast("string")` first,
+# and an oracle `CAST(<wide> AS DOUBLE)` must take the VARCHAR hop —
+# both closed mechanically in r15 (tools/apply_string_hop_r15.py).
+# This lint re-runs the same scanners the rewrite used, so the class
+# cannot reappear on either side. Explicit exact-int64 narrowings
+# (CAST(... AS BIGINT) AS DOUBLE) stay native: long->double is
+# correctly rounded by spec in both engines (JLS 5.1.2; hardware
+# i64->f64 under round-to-nearest).
+
+_ALLOWED_SPARK_NATIVE_DECIMAL_DOUBLE: set[tuple[str, str]] = set()
+_ALLOWED_ORACLE_WIDE_NATIVE: set[tuple[str, str]] = set()
+
+
+def test_no_native_decimal_to_double_conversions():
+    from tools.triage_decimal_double import scan_spark_side
+
+    sites = scan_spark_side()
+    # guard the guard: the scanners found 167 hopped sites at r15 close;
+    # a scanner regression that stops seeing casts must fail loudly
+    assert sum(1 for s in sites if s["kind"] == "hop") >= 150, (
+        "decimal->double scanner regression: hop census collapsed"
+    )
+    bad = [
+        f"{s['file']}:{s['line']} {s['func']}: {s['snippet'][:80]!r} — "
+        f"decimal-sourced .cast('double') must take .cast('string') "
+        f"first (conversion convention, r15) or be allowlisted with a "
+        f"<2^53 magnitude proof"
+        for s in sites
+        if s["kind"].startswith("decimal_native")
+        and (s["file"].split("/")[-1], s["func"])
+        not in _ALLOWED_SPARK_NATIVE_DECIMAL_DOUBLE
+    ]
+    assert not bad, "\n".join(bad)
+
+
+def test_no_native_wide_to_double_oracle_casts():
+    from tools.triage_decimal_double import scan_oracle_side
+
+    sites = scan_oracle_side()
+    assert sum(1 for s in sites if s["kind"] == "hop") >= 400, (
+        "oracle wide->double scanner regression: hop census collapsed"
+    )
+    bad = [
+        f"{s['query']}: CAST({s['inner'][:80]} AS DOUBLE) — wide "
+        f"(HUGEINT/DECIMAL) oracle cast must take the VARCHAR hop "
+        f"(conversion convention, r15) or be allowlisted with a <2^53 "
+        f"magnitude proof"
+        for s in sites
+        if s["kind"].startswith("wide_native")
+        and (s["query"], s["inner"][:40])
+        not in _ALLOWED_ORACLE_WIDE_NATIVE
+    ]
+    assert not bad, "\n".join(bad)

@@ -178,7 +178,12 @@ def test_audit_window_pinned():
         for n in engine.PIN_FIRST
         if n in registry.QUERIES and ledger.get(n, -1) < engine.PIN_ROUND
     ]
-    assert engine.AUDIT_FIRST[: len(active)] == active
+    # r15: active pins can EXCEED the window (the conversion-class
+    # closure pinned 132 queries); the window takes the head and the
+    # remainder carries into later rounds by the standing expiry rule,
+    # so the invariant is prefix-of-the-truncated-pin-list.
+    head = active[: engine.AUDIT_WINDOW]
+    assert engine.AUDIT_FIRST[: len(head)] == head
     # Pins must name real queries even after they expire.
     unknown = set(engine.PIN_FIRST) - set(registry.QUERIES)
     assert not unknown, f"PIN_FIRST names unregistered queries: {unknown}"

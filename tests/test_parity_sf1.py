@@ -62,22 +62,30 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/data/sf1")
 
 # Oracle-side cost is the bound, not the engine: these DuckDB oracles are
 # intentionally brute-force lossless-pruning proofs, quadratic in the doc
-# count. Values are the alternative evidence that stands in at sf1.
+# count. STANDING ALTERNATIVE EVIDENCE (r15, verdict ask #3): all four
+# run with their FULL brute-force oracles against the deterministic
+# 5k-doc hash sample of the sf1 documents table — sf1 vocabulary, sf1
+# shingle statistics, all ten copy bijections, at the sf0.1 pair count —
+# in tests/test_parity_sf1_sampled.py (SPARK_GRAFT_SF1_SAMPLED_PARITY=1;
+# SWEEPS row sf1_sampled_quadratic_parity). A sync test there fails if
+# this dict gains an exclusion without sampled evidence.
 SF1_ORACLE_INFEASIBLE: dict[str, str] = {
     "ngram_jaccard_near_dup": (
         "all-pairs Jaccard oracle over 50k docs (1.25e9 list_intersect "
         "pairs); values are exact integer/string set ops outside the "
-        "float-tie class, green in the r13 full sf0.1 sweep (343/343) "
-        "and the standing sf0.01 driver suite"
+        "float-tie class, green in the r13 full sf0.1 sweep (343/343), "
+        "the standing sf0.01 driver suite, and the r15 sampled-sf1 "
+        "sweep (test_parity_sf1_sampled.py)"
     ),
     "containment_near_dup": (
         "all-pairs containment oracle, same O(n^2) shape and same "
-        "exact-set-op value class; green at sf0.1 full + sf0.01"
+        "exact-set-op value class; green at sf0.1 full + sf0.01 + "
+        "sampled sf1"
     ),
     "near_dup_recall_eval": (
         "oracle embeds the ngram_jaccard all-pairs CTE verbatim; the "
         "banding-recall arithmetic it adds is a count ratio, green at "
-        "sf0.1 full + sf0.01"
+        "sf0.1 full + sf0.01 + sampled sf1"
     ),
     # found by measurement, not analysis: tools/oracle_cost_forecast.py
     # timed this oracle at 20.5s/sf0.001 and 1315s/sf0.1 (the single
@@ -89,7 +97,8 @@ SF1_ORACLE_INFEASIBLE: dict[str, str] = {
     "dedup_clusters": (
         "oracle est ~84,000s at sf1 (measured forecast, "
         "evidence/sf1_oracle_cost_forecast.json); exact integer graph "
-        "ops, green at sf0.1 full + sf0.01"
+        "ops, green at sf0.1 full + sf0.01 + sampled sf1 (the sample "
+        "bounds component edges, restoring recursive-CTE feasibility)"
     ),
 }
 

@@ -53,10 +53,84 @@ def time_oracle(con, sql: str) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# sf10 mode (r15, verdict ask #2): one decade up — base timings at
+# sf0.1, escalations re-timed at sf1 (data/sf1), extrapolation to sf10.
+# The four sf1-infeasible oracles are flagged directly (three analytic
+# all-pairs proofs + dedup_clusters' measured ~84,000 s sf1 forecast);
+# everything else is re-measured because each new decade can hide a new
+# growth break (the r14 lesson: 2^53 crossings and fraction-of-total
+# gates appear mid-decade).
+KNOWN_SF1_INFEASIBLE = KNOWN_QUADRATIC + ("dedup_clusters",)
+ESCALATE_FLOOR_SF10_SEC = 1.0
+SF1_DIR_DEFAULT = "/root/repo/data/sf1"
+
+
+def _forecast_sf10(out_path: str) -> int:
+    engine.load_all_operators()
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", SF1_DIR_DEFAULT)
+    rows: dict[str, dict] = {}
+
+    con01 = make_duckdb(f"{TESTDATA}/sf0.1")
+    for name in sorted(registry.ORACLES):
+        if name in KNOWN_SF1_INFEASIBLE:
+            rows[name] = {"flag": "known_infeasible_at_sf1"}
+            continue
+        try:
+            rows[name] = {"t_sf01": time_oracle(con01, registry.ORACLES[name])}
+        except Exception as exc:
+            rows[name] = {
+                "t_sf01": None,
+                "err": f"{type(exc).__name__}: {exc}"[:200],
+                "flag": "sf01_error_review",
+            }
+    con01.close()
+
+    con1 = make_duckdb(sf1_dir)
+    for name, row in rows.items():
+        t = row.get("t_sf01")
+        if t is None or t < ESCALATE_FLOOR_SF10_SEC:
+            continue
+        try:
+            row["t_sf1"] = time_oracle(con1, registry.ORACLES[name])
+        except Exception as exc:
+            row["err_sf1"] = f"{type(exc).__name__}: {exc}"[:200]
+            row["flag"] = "sf1_error_review"
+            continue
+        ratio = row["t_sf1"] / max(t, 1e-3)
+        row["est_sf10"] = round(row["t_sf1"] * max(ratio, 1.0), 1)
+        if row["est_sf10"] > FLAG_SEC:
+            row["flag"] = "forecast_over_budget"
+    con1.close()
+
+    flagged = sorted(n for n, r in rows.items() if r.get("flag"))
+    out = {
+        "method": "t(sf0.1) for all; t(sf1)+extrapolation when over "
+        f"{ESCALATE_FLOOR_SF10_SEC}s; flag over {FLAG_SEC}s est at sf10; "
+        "the 4 sf1-infeasible oracles flagged directly",
+        "flagged": flagged,
+        "oracles": rows,
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, out_path)
+    print(json.dumps({"flagged": flagged, "n": len(rows)}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="evidence/sf1_oracle_cost_forecast.json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--target", choices=("sf1", "sf10"), default="sf1")
     args = ap.parse_args()
+
+    if args.target == "sf10":
+        return _forecast_sf10(
+            args.out or "evidence/sf10_oracle_cost_forecast.json"
+        )
+    args.out = args.out or "evidence/sf1_oracle_cost_forecast.json"
 
     engine.load_all_operators()
     rows: dict[str, dict] = {}

@@ -57,13 +57,44 @@ def _is_cast_to(node: ast.AST, typename: str) -> bool:
     )
 
 
-def _contains_decimal(node: ast.AST, dec_names: set[str]) -> bool:
+def _contains_decimal(
+    node: ast.AST, dec_names: set[str], dec_aliases: set[str] = frozenset()
+) -> bool:
     for n in ast.walk(node):
         if _is_cast_to(n, "decimal"):
             return True
         if isinstance(n, ast.Name) and n.id in dec_names:
             return True
+        # a column REFERENCE to a decimal-typed alias created earlier in
+        # the same function (F.col("s") / "s" after .alias("s") on a
+        # decimal expression) — cross-select blindness, r15 find on
+        # dow_seasonality_profile / cusum_changepoint_daily
+        if (
+            isinstance(n, ast.Constant)
+            and isinstance(n.value, str)
+            and n.value in dec_aliases
+        ):
+            return True
     return False
+
+
+def _decimal_aliases(scope_nodes: list[ast.AST], dec_names: set[str]) -> set[str]:
+    """Alias strings whose aliased expression is decimal-sourced:
+    `<decimal expr>.alias("x")` anywhere in the given scopes."""
+    out: set[str] = set()
+    for s in scope_nodes:
+        for n in ast.walk(s):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "alias"
+                and n.args
+                and isinstance(n.args[0], ast.Constant)
+                and isinstance(n.args[0].value, str)
+                and _contains_decimal(n.func.value, dec_names)
+            ):
+                out.add(n.args[0].value)
+    return out
 
 
 def _enclosing_function(tree: ast.Module, lineno: int) -> str:
@@ -148,6 +179,7 @@ def scan_spark_side() -> list[dict]:
                         ):
                             dec_names.add(t)
                             changed = True
+                dec_aliases = _decimal_aliases(visible, dec_names)
                 for node in ast.walk(scope):
                     if not _is_cast_to(node, "double") or in_inner(node):
                         continue
@@ -156,6 +188,10 @@ def scan_spark_side() -> list[dict]:
                         kind = "hop"  # the convention — safe by spec
                     elif _contains_decimal(recv, dec_names):
                         kind = "decimal_native"  # the class under triage
+                    elif _contains_decimal(recv, dec_names, dec_aliases):
+                        # reference to a decimal-typed column alias from
+                        # an earlier select in the same function
+                        kind = "decimal_native_via_alias"
                     else:
                         continue  # int/double-sourced: out of class
                     sites.append(
@@ -172,7 +208,7 @@ def scan_spark_side() -> list[dict]:
     return sites
 
 
-_AS_DOUBLE = re.compile(r"\)\s*AS\s+DOUBLE\s*\)", re.I)
+_AS_DOUBLE = re.compile(r"AS\s+DOUBLE\s*\)", re.I)
 
 
 def _extract_cast_inner(sql: str, close_idx: int) -> str | None:
@@ -197,6 +233,70 @@ def _extract_cast_inner(sql: str, close_idx: int) -> str | None:
     return None
 
 
+_SQL_TYPE_WORDS = {
+    "bigint", "integer", "int", "varchar", "double", "hugeint", "decimal",
+    "date", "boolean", "smallint", "tinyint", "float", "real", "text",
+}
+
+def _match_paren(s: str, open_idx: int) -> int | None:
+    """Index of the `)` matching the `(` at open_idx, or None."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
+
+
+def _wide_oracle_aliases(sql: str) -> set[str]:
+    """Aliases typed HUGEINT/DECIMAL by DuckDB: un-narrowed sum(...) —
+    plain, FILTERed, or windowed — and explicit DECIMAL casts. Balanced-
+    paren parsing, not depth-limited regex: the r15 float32 false
+    positive (embedding_dim_stats' `unnest(...) AS val` matched a lazy
+    `sum(...[^;]*?) AS val` pattern) and the dow_seasonality false
+    negative (sum nested three parens deep) were both regex-depth bugs."""
+    wide: set[str] = set()
+    narrowed: set[str] = set()
+    for m in re.finditer(r"\bsum\s*\(", sql, re.I):
+        close = _match_paren(sql, m.end() - 1)
+        if close is None:
+            continue
+        j = close + 1
+        # skip any FILTER (...) / OVER (...) clauses
+        while True:
+            mo = re.match(r"\s+(?:FILTER|OVER)\s*\(", sql[j:], re.I)
+            if not mo:
+                break
+            oc = _match_paren(sql, j + mo.end() - 1)
+            if oc is None:
+                break
+            j = oc + 1
+        ma = re.match(r"\s+AS\s+(\w+)", sql[j:], re.I)
+        if not ma:
+            continue
+        w = ma.group(1)
+        if w.lower() not in _SQL_TYPE_WORDS:
+            wide.add(w)
+            continue
+        # `sum(...) AS <type>) [AS alias]` — the sum sits inside a CAST;
+        # an exact-int64/varchar narrowing makes the alias non-wide
+        mn = re.match(
+            r"\s+AS\s+(BIGINT|INTEGER|INT|VARCHAR)\s*\)\s*AS\s+(\w+)",
+            sql[j:],
+            re.I,
+        )
+        if mn and mn.group(2).lower() not in _SQL_TYPE_WORDS:
+            narrowed.add(mn.group(2))
+    for m in re.finditer(r"AS\s+DECIMAL\s*\([^)]*\)\s*\)\s+AS\s+(\w+)",
+                         sql, re.I | re.S):
+        if m.group(1).lower() not in _SQL_TYPE_WORDS:
+            wide.add(m.group(1))
+    return wide - narrowed
+
+
 def scan_oracle_side() -> list[dict]:
     from data_engineering_spotify_etl_airflow_aws_spark import registry
 
@@ -214,11 +314,36 @@ def scan_oracle_side() -> list[dict]:
             if re.match(r"CAST\s*\(.*AS\s+VARCHAR\s*\)\s*$",
                         inner_stripped, re.I | re.S):
                 kind = "hop"
+            elif re.match(r"CAST\s*\(.*AS\s+(BIGINT|INTEGER|INT)\s*\)\s*$",
+                          inner_stripped, re.I | re.S):
+                # explicit exact-int64 narrowing: int64->double is
+                # correctly rounded by spec in both engines (JLS
+                # long->double; hardware i64->f64) — out of class
+                kind = "int_narrowed"
             elif re.search(r"DECIMAL\s*\(|HUGEINT|\bsum\s*\(",
                            inner_stripped, re.I):
                 kind = "wide_native"  # DuckDB native wide->double: suspect
+            elif re.fullmatch(r"[A-Za-z_][\w.]*", inner_stripped) and (
+                inner_stripped.split(".")[-1] in _wide_oracle_aliases(sql)
+            ):
+                # CTE-alias blindness: the cast target is a bare
+                # identifier whose definition elsewhere in the SQL is an
+                # un-narrowed sum(...)/DECIMAL cast — HUGEINT/DECIMAL by
+                # DuckDB typing rules (balanced-paren alias parser)
+                kind = "wide_native_via_alias"
             else:
                 kind = "other_native"  # int32/varchar/etc — out of class
+                # ...unless the inner MENTIONS an alias defined as an
+                # un-narrowed sum() anywhere in this SQL (HUGEINT/DECIMAL
+                # by DuckDB typing): max(th.sx), arithmetic over summed
+                # CTE columns, etc. Over-approximate; adjudicate by hand.
+                wide_aliases = _wide_oracle_aliases(sql)
+                mentioned = {
+                    w.split(".")[-1]
+                    for w in re.findall(r"[A-Za-z_][\w.]*", inner_stripped)
+                }
+                if mentioned & wide_aliases:
+                    kind = "wide_native_via_alias"
             sites.append(
                 {
                     "side": "oracle",
