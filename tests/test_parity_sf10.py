@@ -66,8 +66,26 @@ if _MODE:
 SF10_ORACLE_INFEASIBLE: dict[str, str] = dict(SF1_ORACLE_INFEASIBLE)
 SF10_ORACLE_INFEASIBLE.update(
     {
-        # filled from evidence/sf10_oracle_cost_forecast.json (r15);
-        # each entry names the measured estimate
+        # The three LSH oracles the sf1 sweep INCLUDED at ~700 s each
+        # (real validation worth minutes there) cross the 600 s budget
+        # an order of magnitude up: measured est_sf1 711.6 / 770.0 /
+        # 715.6 s (evidence/sf1_oracle_cost_forecast.json) => ~2 h each
+        # at sf10. Value classes all green at sf1 full scale, which
+        # remains the standing evidence; reconciled against the
+        # measured sf10 forecast (evidence/sf10_oracle_cost_forecast
+        # .json) when it landed.
+        "minhash_lsh_near_dup": (
+            "oracle est ~7,000 s at sf10 (est_sf1 711.6 s measured); "
+            "green at sf1 full scale (r14 rest sweep)"
+        ),
+        "incremental_lsh_dedup": (
+            "oracle est ~7,700 s at sf10 (est_sf1 770.0 s measured); "
+            "green at sf1 full scale (r14 rest sweep)"
+        ),
+        "near_dup_removal_impact": (
+            "oracle est ~7,000 s at sf10 (est_sf1 715.6 s measured); "
+            "green at sf1 full scale (r14 at-risk sweep, 836 s pair)"
+        ),
     }
 )
 
