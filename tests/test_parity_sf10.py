@@ -66,25 +66,45 @@ if _MODE:
 SF10_ORACLE_INFEASIBLE: dict[str, str] = dict(SF1_ORACLE_INFEASIBLE)
 SF10_ORACLE_INFEASIBLE.update(
     {
-        # The three LSH oracles the sf1 sweep INCLUDED at ~700 s each
-        # (real validation worth minutes there) cross the 600 s budget
-        # an order of magnitude up: measured est_sf1 711.6 / 770.0 /
-        # 715.6 s (evidence/sf1_oracle_cost_forecast.json) => ~2 h each
-        # at sf10. Value classes all green at sf1 full scale, which
-        # remains the standing evidence; reconciled against the
-        # measured sf10 forecast (evidence/sf10_oracle_cost_forecast
-        # .json) when it landed.
+        # Measured sf10 forecast (evidence/sf10_oracle_cost_forecast
+        # .json: t(sf0.1), re-time at sf1, one-decade extrapolation) —
+        # every entry is over the 600 s per-oracle budget by 3-40x.
+        # The three LSH oracles the sf1 sweep INCLUDED at ~700-1100 s
+        # each cross it an order of magnitude up; the other four are
+        # the r15 forecast's genuine finds: the r14 sf1-forecast missed
+        # them because their sf0.01 times sat under its 0.25 s
+        # escalation floor (the exact ADVICE concern about growth
+        # accelerating past one decade). All seven are green at sf1
+        # full scale, which remains the standing value evidence.
         "minhash_lsh_near_dup": (
-            "oracle est ~7,000 s at sf10 (est_sf1 711.6 s measured); "
+            "oracle est 8,415 s at sf10 (922.6 s measured at sf1); "
             "green at sf1 full scale (r14 rest sweep)"
         ),
         "incremental_lsh_dedup": (
-            "oracle est ~7,700 s at sf10 (est_sf1 770.0 s measured); "
+            "oracle est 6,992 s at sf10 (813.5 s measured at sf1); "
             "green at sf1 full scale (r14 rest sweep)"
         ),
         "near_dup_removal_impact": (
-            "oracle est ~7,000 s at sf10 (est_sf1 715.6 s measured); "
-            "green at sf1 full scale (r14 at-risk sweep, 836 s pair)"
+            "oracle est 17,384 s at sf10 (1,132.4 s measured at sf1); "
+            "green at sf1 (r14 at-risk sweep)"
+        ),
+        "fuzzy_name_matches": (
+            "oracle est 17,148 s at sf10 (327.4 s measured at sf1 — "
+            "under the r14 forecast's sf0.01 floor, caught by the r15 "
+            "sf0.1-based forecast); green at sf1 (r14 at-risk sweep)"
+        ),
+        "recsys_holdout_eval": (
+            "oracle est 25,346 s at sf10 (374.1 s measured at sf1); "
+            "green at sf1 (r14 at-risk sweep)"
+        ),
+        "pagerank_trade_graph": (
+            "oracle est 3,412 s at sf10 (72.6 s measured at sf1); "
+            "green at sf1 (r14 at-risk sweep) and pinned in the r15 "
+            "driver window"
+        ),
+        "token_ngram_vocab": (
+            "oracle est 1,754 s at sf10 (104.2 s measured at sf1); "
+            "green at sf1 (r14 rest sweep); rest-mode only at sf10"
         ),
     }
 )
