@@ -106,6 +106,20 @@ SF10_ORACLE_INFEASIBLE.update(
             "oracle est 1,754 s at sf10 (104.2 s measured at sf1); "
             "green at sf1 (r14 rest sweep); rest-mode only at sf10"
         ),
+        # Two SUB-floor quadratics the 1.0 s sf0.1 escalation floor
+        # missed (the same one-decade-floor lesson at the next decade):
+        # caught by an sf1 re-time of every at-risk oracle under the
+        # floor, evidence/sf10_subfloor_retime.json. All other at-risk
+        # sub-floor oracles re-timed <= 330 s est and stay included.
+        "simhash_hamming_pairs": (
+            "oracle est 1,890 s at sf10 (0.21 s at sf0.1 but 20.1 s at "
+            "sf1 — all-pairs hamming, quadratic); green at sf1 "
+            "(r14 at-risk sweep)"
+        ),
+        "negative_sampling_recs": (
+            "oracle est 1,157 s at sf10 (0.36 s at sf0.1, 20.3 s at "
+            "sf1); green at sf1 (r14 at-risk sweep)"
+        ),
     }
 )
 
