@@ -687,21 +687,31 @@ def char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rare-term TF-IDF cosine pairs: document similarity from SPARSE
 # lexical vectors via posting-list joins - the inverted-index
 # counterpart of the dense embedding cosine family (similarity.py).
-# The vector space is restricted to terms appearing in at most 5% of
-# docs (df * 20 <= N - rare terms carry the IDF mass AND bound the
-# per-term pair fan-out at C(N/20, 2); the relative df-cut is the
-# standard posting-list pruning, stated as part of the contract, not a
-# silent approximation); weights are tf x ln(N/df), micro-quantized;
-# top-20 pairs by quantized cosine.
+# The vector space is restricted to RARE terms: df * 20 <= N (at most
+# 5% of docs - rare terms carry the IDF mass) AND df <= 500 absolute.
+# The absolute cap is the fixed-df refinement the scale note below
+# always promised, promoted to the contract by an r15 measurement: a
+# relative-only cut's admission threshold GROWS with N while a term's
+# usefulness for similarity does not, so each decade admits hotter
+# posting lists - at sf10 the relative-only gate admitted 3,100 terms
+# carrying 22.4e9 candidate pairs (vs 10 terms / 311k pairs at sf1: a
+# 72,000x pair blowup for a 10x data step, quadratic by construction
+# since per-term pairs are C(df,2)). With the absolute cap, candidate
+# volume grows linearly with the corpus (the per-copy df distribution
+# is scale-invariant under tiling). Values at sf0.01/sf0.1/sf1 are
+# UNCHANGED: no fixture term has df in (250, 2500], so min(N/20, 500)
+# binds exactly where N/20 did (verified by parity re-runs at all
+# three scales). Weights are tf x ln(N/df), micro-quantized; top-20
+# pairs by quantized cosine.
 #
 # Scale notes (100 TB): one (doc, term) tf shuffle; the df cut prunes
 # the posting lists BEFORE the self-join, so candidate generation is
-# sum over rare terms of C(df, 2) with df capped at N/20 - at web
-# scale the cap drops to a FIXED absolute df (posting lists of hot
-# terms are useless for similarity anyway); dot
+# sum over rare terms of C(df, 2) with df capped at min(N/20, 500)
+# (posting lists of hot terms are useless for similarity anyway); dot
 # products are exact int sums; norms join back doc-keyed; final top-20
 # is TakeOrderedAndProject.
 _TFC_DF_SHARE = 20  # keep terms with df * 20 <= N (<= 5% of docs)
+_TFC_DF_CAP = 500  # ... AND df <= 500 (fixed absolute cap, see above)
 _TFC_TOP = 20
 
 
@@ -724,6 +734,7 @@ _TFC_TOP = 20
                    AS wm
         FROM tok JOIN df USING (term) CROSS JOIN n
         WHERE df.df * {_TFC_DF_SHARE} <= n.n_docs
+          AND df.df <= {_TFC_DF_CAP}
     ),
     nrm AS (
         SELECT doc_id,
@@ -763,7 +774,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tok.join(df, "term")
         .crossJoin(F.broadcast(n))
-        .where(F.col("df") * _TFC_DF_SHARE <= F.col("n_docs"))
+        .where(
+            (F.col("df") * _TFC_DF_SHARE <= F.col("n_docs"))
+            & (F.col("df") <= _TFC_DF_CAP)
+        )
         .select(
             "doc_id",
             "term",

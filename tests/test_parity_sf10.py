@@ -170,6 +170,14 @@ def duck10():
     # taking the session down.
     con.execute("SET temp_directory='/tmp/duck_sf10_spill'")
     con.execute("SET max_temp_directory_size='40GiB'")
+    # The second launch's late-sweep lesson: DuckDB's default
+    # memory_limit (80% of PHYSICAL RAM ~ 102 GiB here) ignores the
+    # resident 32g Spark JVM, so ~30 tests after the first capped
+    # oracle the HOST ran out of RAM and every remaining oracle died
+    # with malloc "bad allocation" errors on this shared connection.
+    # Budget the two engines explicitly: 60 GiB DuckDB + 32 GiB JVM
+    # leaves ~30 GiB for OS/page cache on the 128 GiB host.
+    con.execute("SET memory_limit='60GiB'")
     yield con
     con.close()
 
