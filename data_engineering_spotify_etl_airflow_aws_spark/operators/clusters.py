@@ -235,11 +235,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unroll the recurrence as chained CTEs.
 #
 # Cross-engine determinism: each iteration's sum quantizes contributions
-# to integer micro-units (floor(x*1e12+0.5), exact HUGEINT/decimal(38,0)
-# sums - see label_centroids for why decimal-cast sums are NOT safe on
-# arbitrary doubles), and the resulting integer, cast back, is an exact
-# double (< 2^53), so every engine enters iteration k+1 with identical
-# IEEE inputs. The damping update is pure elementwise IEEE arithmetic.
+# to integer micro-units (floor(x*1e12+0.5) - see label_centroids for
+# why decimal-cast sums are NOT safe on arbitrary doubles), and the
+# resulting integer, cast back, is an exact double (< 2^53), so every
+# engine enters iteration k+1 with identical IEEE inputs. The damping
+# update is pure elementwise IEEE arithmetic.
+#
+# Accumulator width (r16): the Spark side sums the micro-units in LONG,
+# not decimal(38,0). Magnitude proof: total rank mass is 1, so
+# sum(floor((rank/outdeg)*1e12+0.5)) over ALL edges is <= 1e12 + |und|/2
+# (each floor(+0.5) adds < 1 unit of rounding); any per-node partial is
+# smaller still. That is < 2^53 by three orders of magnitude even at a
+# ~1e9-edge decade, so (a) the long sum cannot overflow, and (b) the
+# native long->double cast is exact and equals the oracle's HUGEINT->
+# VARCHAR->DOUBLE hop bit-for-bit (exact-int64 narrowings stay native
+# per the r15 conversion convention). This removes the r15 in-loop
+# string hop (+10.5% at sf0.1, evidence/ab_r15_string_hop.json) AND the
+# decimal aggregation over the edge-sized relation (VERDICT r15 ask #4).
+# The ORACLE keeps HUGEINT + VARCHAR hop unchanged - rank mass is
+# conserved at exactly 1 regardless of scale, so the bound is
+# scale-free and the two sides stay value-identical at every decade.
 _PR_DAMP = 0.85
 # the residual factor is computed ONCE here and interpolated into the
 # oracle as its decimal repr: a SQL engine folding (1.0 - 0.85) in
@@ -252,7 +267,9 @@ _PR_SUPP_OFFSET = 10_000_000  # namespace suppliers away from customers
 
 
 def _pr_spark_micro(c: "F.Column") -> "F.Column":
-    return F.floor(c * 1e12 + F.lit(0.5)).cast("decimal(38,0)")
+    # F.floor on a double already yields LongType; the sum stays in long
+    # (magnitude proof in the block comment above)
+    return F.floor(c * 1e12 + F.lit(0.5))
 
 
 @query(
@@ -381,8 +398,11 @@ def _pr_iterate(und: DataFrame) -> DataFrame:
                     F.lit(base)
                     + F.lit(_PR_DAMP)
                     * (
-                        F.coalesce(F.col("s_u"), F.lit(0).cast("decimal(38,0)"))
-                        .cast("string").cast("double")
+                        # exact-int64 narrowing: native long->double is
+                        # correctly rounded and the value is < 2^53
+                        # (magnitude proof above), so no string hop
+                        F.coalesce(F.col("s_u"), F.lit(0).cast("bigint"))
+                        .cast("double")
                         / F.lit(1e12)
                     )
                 ).alias("rank"),
@@ -589,6 +609,10 @@ _KHOP_MAX = 3
 
 _KHOP_CACHE: list[DataFrame] = register_cache([])
 
+# Shared by the two degree-profile queries (assortativity / power-law):
+# persisted pair-expansion + degree relations, released on the next call
+_DEGREE_CACHE: list[DataFrame] = register_cache([])
+
 
 def _khop_oracle() -> str:
     from .insights import _PART_EDGES_SQL
@@ -791,7 +815,14 @@ def label_propagation_communities(
 def degree_powerlaw_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .insights import _basket_pairs, _order_baskets
 
-    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct()
+    # Persist the pair expansion: the degree union references `und`
+    # twice, so without this the executed plan runs the basket explode +
+    # distinct (the query's dominant cost) twice - 2 lineitem scans for
+    # one logical pass (r16; guide §5). Released on the next call.
+    while _DEGREE_CACHE:
+        _DEGREE_CACHE.pop().unpersist()
+    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct().persist()
+    _DEGREE_CACHE.append(und)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -902,13 +933,26 @@ _CL_OR["degree_powerlaw_check"] = _degree_powerlaw_oracle()
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .insights import _basket_pairs, _order_baskets
 
-    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct()
+    # Persist the pair expansion AND the degree table: `edges` references
+    # `und` twice (the two orientations) and is itself consumed by the
+    # degree agg and the e2 probe, while `deg` feeds two joins - without
+    # the persists the executed plan re-ran the basket explode + distinct
+    # SIX times (12 lineitem scans in one plan, r16 measurement; guide
+    # §5). Released on the next call, same lifecycle as the khop/LPA
+    # edge caches above.
+    while _DEGREE_CACHE:
+        _DEGREE_CACHE.pop().unpersist()
+    und = _basket_pairs(_order_baskets(spark, sf_dir)).distinct().persist()
+    _DEGREE_CACHE.append(und)
     edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("d")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .persist()
     )
+    _DEGREE_CACHE.append(deg)
     e2 = (
         edges.join(deg.withColumnRenamed("node", "src")
                    .withColumnRenamed("d", "dx"), "src")

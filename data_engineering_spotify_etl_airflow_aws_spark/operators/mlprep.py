@@ -29,11 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
 
+from ..caches import register_cache
 from ..functions import ORACLE_TOKENS, oracle_cosine, tokens, vec_double
 from ..registry import query
 from ..tables import load_table
 from .dedup import _DUCK_H32, _SPARK_H32
+
+# Persisted relations from the previous recsys invocation, released on
+# the next call (lazily returned plans forbid in-function unpersist) or
+# via caches.release_all() - same pattern as the shingle/IVF bases.
+_MLPREP_CACHE: list[DataFrame] = register_cache([])
 
 # BM25 constants (Robertson k1/b defaults; exact binary: 0.25/0.75 are
 # dyadic, 1.2/2.2 parse to the same nearest-double in both engines)
@@ -1138,9 +1145,20 @@ def recsys_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
+    # Persist the tagged interaction base: train/test are filters over it
+    # and the downstream DAG references train five times (baskets, the
+    # train-user semi-join, trainp twice via the anti-join, scoring) and
+    # test twice - without the persist the executed plan re-runs the
+    # orders x lineitem join + distinct + md5 split hash for EVERY
+    # reference (r16 measurement: 64 parquet scans / 104 Exchanges in one
+    # plan; guide §5 "reused AND recompute is more expensive"). Released
+    # on the next call, same pattern as the shingle base.
+    while _MLPREP_CACHE:
+        _MLPREP_CACHE.pop().unpersist()
     tagged = inter.withColumn(
         "is_test", F.expr(_REC_SPLIT_H_S) % 5 == 0
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MLPREP_CACHE.append(tagged)
     train = tagged.where(~F.col("is_test")).select("u", "i")
     test = tagged.where("is_test").select("u", "i")
     # in-group ordered-pair expansion from the per-user sorted basket
