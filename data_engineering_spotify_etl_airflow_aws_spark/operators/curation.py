@@ -40,11 +40,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
 from ..tables import load_table
 from .dedup import _DUCK_H32, _SPARK_H32
 from .text import _STOP_EN, _oracle_stop_hits, _stop_hits
+
+# Persisted multiply-referenced bases from the previous invocation,
+# released on the next call or via caches.release_all().
+_CURATION_CACHE: list[DataFrame] = register_cache([])
 
 _OT = ORACLE_TOKENS.format(col="text")
 
@@ -918,7 +923,17 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vv").alias("cc"),
         )
     )
-    a = _km_assign(v, c0).withColumn("nrm", F.sqrt(F.col("vv")))
+    # r16: the cluster assignment feeds both sides of the in-cluster
+    # pair join plus the output join - persist so the N x K centroid
+    # argmax behind it runs once, not three times (guide §5)
+    while _CURATION_CACHE:
+        _CURATION_CACHE.pop().unpersist()
+    a = (
+        _km_assign(v, c0)
+        .withColumn("nrm", F.sqrt(F.col("vv")))
+        .persist()
+    )
+    _CURATION_CACHE.append(a)
     x = a.select(
         F.col("cid").alias("xcid"),
         F.col("vec_id").alias("x_id"),

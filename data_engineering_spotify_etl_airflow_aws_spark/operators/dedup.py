@@ -217,7 +217,13 @@ def _ngram_pairs(sh: DataFrame) -> DataFrame:
     # the frequency agg is one extra shuffle that removes the quadratic
     # blowup of hot shingles (at sf0.1: 653k candidates lexicographic ->
     # ~20k frequency-ordered).
-    full = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # the exploded (doc, shingle) stream feeds both the df agg and the
+    # prefix join; persist so the explode runs once (r16; guide §5)
+    full = (
+        sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SHINGLE_BASE_CACHE.append(full)
     freq = full.groupBy("shingle").agg(F.count("*").alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = (
@@ -375,9 +381,15 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
     sig = _minhash_signature(sh)
     band_keys = [F.expr(e) for e in _band_key_exprs()]
+    # both sides of the band self-join read `bands`; persist so the
+    # signature computation (16 affine minima over every doc's hashed
+    # shingle set - the pipeline's dominant map work) runs once, not
+    # twice (r16; guide §5). 4 small rows per doc; _SHINGLE_BASE_CACHE
+    # lifecycle.
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_BASE_CACHE.append(bands)
     cand = (
         bands.alias("x")
         .join(
@@ -748,11 +760,15 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_delta", F.expr(_INC_H_SPARK) % _INC_SPLIT_MOD == F.lit(0)
     )
     band_keys = [F.expr(e) for e in _band_key_exprs()]
+    # both sides of the delta-vs-base band join read `bands`; persist so
+    # the signature computation runs once (r16; guide §5 - same fix as
+    # _minhash_pairs)
     bands = sig.select(
         "doc_id",
         "is_delta",
         F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_BASE_CACHE.append(bands)
     cand = (
         bands.where("is_delta")
         .select(
@@ -839,7 +855,15 @@ _CONT_TAU = 0.5
 )
 def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_base(spark, sf_dir)
-    full = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # the exploded (doc, shingle) stream has THREE consumers (the df agg,
+    # the prefix build, and the full-index probe side of the candidate
+    # join); persist so the explode runs once (r16; guide §5) - same
+    # lifecycle as the shingle base itself
+    full = (
+        sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SHINGLE_BASE_CACHE.append(full)
     freq = full.groupBy("shingle").agg(F.count("*").alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = (
@@ -1043,6 +1067,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The share division is a single IEEE double op on exact counts.
 _DUPSPAN_N = 8
 
+# previous invocation's persisted per-doc gram counts (dup_ngram_span_share),
+# released on the next call - the _SHINGLE_BASE_CACHE lifecycle
+_DUPSPAN_CACHE: list[DataFrame] = register_cache([])
+
 
 @query(
     "dup_ngram_span_share",
@@ -1078,7 +1106,15 @@ _DUPSPAN_N = 8
     """,
 )
 def dup_ngram_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import widen_small_scan
+
+    # r16: widen the fixture's single-split scan - the tokenize + per-gram
+    # md5 explode (this query's dominant map work) otherwise runs on one
+    # core (no-op on a real many-split corpus); and persist the per-doc
+    # gram counts, which feed BOTH the gram-frequency agg and the final
+    # per-doc join - without the persist the whole explode + md5 pass
+    # executes twice (guide §5).
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
     gram = (
         f"transform(sequence(1, size(tk) - {_DUPSPAN_N - 1}), "
@@ -1090,7 +1126,10 @@ def dup_ngram_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("tk") >= _DUPSPAN_N)
         .select("doc_id", F.explode(F.expr(gram)).alias("gk"))
     )
-    dg = g.groupBy("doc_id", "gk").agg(F.count("*").alias("c"))
+    while _DUPSPAN_CACHE:
+        _DUPSPAN_CACHE.pop().unpersist()
+    dg = g.groupBy("doc_id", "gk").agg(F.count("*").alias("c")).persist()
+    _DUPSPAN_CACHE.append(dg)
     gd = dg.groupBy("gk").agg(F.count("*").alias("n_docs"))
     per = (
         dg.join(gd, "gk")

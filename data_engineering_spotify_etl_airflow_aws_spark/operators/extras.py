@@ -1294,6 +1294,11 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted (r16 A/B): the six unioned constraint checks re-scan
+    # orders/customer, but persisting the raw tables LOST (min-of-3
+    # 0.66s -> 1.21s) - InMemoryTableScan of a materialized row cache is
+    # slower than re-running the trivial columnar scans, which also
+    # execute concurrently on otherwise-idle cores at this scale.
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
 
@@ -1448,6 +1453,9 @@ _PROFILE_COLS = (
     """,
 )
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted (r16 A/B): per-column profile aggs re-scan orders,
+    # but a persist LOST (min-of-3 0.74s -> 1.14s) - same lesson as
+    # dq_constraint_violations above.
     orders = load_table(spark, sf_dir, "orders")
     parts = [
         orders.agg(

@@ -243,6 +243,9 @@ _BENCH_N = 50
 # previous invocation's persisted gram base, released on next call
 # (or via caches.release_all())
 _GRAM_BASE_CACHE: list[DataFrame] = register_cache([])
+
+# previous tfidf invocation's persisted token/weight bases (same lifecycle)
+_TFIDF_CACHE: list[DataFrame] = register_cache([])
 @query(
     "benchmark_decontam_overlap",
     oracle=f"""
@@ -763,12 +766,25 @@ _TFC_TOP = 20
     """,
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import widen_small_scan
+
+    # r16: persist the two multiply-referenced bases. `tok` feeds the
+    # n_docs count, the df agg, and the weight build; `w` feeds the norm
+    # agg and BOTH sides of the term self-join - without the persists the
+    # executed plan re-ran the documents tokenize + tf agg TWELVE times
+    # (12 parquet scans in one plan; guide §5). `w` is small by
+    # construction (df-capped admitted terms only). The scan is also
+    # widened so the single-split fixture tokenize parallelizes.
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    while _TFIDF_CACHE:
+        _TFIDF_CACHE.pop().unpersist()
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
+    _TFIDF_CACHE.append(tok)
     n = tok.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
     df = tok.groupBy("term").agg(F.count("*").alias("df"))
     w = (
@@ -792,7 +808,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("wm"),
         )
+        .persist()
     )
+    _TFIDF_CACHE.append(w)
     nrm = w.groupBy("doc_id").agg(
         # r12: cast one factor BEFORE the square - wm = tf*idf micro can
         # reach ~3e10 (tf 1e3 x idf 28 x 1e6), whose raw-bigint square

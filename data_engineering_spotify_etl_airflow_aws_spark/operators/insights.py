@@ -365,6 +365,8 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kl_divergence_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted (r16 A/B): 4 duplicated narrow scans ride idle cores
+    # at this scale; the persist measured 0.28s -> 0.38s min-of-3.
     docs = load_table(spark, sf_dir, "documents").select("source", "lang")
     cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
     ms = docs.groupBy("source").agg(F.count("*").alias("n_s"))
@@ -445,6 +447,11 @@ def item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INSIGHTS_CACHE.pop().unpersist()
     baskets = _order_baskets(spark, sf_dir).persist()
     _INSIGHTS_CACHE.append(baskets)
+    # NOT persisted (r16 A/B): unlike assoc_rules_lift's >=2-filtered
+    # pair table, this support relation is the FULL co-occurrence set;
+    # materializing it cost more than the second explode from the cached
+    # baskets it saves (min-of-3 4.08s -> 4.50s), so the two consumers
+    # recompute from `baskets` instead.
     support = (
         _basket_pairs(baskets)
         .groupBy("u", "v")
@@ -1850,12 +1857,16 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = _order_baskets(spark, sf_dir).persist()
     _INSIGHTS_CACHE.append(baskets)
     nb = baskets.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    # the bidirectional rules union references `support` twice - persist
+    # so the pair explode + groupBy runs once (r16; guide §5)
     support = (
         _basket_pairs(baskets)
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
+        .persist()
     )
+    _INSIGHTS_CACHE.append(support)
     rules = support.select(
         F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "support"
     ).unionAll(

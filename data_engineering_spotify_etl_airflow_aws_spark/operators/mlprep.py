@@ -135,6 +135,9 @@ _DUCK_TOK_TABLE = f"""
 )
 def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _doc_tokens(spark, sf_dir).select("doc_id", "tok")
+    # NOT persisted (r16 A/B): duplicated tokenize branches execute
+    # concurrently on idle cores at this scale; a persist of `dl`
+    # measured 0.77s -> 0.90s min-of-3 (the kmv lesson).
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -491,6 +494,12 @@ def _bloom_pos_spark(i: int, key: str) -> str:
     """,
 )
 def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted (r16 A/B): the build/bit duplication (10 orders
+    # scans in one plan) looked like a persist candidate, but the
+    # duplicated branches are cheap columnar scans that execute
+    # concurrently on otherwise-idle cores at this scale, while the
+    # persist serializes a materialization barrier (min-of-3 1.10s ->
+    # 1.34s).
     build = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_totalprice") > _BLOOM_PRICE)

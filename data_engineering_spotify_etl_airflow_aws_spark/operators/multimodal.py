@@ -384,6 +384,10 @@ def _ppm_stats_batches(
     """,
 )
 def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened (r16 A/B): the PPM "codec" is a header parse +
+    # np.frombuffer - too cheap to pay the repartition (min-of-3
+    # 0.77s -> 1.03s widened). Contrast the png/jpeg paths, where a real
+    # compression codec runs per row and widening wins 3x.
     return ppm_payload_df(spark, sf_dir).mapInPandas(
         _ppm_stats_batches, schema=_PPM_STATS_SCHEMA
     ).orderBy("doc_id")
@@ -545,6 +549,9 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("payload"),
     )
+    # NOT widened (r16 A/B): the RIFF parse + numpy moments are too cheap
+    # to pay the repartition (min-of-3 0.73s -> 1.03s widened; the ppm
+    # lesson)
     return wav.mapInPandas(
         _wav_stats_batches, schema=_WAV_STATS_SCHEMA
     ).orderBy("doc_id")
@@ -705,6 +712,9 @@ def multimodal_y4m_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(_y4m_payload_header()), *frame_cols), "UTF-8"
         ).alias("payload"),
     )
+    # NOT widened (r16 A/B): plane split + per-frame means are too cheap
+    # to pay the repartition (min-of-3 0.99s -> 1.06s widened; the ppm
+    # lesson)
     return y4m.mapInPandas(
         _y4m_stats_batches, schema=_Y4M_STATS_SCHEMA
     ).orderBy("doc_id", "frame_idx")
@@ -969,7 +979,14 @@ def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("px"),
     )
-    return png.mapInPandas(
+    # r16: widen before the decode - this projection is 192 bytes/doc
+    # (the jpeg class, NOT the full-payload class where widening lost in
+    # r5), and the Python side runs a real deflate+inflate+unfilter codec
+    # per row; without the widen the whole decode ran on the fixture's
+    # single scan split (plan: MapInPandas directly over Scan parquet).
+    from ..tables import widen_small_scan
+
+    return widen_small_scan(png).mapInPandas(
         _png_stats_batches, schema=_PNG_STATS_SCHEMA
     ).orderBy("doc_id")
 
@@ -1887,6 +1904,10 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("px"),
     )
-    return src.mapInPandas(
+    # r16: widen before the resize kernels - fixed small projection
+    # (_RSZ_NBYTES bytes/doc, the jpeg class); see the png note above
+    from ..tables import widen_small_scan
+
+    return widen_small_scan(src).mapInPandas(
         _resize_stats_batches, schema=_RSZ_STATS_SCHEMA
     ).orderBy("doc_id")

@@ -1502,6 +1502,9 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1_000_000_000.0) * F.count("*"))
         ).alias("mv"),
     )
+    # NOT persisted (r16 A/B): the 4x-duplicated explode+agg branches
+    # execute concurrently on otherwise-idle cores at this scale; the
+    # persist measured 0.85s -> 0.99s min-of-3 (the kmv lesson).
     q = m.select(
         "half",
         "dim",

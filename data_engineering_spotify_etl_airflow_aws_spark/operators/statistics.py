@@ -31,10 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..caches import register_cache
 from ..registry import query
 from ..tables import load_table
 from .dedup import _DUCK_H32 as _ST_DH32
 from .dedup import _SPARK_H32 as _ST_SH32
+
+# Persisted multiply-referenced bases from the previous invocation,
+# released on the next call (lazily returned plans forbid in-function
+# unpersist) or via caches.release_all() - the shingle-base lifecycle.
+_STATS_CACHE: list[DataFrame] = register_cache([])
 
 
 def _daily_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +522,8 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted (r16 A/B): 4 duplicated narrow scans ride idle cores
+    # at this scale; the persist measured 0.30s -> 0.44s min-of-3.
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
     cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ij"))
     ml = docs.groupBy("lang").agg(F.count("*").alias("n_i"))
@@ -1236,6 +1244,9 @@ def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    # NOT persisted (r16 A/B): the 8x-duplicated narrow scans execute
+    # concurrently on otherwise-idle cores at this scale; persisting the
+    # grid + terms measured 0.79s -> 0.97s min-of-3.
     cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
     rt = cells.groupBy("lang").agg(F.sum("n_obs").cast("bigint").alias("r"))
     ct = cells.groupBy("source").agg(F.sum("n_obs").cast("bigint").alias("c"))
@@ -2322,6 +2333,12 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     h = _ST_SH32.format(s="concat('cuped:', cast(user_id as string))")
+    # r16: `u` (per-user pre/post micro totals, one row per user x arm)
+    # feeds both the theta moment reduction and the adjusted-mean pass -
+    # without the persist the full events scan + md5 arm hash ran twice
+    # (8 parquet scans in one plan; guide §5)
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
     u = (
         ev.crossJoin(F.broadcast(mx))
         .groupBy(
@@ -2346,7 +2363,9 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("x_micro"),
         )
+        .persist()
     )
+    _STATS_CACHE.append(u)
     m = u.agg(
         F.count("*").cast("bigint").alias("n"),
         # r12: cast INSIDE the sum - the all-users micro totals are

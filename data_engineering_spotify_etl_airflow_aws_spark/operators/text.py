@@ -733,6 +733,10 @@ def logodds_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT persisted (r16 A/B): `st` has 4 consumers, but the duplicated
+    # tokenize branches execute concurrently on otherwise-idle cores at
+    # this scale while a persist serializes a materialization barrier
+    # (min-of-3 0.85s -> 1.08s).
     st = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("source", "token")
@@ -831,6 +835,9 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").alias("id0"),
     )
+    # NOT persisted (r16 A/B): two consumers, but materializing the full
+    # token stream cost more than the concurrent second tokenize
+    # (min-of-3 0.81s -> 0.95s; the logodds lesson).
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .crossJoin(F.broadcast(meta))
@@ -922,6 +929,9 @@ _PMI_TOP = 15
 )
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NOT persisted (r16 A/B): three consumers, but materializing the
+    # token arrays cost more than the concurrent re-tokenize (min-of-3
+    # 0.83s -> 0.89s; the logodds lesson).
     tk = docs.select(tokens(F.col("text")).alias("t"))
     uni = (
         tk.select(F.explode("t").alias("token"))

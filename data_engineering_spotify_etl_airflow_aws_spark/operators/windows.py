@@ -941,6 +941,11 @@ def _register_kmv() -> None:
     )
     def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+        # NOT persisted (r16 A/B): the sketch/base duplication (9 events
+        # scans in one plan) looked like a persist candidate, but the
+        # duplicated branches execute concurrently on otherwise-idle
+        # cores at this scale while the persist serializes a
+        # materialization barrier (min-of-3 1.22s -> 1.50s).
         uh = ev.select(
             "event_type", F.expr(h_spark).alias("h")
         ).distinct()
