@@ -1215,12 +1215,20 @@ def recsys_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # panel, so scoring fan-out is |train(u)| x M over _REC_EVAL_N users
     # regardless of corpus size. The panel broadcast is 2000 ints.
     evalp_all = test.join(train.select("u").distinct(), "u", "left_semi")
+    # r16: `panel` is broadcast into two joins and `evalp` feeds both the
+    # denominator agg and the hit probe - persist both tiny relations
+    # (<= _REC_EVAL_N users / their test pairs) so the evalp_all
+    # distinct + hash-order pick behind them runs once, not four times
+    # (guide §5; these are real multi-stage subtrees even over the
+    # cached split, unlike the reverted cheap-scan class).
     panel = (
         evalp_all.select("u")
         .distinct()
         .orderBy(F.expr(_REC_EVAL_H_S), "u")
         .limit(_REC_EVAL_N)
+        .persist()
     )
+    _MLPREP_CACHE.append(panel)
     trainp = train.join(F.broadcast(panel), "u", "left_semi")
     scored = (
         trainp.withColumnRenamed("i", "j")
@@ -1235,7 +1243,8 @@ def recsys_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _REC_K)
         .select("u", "i")
     )
-    evalp = evalp_all.join(F.broadcast(panel), "u", "left_semi")
+    evalp = evalp_all.join(F.broadcast(panel), "u", "left_semi").persist()
+    _MLPREP_CACHE.append(evalp)
     hits = evalp.join(recs, ["u", "i"], "left_semi")
     eu = evalp.agg(
         F.count_distinct("u").alias("n_eval_users"),
