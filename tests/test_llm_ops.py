@@ -380,6 +380,98 @@ def test_pagerank_conserves_mass_and_orders_hubs(spark):
     assert ranks == sorted(ranks, reverse=True)
 
 
+def test_pagerank_long_micro_accumulator_matches_decimal_hop(spark):
+    """r16 internals change: the power iteration accumulates contribution
+    micro-units in LONG with a native long->double boundary cast, instead
+    of decimal(38,0) + string hop. This must be bit-identical: (a) the
+    quantizer yields LongType (floor of a double), and (b) re-running the
+    iteration with the old decimal(38,0)+string-hop accumulator produces
+    the exact same (node, rank) doubles - both conversions are exact
+    below 2^53, and the magnitude proof (total rank mass 1 => every
+    partial sum <= 1e12 + |edges|/2) guarantees we stay below it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from data_engineering_spotify_etl_airflow_aws_spark.operators import (
+        clusters as cl,
+    )
+
+    from .conftest import SF_CORRECT
+
+    # (a) quantizer type: long, not decimal
+    probe = spark.range(1).select(cl._pr_spark_micro(F.lit(0.1234)).alias("m"))
+    assert isinstance(probe.schema["m"].dataType, LongType)
+
+    # (b) value identity against the decimal + string-hop reference
+    new_rows = sorted(
+        (r["suppkey"], r["rank"])
+        for r in cl.pagerank_trade_graph(spark, SF_CORRECT).collect()
+    )
+
+    real_micro = cl._pr_spark_micro
+    real_iter_src = cl._pr_iterate
+
+    def _decimal_micro(c):
+        return F.floor(c * 1e12 + F.lit(0.5)).cast("decimal(38,0)")
+
+    # swap the iteration back to the r15 decimal + string-hop shape
+    def _pr_iterate_decimal(und):
+        deg = und.groupBy("src").agg(F.count("*").alias("outdeg"))
+        nodes = deg.select(F.col("src").alias("node"))
+        n_nodes = nodes.count()
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        base = cl._PR_RESID / n_nodes
+        for _ in range(cl._PR_ITERS):
+            weights = ranks.join(deg, ranks.node == deg.src).select(
+                F.col("node"),
+                _decimal_micro(F.col("rank") / F.col("outdeg")).alias("c_u"),
+            )
+            contribs = (
+                und.join(weights, und.src == weights.node)
+                .groupBy("dst")
+                .agg(F.sum("c_u").alias("s_u"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(cl._PR_DAMP)
+                        * (
+                            F.coalesce(
+                                F.col("s_u"), F.lit(0).cast("decimal(38,0)")
+                            )
+                            .cast("string")
+                            .cast("double")
+                            / F.lit(1e12)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        return (
+            ranks.where(F.col("node") >= cl._PR_SUPP_OFFSET)
+            .select(
+                (F.col("node") - cl._PR_SUPP_OFFSET).alias("suppkey"), "rank"
+            )
+            .orderBy(F.desc("rank"), "suppkey")
+            .limit(25)
+        )
+
+    cl._pr_iterate = _pr_iterate_decimal
+    try:
+        old_rows = sorted(
+            (r["suppkey"], r["rank"])
+            for r in cl.pagerank_trade_graph(spark, SF_CORRECT).collect()
+        )
+    finally:
+        cl._pr_iterate = real_iter_src
+        assert cl._pr_spark_micro is real_micro
+
+    assert new_rows == old_rows  # bit-identical doubles, same hub order
+
+
 def test_morton_interleaves_bits():
     """morton(a, b) must place bit i of `a` at position 2i and bit i of
     `b` at 2i+1 (the property the Z-curve's locality relies on)."""
