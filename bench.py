@@ -67,6 +67,28 @@ def _drain_shuffle_cleanup(spark, max_wait: float = 2.0) -> None:
         prev = cur
 
 
+def build_stdout_payload(full: dict) -> dict:
+    """The lean stdout contract line, derived from the full result.
+
+    r16 lost its round-over-round PERF comparison because the driver's
+    capture of the r15 stdout line kept only a 2000-char tail - the line
+    had grown to ~30k chars once ``repeat_samples`` (and any ``failed``
+    detail) rode along with the 343 query timings. The contract fields
+    stay on stdout verbatim; the bulky diagnostics now live ONLY in the
+    SPARK_GRAFT_BENCH_OUT snapshot (additions-only change: nothing the
+    driver reads was removed or renamed - repeat_samples/failed were
+    r11/r8 additions the driver never consumed, and the full payload is
+    still written to the snapshot file).
+    """
+    out = {
+        k: full[k]
+        for k in ("metric", "value", "unit", "queries", "sf", "n_queries")
+    }
+    if full.get("failed"):
+        out["n_failed"] = len(full["failed"])
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -322,8 +344,10 @@ def main() -> int:
         out["repeat_failed"] = repeat_failed
     if failed:
         out["failed"] = failed
+    # stdout carries the lean contract line; the full payload (with
+    # repeat_samples / failure detail) goes to the snapshot file below
+    print(json.dumps(build_stdout_payload(out)), flush=True)
     line = json.dumps(out)
-    print(line, flush=True)
     # Atomic evidence snapshot (r9 verdict #2): the r9 end-of-round
     # snapshot truncated a committed evidence file to 0 bytes because the
     # shell redirection `bench.py > evidence/x.json` truncates the target

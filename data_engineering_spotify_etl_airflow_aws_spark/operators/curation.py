@@ -684,8 +684,21 @@ _TEMP_U_DUCK = (
     """,
 )
 def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): `counts` feeds the min agg and the
+    # rate table - plus the final keep-join re-scans docs, 3 scans per
+    # plan. No-op at fixture scale (the r16 cheap-subtree lesson); at
+    # corpus scale the re-scans are pure added I/O, so the per-lang
+    # count table (bounded by the language set) persists once the
+    # input has real splits.
+    while _CURATION_CACHE:
+        _CURATION_CACHE.pop().unpersist()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    counts = persist_when_scaled(
+        counts, _CURATION_CACHE, scan_splits(spark, sf_dir, "documents"), dup=3
+    )
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     rates = (
         counts.crossJoin(F.broadcast(n_min))  # 1-row broadcast, bounded
@@ -1378,6 +1391,19 @@ def curriculum_stage_assignment(
         docs.select(F.expr(toks).alias("t"))
         .where(F.size("t") > 0)
         .select(F.size("t").alias("n_toks"), F.expr(q_expr).alias("q_micro"))
+    )
+    # Scale-gated persist (r17): `q` feeds both tercile-cut histograms
+    # and the final stage rollup - 3 runs of the tokenize + quality
+    # scoring per plan. No-op at fixture scale (the r16 cheap-subtree
+    # lesson); at corpus scale the re-tokenizes are pure added CPU, so
+    # the 2-int-per-doc relation persists (disk-backed) once the input
+    # has real splits.
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _CURATION_CACHE:
+        _CURATION_CACHE.pop().unpersist()
+    q = persist_when_scaled(
+        q, _CURATION_CACHE, scan_splits(spark, sf_dir, "documents"), dup=3
     )
 
     def cuts(col: str, alias1: str, alias2: str):

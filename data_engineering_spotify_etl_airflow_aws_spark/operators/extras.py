@@ -1263,6 +1263,14 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
 # uniqueness is one shuffle on the key (sum of per-key excess); FK
 # integrity is a left-anti join - broadcast when the parent fits, keyed
 # shuffle otherwise (no hint pinned here).
+
+# Relations persisted by the previous gated-persist extras query (dq /
+# table-profile / cohort / fd / cdc / price-volume / rank-movers /
+# topk-stability) when the scale gate engages (released on the next
+# call; caches.py).
+_PROFILE_CACHE: list[DataFrame] = register_cache([])
+
+
 @query(
     "dq_constraint_violations",
     oracle="""
@@ -1294,13 +1302,30 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted (r16 A/B): the six unioned constraint checks re-scan
-    # orders/customer, but persisting the raw tables LOST (min-of-3
-    # 0.66s -> 1.21s) - InMemoryTableScan of a materialized row cache is
-    # slower than re-running the trivial columnar scans, which also
-    # execute concurrently on otherwise-idle cores at this scale.
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persists (r17): the six unioned checks re-scan
+    # orders (5x) / customer (2x). At fixture scale an unconditional
+    # persist LOST (r16 A/B min-of-3 0.66s -> 1.21s: InMemoryTableScan
+    # of a row cache is slower than re-running trivial columnar scans
+    # that ride idle cores); at corpus scale the re-scans are pure
+    # added I/O, so the checked-column projections persist once the
+    # input has real splits. The projections bound what the persist
+    # materializes to exactly the columns the checks read.
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders = persist_when_scaled(
+        orders, _PROFILE_CACHE, scan_splits(spark, sf_dir, "orders"), dup=5
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    cust = persist_when_scaled(
+        cust, _PROFILE_CACHE, scan_splits(spark, sf_dir, "customer"), dup=2
+    )
 
     def check(df: DataFrame, table: str, name: str, violation) -> DataFrame:
         return df.agg(
@@ -1453,10 +1478,25 @@ _PROFILE_COLS = (
     """,
 )
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted (r16 A/B): per-column profile aggs re-scan orders,
-    # but a persist LOST (min-of-3 0.74s -> 1.14s) - same lesson as
-    # dq_constraint_violations above.
-    orders = load_table(spark, sf_dir, "orders")
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): one agg branch per profiled column
+    # re-scans orders. At fixture scale an unconditional persist LOST
+    # (r16 A/B min-of-3 0.74s -> 1.14s - the dq lesson); at corpus
+    # scale the re-scans are pure added I/O, so the profiled-column
+    # projection persists once the input has real splits. Note the
+    # trade the gate is making: per-branch parquet scans prune to ONE
+    # column each, while the persist materializes all profiled columns
+    # once and reads them 4x - a win only when scan I/O dominates.
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    orders = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    orders = persist_when_scaled(
+        orders,
+        _PROFILE_CACHE,
+        scan_splits(spark, sf_dir, "orders"),
+        dup=len(_PROFILE_COLS),
+    )
     parts = [
         orders.agg(
             F.lit(c).alias("column_name"),
@@ -2782,7 +2822,22 @@ def retractable_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): the three FD branches each re-scan
+    # orders. No-op at fixture scale (the r16 cheap-subtree lesson); at
+    # corpus scale the re-scans are pure added I/O, so the projection
+    # of exactly the checked columns persists once the input has real
+    # splits.
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderstatus", "o_orderpriority",
+    )
+    o = persist_when_scaled(
+        o, _PROFILE_CACHE, scan_splits(spark, sf_dir, "orders"), dup=3
+    )
 
     def branch(fd: str, det: str, dep: str) -> DataFrame:
         return o.select(
@@ -3055,7 +3110,21 @@ def freshness_sla_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): the three changelog batches each
+    # re-scan orders (different %-filters, same two columns). No-op at
+    # fixture scale (the r16 cheap-subtree lesson); at corpus scale the
+    # re-scans are pure added I/O, so the 2-column projection persists
+    # once the input has real splits.
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o = persist_when_scaled(
+        o, _PROFILE_CACHE, scan_splits(spark, sf_dir, "orders"), dup=3
+    )
 
     def batch(mod: int, seq: int, op: str, price):
         return o.where(F.col("o_orderkey") % mod == 0).select(
@@ -3335,6 +3404,18 @@ def rank_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("wk").orderBy(F.desc("rev_m"), "l_partkey")
     ranked = weekly.withColumn("rnk", F.row_number().over(w))
+    # Scale-gated persist (r17): both sides of the rank self-join
+    # re-run the lineitem scan + max-week agg + weekly rollup + rank
+    # window (4 lineitem scans per plan). No-op at fixture scale (the
+    # r16 cheap-subtree lesson); at corpus scale the part-bounded
+    # ranked relation persists once the input has real splits.
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    ranked = persist_when_scaled(
+        ranked, _PROFILE_CACHE, scan_splits(spark, sf_dir, "lineitem"), dup=4
+    )
     c, p = ranked.alias("c"), ranked.alias("p")
     return (
         c.where(F.col("c.wk") == F.col("c.w_curr"))
@@ -3917,6 +3998,19 @@ def price_volume_mix_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qty"),
         )
+    )
+    # Scale-gated persist (r17): `wk` feeds both the current- and
+    # prior-week sides of the bridge - the lineitem scan + max-week agg
+    # + filter + rollup runs twice per plan (4 lineitem scans). No-op
+    # at fixture scale (the r16 cheap-subtree lesson); at corpus scale
+    # the part-bounded two-week rollup persists once the input has real
+    # splits.
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    wk = persist_when_scaled(
+        wk, _PROFILE_CACHE, scan_splits(spark, sf_dir, "lineitem"), dup=4
     )
     c = wk.where("is_curr").select(
         F.col("l_partkey").alias("pk_c"),
@@ -4621,7 +4715,19 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vm"),
     )
+    # Scale-gated persist (r17): `fo` (first order year per customer)
+    # feeds the cohort-size agg and the revenue join - 3 orders scans
+    # per plan. No-op at fixture scale (the r16 cheap-subtree lesson);
+    # at corpus scale the per-customer rollup persists once the input
+    # has real splits.
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
     fo = orders.groupBy("o_custkey").agg(F.min("oy").alias("cohort_y"))
+    fo = persist_when_scaled(
+        fo, _PROFILE_CACHE, scan_splits(spark, sf_dir, "orders"), dup=3
+    )
     sz = fo.groupBy("cohort_y").agg(F.count("*").alias("cohort_n"))
     rev = (
         orders.join(fo, "o_custkey")
@@ -4776,6 +4882,19 @@ def topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "first_half")
         .agg(F.sum(F.col("rev").cast("decimal(38,0)")).cast("bigint").alias("rev"))
+    )
+
+    # Scale-gated persist (r17): the two half-period top-k picks each
+    # re-run the lineitem scan + bounds agg + per-half rollup (4
+    # lineitem scans per plan). No-op at fixture scale (the r16
+    # cheap-subtree lesson); at corpus scale the part-bounded per-half
+    # revenue rollup persists once the input has real splits.
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _PROFILE_CACHE:
+        _PROFILE_CACHE.pop().unpersist()
+    g = persist_when_scaled(
+        g, _PROFILE_CACHE, scan_splits(spark, sf_dir, "lineitem"), dup=4
     )
 
     def top(first: bool):

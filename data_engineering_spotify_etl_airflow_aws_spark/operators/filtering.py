@@ -246,6 +246,8 @@ _GRAM_BASE_CACHE: list[DataFrame] = register_cache([])
 
 # previous tfidf invocation's persisted token/weight bases (same lifecycle)
 _TFIDF_CACHE: list[DataFrame] = register_cache([])
+
+
 @query(
     "benchmark_decontam_overlap",
     oracle=f"""
@@ -369,12 +371,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition — the groupBy keeps map-side partial agg and the
     # tf⋈df sort-merge join stays AQE-skew-splittable, which the window
     # shape is not. At true corpus scale the right lever is persisting
-    # tf to DISK_ONLY ahead of both consumers; at bench scale that
-    # trade inverts, so the declarative double-compute stands.
+    # tf ahead of both consumers; at bench scale that trade inverts -
+    # r17 realizes exactly that split with the scale-gated persist
+    # (no-op at fixture scale, engages once the input has real splits).
+    from ..tables import persist_when_scaled, scan_splits
+
+    while _TFIDF_CACHE:
+        _TFIDF_CACHE.pop().unpersist()
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+    )
+    tf = persist_when_scaled(
+        tf, _TFIDF_CACHE, scan_splits(spark, sf_dir, "documents"), dup=2
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))

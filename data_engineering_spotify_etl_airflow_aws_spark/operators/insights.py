@@ -365,9 +365,19 @@ def gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kl_divergence_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted (r16 A/B): 4 duplicated narrow scans ride idle cores
-    # at this scale; the persist measured 0.28s -> 0.38s min-of-3.
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): 4 consumers re-scan the projection. At
+    # fixture scale an unconditional persist LOST (r16 A/B min-of-3
+    # 0.28s -> 0.38s: narrow scans ride idle cores); at corpus scale the
+    # re-scans are pure added I/O, so the pruned 2-column projection
+    # persists once the input has real splits.
+    while _INSIGHTS_CACHE:
+        _INSIGHTS_CACHE.pop().unpersist()
     docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    docs = persist_when_scaled(
+        docs, _INSIGHTS_CACHE, scan_splits(spark, sf_dir, "documents"), dup=4
+    )
     cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
     ms = docs.groupBy("source").agg(F.count("*").alias("n_s"))
     ml = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
@@ -447,15 +457,22 @@ def item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INSIGHTS_CACHE.pop().unpersist()
     baskets = _order_baskets(spark, sf_dir).persist()
     _INSIGHTS_CACHE.append(baskets)
-    # NOT persisted (r16 A/B): unlike assoc_rules_lift's >=2-filtered
-    # pair table, this support relation is the FULL co-occurrence set;
-    # materializing it cost more than the second explode from the cached
-    # baskets it saves (min-of-3 4.08s -> 4.50s), so the two consumers
-    # recompute from `baskets` instead.
+    # Scale-gated persist (r17): this support relation is the FULL
+    # co-occurrence set (unlike assoc_rules_lift's >=2-filtered table),
+    # and at fixture scale materializing it LOST (r16 A/B min-of-3
+    # 4.08s -> 4.50s) versus re-running the pair explode from the
+    # cached baskets. At corpus scale the second explode+agg is a full
+    # extra pass over the largest intermediate, so the pair table
+    # persists (disk-backed) once the input has real splits.
+    from ..tables import persist_when_scaled, scan_splits
+
     support = (
         _basket_pairs(baskets)
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
+    )
+    support = persist_when_scaled(
+        support, _INSIGHTS_CACHE, scan_splits(spark, sf_dir, "lineitem"), dup=2
     )
     bidir = support.select(
         F.col("u").alias("part_key"), F.col("v").alias("rec_key"), "support"
@@ -1757,16 +1774,33 @@ def retention_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persists (r17): `seq` feeds the state classifier and
+    # the churn branch, and `act` additionally feeds the max-day agg -
+    # 3 events scan+distinct runs per plan. No-ops at fixture scale
+    # (the r16 cheap-subtree lesson); at corpus scale the re-runs are
+    # full extra passes, so both (user, day)-bounded relations persist
+    # once the input has real splits.
+    while _INSIGHTS_CACHE:
+        _INSIGHTS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
     act = (
-        load_table(spark, sf_dir, "events")
+        ev_scan
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
+    )
+    act = persist_when_scaled(
+        act, _INSIGHTS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     w = W.partitionBy("user_id").orderBy("day")
     seq = act.select(
         "day",
         F.lag("day").over(w).alias("prev_day"),
         F.lead("day").over(w).alias("next_day"),
+    )
+    seq = persist_when_scaled(
+        seq, _INSIGHTS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     maxd = act.agg(F.max("day").alias("max_day"))
     active_states = seq.select(
@@ -2015,10 +2049,23 @@ _WAU_DAYS = 7
     """,
 )
 def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): `act` feeds the max-day agg, the
+    # window-cover explode, and the DAU agg - 3 events scan+distinct
+    # runs per plan. No-op at fixture scale (the r16 cheap-subtree
+    # lesson); at corpus scale the (user, day) rollup persists once the
+    # input has real splits.
+    while _INSIGHTS_CACHE:
+        _INSIGHTS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
     act = (
-        load_table(spark, sf_dir, "events")
+        ev_scan
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
+    )
+    act = persist_when_scaled(
+        act, _INSIGHTS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     maxd = act.agg(F.max("day").alias("max_day"))
     cover = (

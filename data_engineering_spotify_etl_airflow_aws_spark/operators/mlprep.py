@@ -134,11 +134,23 @@ _DUCK_TOK_TABLE = f"""
     """,
 )
 def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persists (r17): dl (2 consumers) and tf (2 consumers)
+    # each re-run the tokenize+explode subtree - 3 full tokenize passes
+    # per plan. At fixture scale an unconditional persist of dl LOST
+    # (r16 A/B min-of-3 0.77s -> 0.90s: duplicated branches ride idle
+    # cores); at corpus scale re-tokenizing is pure added CPU, so the
+    # bounded rollups (dl: one row/doc; tf: docs x |_BM25_TERMS|)
+    # persist once the input has real splits. The full token stream
+    # stays unpersisted at every scale (unbounded; the heaps lesson).
+    while _MLPREP_CACHE:
+        _MLPREP_CACHE.pop().unpersist()
     tok = _doc_tokens(spark, sf_dir).select("doc_id", "tok")
-    # NOT persisted (r16 A/B): duplicated tokenize branches execute
-    # concurrently on idle cores at this scale; a persist of `dl`
-    # measured 0.77s -> 0.90s min-of-3 (the kmv lesson).
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = persist_when_scaled(
+        dl, _MLPREP_CACHE, scan_splits(spark, sf_dir, "documents"), dup=3
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -147,6 +159,9 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.where(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", F.col("tok").alias("term"))
         .agg(F.count("*").alias("tf"))
+    )
+    tf = persist_when_scaled(
+        tf, _MLPREP_CACHE, scan_splits(spark, sf_dir, "documents"), dup=3
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     k1 = F.expr(_BM25_K1)
@@ -494,17 +509,25 @@ def _bloom_pos_spark(i: int, key: str) -> str:
     """,
 )
 def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted (r16 A/B): the build/bit duplication (10 orders
-    # scans in one plan) looked like a persist candidate, but the
-    # duplicated branches are cheap columnar scans that execute
-    # concurrently on otherwise-idle cores at this scale, while the
-    # persist serializes a materialization barrier (min-of-3 1.10s ->
-    # 1.34s).
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): build (filtered distinct custkeys) has
+    # 4 consumers and bits 3, re-running the orders scan 10x per plan.
+    # At fixture scale an unconditional persist LOST (r16 A/B min-of-3
+    # 1.10s -> 1.34s: cheap columnar scans ride idle cores); at corpus
+    # scale the re-scans are pure added I/O, so both bounded relations
+    # persist once the input has real splits.
+    while _MLPREP_CACHE:
+        _MLPREP_CACHE.pop().unpersist()
+    ord_scan = load_table(spark, sf_dir, "orders")
     build = (
-        load_table(spark, sf_dir, "orders")
+        ord_scan
         .where(F.col("o_totalprice") > _BLOOM_PRICE)
         .select("o_custkey")
         .distinct()
+    )
+    build = persist_when_scaled(
+        build, _MLPREP_CACHE, scan_splits(spark, sf_dir, "orders"), dup=10
     )
     bits = (
         build.select(F.expr(_bloom_pos_spark(0, "o_custkey")).alias("pos"))
@@ -515,6 +538,9 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             build.select(F.expr(_bloom_pos_spark(2, "o_custkey")).alias("pos"))
         )
         .distinct()
+    )
+    bits = persist_when_scaled(
+        bits, _MLPREP_CACHE, scan_splits(spark, sf_dir, "orders"), dup=10
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     probe = cust.select(
@@ -600,8 +626,22 @@ def bloom_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): `vocab` feeds the total agg and the
+    # logprob table - plus the scoring join re-tokenizes, 3 tokenize
+    # runs per plan. No-op at fixture scale (the r16 cheap-subtree
+    # lesson); at corpus scale a full re-tokenize is pure added CPU, so
+    # the vocabulary-bounded count table persists once the input has
+    # real splits. The raw token stream stays unpersisted (unbounded;
+    # the heaps lesson).
+    while _MLPREP_CACHE:
+        _MLPREP_CACHE.pop().unpersist()
     tok = _doc_tokens(spark, sf_dir)
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = persist_when_scaled(
+        vocab, _MLPREP_CACHE, scan_splits(spark, sf_dir, "documents"), dup=3
+    )
     tot = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "tok",

@@ -1482,12 +1482,18 @@ def _drift_oracle() -> str:
     """
 
 
+# Moment grid persisted by the previous embedding_centroid_drift call
+# when the scale gate engages (released on the next call; caches.py).
+_DRIFT_CACHE: list[DataFrame] = register_cache([])
+
+
 @query("embedding_centroid_drift", oracle=_drift_oracle())
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import widen_small_scan
+    from ..tables import persist_when_scaled, scan_splits, widen_small_scan
 
+    emb_scan = load_table(spark, sf_dir, "embeddings")
     pe = widen_small_scan(
-        load_table(spark, sf_dir, "embeddings").select(
+        emb_scan.select(
             (F.col("vec_id") % 2).alias("half"),
             vec_double("embedding").alias("emb"),
         )
@@ -1502,9 +1508,18 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1_000_000_000.0) * F.count("*"))
         ).alias("mv"),
     )
-    # NOT persisted (r16 A/B): the 4x-duplicated explode+agg branches
-    # execute concurrently on otherwise-idle cores at this scale; the
-    # persist measured 0.85s -> 0.99s min-of-3 (the kmv lesson).
+    # Scale-gated persist (r17): the explode+agg subtree is re-run 4x
+    # per plan. At fixture scale an unconditional persist LOST (r16 A/B
+    # min-of-3 0.85s -> 0.99s: the branches ride idle cores); at corpus
+    # scale 4 full explode passes are pure added work, so the bounded
+    # (2 x dims) moment grid persists once the input has real splits.
+    # Gate base is the RAW scan: widen_small_scan already fans the
+    # fixture out to 32 splits, which would otherwise fool the gate.
+    while _DRIFT_CACHE:
+        _DRIFT_CACHE.pop().unpersist()
+    m = persist_when_scaled(
+        m, _DRIFT_CACHE, scan_splits(spark, sf_dir, "embeddings"), dup=4
+    )
     q = m.select(
         "half",
         "dim",

@@ -522,9 +522,19 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT persisted (r16 A/B): 4 duplicated narrow scans ride idle cores
-    # at this scale; the persist measured 0.30s -> 0.44s min-of-3.
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): at fixture scale the 4 duplicated
+    # narrow scans ride idle cores and an unconditional persist LOST
+    # (r16 A/B min-of-3 0.30s -> 0.44s), but at corpus scale the 4x
+    # re-scan is pure added I/O, so the persist engages once the input
+    # has real splits (gate math in tables.persist_when_scaled).
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    docs = persist_when_scaled(
+        docs, _STATS_CACHE, scan_splits(spark, sf_dir, "documents"), dup=4
+    )
     cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ij"))
     ml = docs.groupBy("lang").agg(F.count("*").alias("n_i"))
     ms = docs.groupBy("source").agg(F.count("*").alias("n_j"))
@@ -1114,13 +1124,26 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("documents", "source"),
         ("customer", "c_mktsegment"),
     )
+    from ..tables import persist_when_scaled, scan_splits
+
     src = None
     for tbl, col in cols:
         part = load_table(spark, sf_dir, tbl).select(
             F.lit(f"{tbl}.{col}").alias("column_name"), F.col(col).alias("v")
         )
         src = part if src is None else src.unionAll(part)
+    # Scale-gated persist (r17): `cat` feeds the per-column totals and
+    # the entropy join - 2 runs of the 6-table union scan per plan.
+    # No-op at fixture scale (the r16 cheap-subtree lesson); at corpus
+    # scale the re-scan of every profiled table is pure added I/O, so
+    # the per-(column, value) counts persist once the DOMINANT input
+    # (events - the gate base) has real splits.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
     cat = src.groupBy("column_name", "v").agg(F.count("*").alias("c"))
+    cat = persist_when_scaled(
+        cat, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=2
+    )
     tot = cat.groupBy("column_name").agg(
         F.sum("c").alias("n"), F.count("*").alias("n_distinct")
     )
@@ -1243,11 +1266,21 @@ def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
-    # NOT persisted (r16 A/B): the 8x-duplicated narrow scans execute
-    # concurrently on otherwise-idle cores at this scale; persisting the
-    # grid + terms measured 0.79s -> 0.97s min-of-3.
+    # Scale-gated persist (r17): the grid feeds 4 consumers (rt/ct/tot/
+    # terms), each re-running the docs scan + groupBy - 8 duplicated
+    # scans per plan. At fixture scale an unconditional persist LOST
+    # (r16 A/B min-of-3 0.79s -> 0.97s: idle cores hide the duplication);
+    # at corpus scale the re-scans are pure added I/O, so the tiny
+    # (lang x source) grid persists once the input has real splits.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
     cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    cells = persist_when_scaled(
+        cells, _STATS_CACHE, scan_splits(spark, sf_dir, "documents"), dup=8
+    )
     rt = cells.groupBy("lang").agg(F.sum("n_obs").cast("bigint").alias("r"))
     ct = cells.groupBy("source").agg(F.sum("n_obs").cast("bigint").alias("c"))
     tot = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
@@ -1722,10 +1755,22 @@ _EWMA_W = [repr(0.75**j) for j in range(_EWMA_LOOKBACK)]
     """,
 )
 def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): the (type, day) count grid feeds sig
+    # and both sides of the lag self-join - 3 events scans per plan.
+    # No-op at fixture scale (the r16 cheap-subtree lesson); at corpus
+    # scale the bounded grid persists and the re-scans collapse to one.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
     d = (
-        load_table(spark, sf_dir, "events")
+        ev_scan
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("x"))
+    )
+    d = persist_when_scaled(
+        d, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     # daily-count squares through a decimal accumulator (the pattern the
     # OLS/trend moments above already use): at a 100 TB/day stream a
@@ -1847,8 +1892,18 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg, the +/-3-day trend window (7 daily totals ~ 2e20 at the
     # design point), and the per-dow seasonal sums below all accumulate
     # in decimal; bigint output casts mirror the oracle's HUGEINT sums.
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): `det` feeds the per-dow seasonal agg
+    # and the final join - 3 events scans per plan. No-op at fixture
+    # scale (the r16 cheap-subtree lesson); at corpus scale the
+    # calendar-bounded detrended series persists and the re-scans
+    # collapse to one.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
     d = (
-        load_table(spark, sf_dir, "events")
+        ev_scan
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(
@@ -1879,6 +1934,9 @@ def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("det_micro"),
+    )
+    det = persist_when_scaled(
+        det, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     s = det.groupBy("dow").agg(
         F.sum(F.col("det_micro").cast("decimal(38,0)")).cast("bigint").alias("sd"),
@@ -2542,8 +2600,19 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past int64 under the pinned ANSI mode; the
     # window sums stay decimal end-to-end like the oracle's HUGEINT
     # window sums (both only ever narrow into a double at the use site).
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persists (r17): the day-series `c` feeds s1/t1, sided
+    # and the top row - 3 events scans per plan - and t1 itself (a
+    # 1-row pick that re-runs the whole series build) is consumed by
+    # both sided and the final union. No-ops at fixture scale (the r16
+    # cheap-subtree lesson); at corpus scale the calendar-bounded
+    # series persists and the re-scans collapse to one.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
     d = (
-        load_table(spark, sf_dir, "events")
+        ev_scan
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.sum(
@@ -2567,6 +2636,9 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd).over(w_all).alias("tot"),
         F.count("*").over(w_all).alias("n"),
     )
+    c = persist_when_scaled(
+        c, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
+    )
 
     def gap_col():
         return F.abs(
@@ -2585,6 +2657,9 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("split1"),
         F.col("i").alias("i1"),
         F.col("gap").alias("gap1"),
+    )
+    t1 = persist_when_scaled(
+        t1, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=3
     )
     sided = c.select("day", "x").crossJoin(F.broadcast(t1)).select(
         "day", "x", (F.col("day") <= F.col("split1")).alias("left_side"),
@@ -2933,13 +3008,27 @@ def chisq_residual_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hash_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
     h = _ST_SH32.format(s="concat('sbias:', cast(event_id as string))")
-    e = load_table(spark, sf_dir, "events").select(
+    # Scale-gated persist (r17): `e` feeds the global moment agg and
+    # the per-type mix - 2 events scans per plan, each re-running the
+    # per-row md5 sample flag. No-op at fixture scale (the r16
+    # cheap-subtree lesson); at corpus scale the second md5 pass is
+    # pure added CPU. Scale caveat: `e` is O(rows) (3 narrow columns) -
+    # disk-backed, written once and read twice, which beats re-hashing.
+    while _STATS_CACHE:
+        _STATS_CACHE.pop().unpersist()
+    ev_scan = load_table(spark, sf_dir, "events")
+    e = ev_scan.select(
         "event_type",
         F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
         .cast("bigint")
         .alias("vm"),
         (F.expr(h) % 16 == 0).alias("in_sample"),
+    )
+    e = persist_when_scaled(
+        e, _STATS_CACHE, scan_splits(spark, sf_dir, "events"), dup=2
     )
     d = F.col("vm").cast("decimal(38,0)")
     m = e.agg(

@@ -22,9 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..functions import ORACLE_TOKENS, tokens
 from ..registry import query
 from ..tables import load_table
+
+# Token-stream relations persisted by the previous text query when the
+# scale gate engages (released on the next call; caches.py).
+_TEXT_CACHE: list[DataFrame] = register_cache([])
 
 # English-ish stopword set; the synthetic corpus is English-like tech text
 # for every lang label, so the ID signal is degenerate by construction -
@@ -732,15 +737,24 @@ _LO_TOP = 5
 def logodds_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from ..tables import persist_when_scaled, scan_splits
+
     docs = load_table(spark, sf_dir, "documents")
-    # NOT persisted (r16 A/B): `st` has 4 consumers, but the duplicated
-    # tokenize branches execute concurrently on otherwise-idle cores at
-    # this scale while a persist serializes a materialization barrier
-    # (min-of-3 0.85s -> 1.08s).
+    # Scale-gated persist (r17): `st` has 4 consumers, each re-running
+    # the tokenize+explode+groupBy subtree. At fixture scale an
+    # unconditional persist LOST (r16 A/B min-of-3 0.85s -> 1.08s: the
+    # duplicated branches ride idle cores); at corpus scale 4x
+    # re-tokenize is pure added CPU, so the bounded (source x vocab)
+    # count grid persists once the input has real splits.
+    while _TEXT_CACHE:
+        _TEXT_CACHE.pop().unpersist()
     st = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("y_si"))
+    )
+    st = persist_when_scaled(
+        st, _TEXT_CACHE, scan_splits(spark, sf_dir, "documents"), dup=4
     )
     gt = st.groupBy("token").agg(F.sum("y_si").alias("y_i"))
     srct = st.groupBy("source").agg(F.sum("y_si").alias("n_s"))
@@ -835,9 +849,18 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").alias("id0"),
     )
-    # NOT persisted (r16 A/B): two consumers, but materializing the full
-    # token stream cost more than the concurrent second tokenize
-    # (min-of-3 0.81s -> 0.95s; the logodds lesson).
+    from ..tables import persist_when_scaled, scan_splits
+
+    # Scale-gated persist (r17): two consumers re-run the full tokenize.
+    # At fixture scale an unconditional persist LOST (r16 A/B min-of-3
+    # 0.81s -> 0.95s); at corpus scale the second tokenize is pure added
+    # CPU, so the stream persists once the input has real splits.
+    # Scale caveat: this relation is O(total tokens) - MEMORY_AND_DISK
+    # spills it to local disk once and reads it back twice, which beats
+    # re-running the regex tokenizer but is the largest persist the gate
+    # ever engages here; re-measure at a larger sf before relying on it.
+    while _TEXT_CACHE:
+        _TEXT_CACHE.pop().unpersist()
     tok = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .crossJoin(F.broadcast(meta))
@@ -851,6 +874,9 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
             "token",
         )
+    )
+    tok = persist_when_scaled(
+        tok, _TEXT_CACHE, scan_splits(spark, sf_dir, "documents"), dup=2
     )
     firsts = tok.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
     vol = tok.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
@@ -928,15 +954,29 @@ _PMI_TOP = 15
     """,
 )
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import persist_when_scaled, scan_splits
+
     docs = load_table(spark, sf_dir, "documents")
-    # NOT persisted (r16 A/B): three consumers, but materializing the
-    # token arrays cost more than the concurrent re-tokenize (min-of-3
-    # 0.83s -> 0.89s; the logodds lesson).
+    # Scale-gated persists (r17): `tk` has 3 consumers (uni, bi, n_bi)
+    # and `uni` 3 (n_uni, ua, ub) - 5 tokenize runs per plan. At fixture
+    # scale an unconditional persist of tk LOST (r16 A/B min-of-3
+    # 0.83s -> 0.89s); at corpus scale the re-tokenizes are pure added
+    # CPU, so the token arrays (O(corpus), disk-backed - the heaps
+    # caveat) and the bounded vocab counts persist once the input has
+    # real splits.
+    while _TEXT_CACHE:
+        _TEXT_CACHE.pop().unpersist()
     tk = docs.select(tokens(F.col("text")).alias("t"))
+    tk = persist_when_scaled(
+        tk, _TEXT_CACHE, scan_splits(spark, sf_dir, "documents"), dup=5
+    )
     uni = (
         tk.select(F.explode("t").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
+    )
+    uni = persist_when_scaled(
+        uni, _TEXT_CACHE, scan_splits(spark, sf_dir, "documents"), dup=5
     )
     n_uni = uni.agg(F.sum("c").cast("bigint").alias("n"))
     bigrams = F.expr(

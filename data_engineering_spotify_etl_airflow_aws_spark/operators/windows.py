@@ -895,6 +895,11 @@ def _kmv_sketch_sql(h32: str) -> str:
     """
 
 
+# KMV sketch relations persisted by the previous kmv_user_overlap call
+# when the scale gate engages (released on the next call; caches.py).
+_KMV_CACHE: list[DataFrame] = register_cache([])
+
+
 def _register_kmv() -> None:
     from .dedup import _DUCK_H32, _SPARK_H32
 
@@ -940,12 +945,18 @@ def _register_kmv() -> None:
         """,
     )
     def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..tables import persist_when_scaled, scan_splits
+
         ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-        # NOT persisted (r16 A/B): the sketch/base duplication (9 events
-        # scans in one plan) looked like a persist candidate, but the
-        # duplicated branches execute concurrently on otherwise-idle
-        # cores at this scale while the persist serializes a
-        # materialization barrier (min-of-3 1.22s -> 1.50s).
+        # Scale-gated persist (r17): the sketch subtree (events scan +
+        # md5 + distinct + top-k window) is re-run by every consumer -
+        # 9 events scans in one plan. At fixture scale an unconditional
+        # persist LOST (r16 A/B min-of-3 1.22s -> 1.50s: the duplicated
+        # branches ride idle cores); at corpus scale the re-scans are
+        # pure added I/O, so the tiny k-per-type sketch (and the distinct
+        # type list) persist once the input has real splits.
+        while _KMV_CACHE:
+            _KMV_CACHE.pop().unpersist()
         uh = ev.select(
             "event_type", F.expr(h_spark).alias("h")
         ).distinct()
@@ -955,7 +966,13 @@ def _register_kmv() -> None:
             .where(F.col("rn") <= k)
             .drop("rn")
         )
+        sk = persist_when_scaled(
+            sk, _KMV_CACHE, scan_splits(spark, sf_dir, "events"), dup=9
+        )
         types = ev.select("event_type").distinct()
+        types = persist_when_scaled(
+            types, _KMV_CACHE, scan_splits(spark, sf_dir, "events"), dup=9
+        )
         tpairs = (
             types.select(F.col("event_type").alias("type_a"))
             .join(

@@ -73,6 +73,88 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Per-session memo of scan split counts (see scan_splits). Keyed on the
+# session's applicationId + fixture path + table + parallelism; holds
+# ONE int of physical-layout metadata per table - never query results.
+_SCAN_SPLITS_MEMO: dict[tuple[str, str, str, int], int] = {}
+
+
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Split count of a testdata table's scan, memoized per session.
+
+    The persist gate below needs the input's scan parallelism, but
+    computing it costs real driver time inside the gated query's timed
+    window (measured r17: ~48 ms for .rdd.getNumPartitions() on an
+    existing DataFrame, ~180 ms with a fresh load_table) - enough to
+    show up as a fake "regression" on sub-second queries. The count is
+    physical-layout metadata (file count x sizes x maxPartitionBytes),
+    constant for a fixture within a session, NOT a query result or
+    intermediate - memoizing it is a planning-cost optimization of the
+    same kind as Spark's own session FileIndex cache.
+    """
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir.rstrip("/"),
+        name,
+        spark.sparkContext.defaultParallelism,
+    )
+    if key not in _SCAN_SPLITS_MEMO:
+        _SCAN_SPLITS_MEMO[key] = load_table(
+            spark, sf_dir, name
+        ).rdd.getNumPartitions()
+    return _SCAN_SPLITS_MEMO[key]
+
+
+def persist_when_scaled(
+    df: DataFrame,
+    cache: list,
+    splits: int,
+    dup: int,
+    parts: int | None = None,
+) -> DataFrame:
+    """Persist a multiply-consumed derived relation ONLY when its input
+    is large enough that re-executing the duplicated subtree costs real
+    wall-clock (guide §2.4/§5, scale-gated like widen_small_scan).
+
+    Spark re-executes every reference to an unpersisted DataFrame, so a
+    subtree consumed ``dup`` times runs ``dup`` times per action. At
+    fixture scale that duplication is nearly FREE: the branches are
+    single-split columnar scans that execute concurrently on
+    otherwise-idle cores, while a persist serializes a materialization
+    barrier and replaces codegen-over-parquet reads with
+    InMemoryTableScan row iteration - measured as a consistent LOSS for
+    12 such persists in the r16 A/Bs (+0.06-0.55 s each, reverted). At
+    real corpus scale there is no idle capacity to hide the duplication
+    - every re-execution is pure added wall-clock and I/O - so the
+    persist wins.
+
+    Gate: engage when ``dup x splits >= session parallelism``, i.e.
+    when one concurrent execution of all duplicated branches would
+    already saturate the cores, so re-execution can no longer ride idle
+    capacity. ``splits`` is the source scan's split count - pass
+    ``scan_splits(spark, sf_dir, table)`` (memoized; the fixture
+    parquet is ONE split, so the gate never engages at bench scale).
+
+    The caller owns the release lifecycle (drain ``cache`` at query
+    entry, caches.py); this helper only appends when it persists.
+    SPARK_GRAFT_FORCE_SCALE_PERSIST=1 engages the gate unconditionally
+    (used by the forced-gate oracle-parity run and the unit tests; the
+    driver never sets it).
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    sess = df.sparkSession
+    target = parts or sess.sparkContext.defaultParallelism
+    forced = os.environ.get("SPARK_GRAFT_FORCE_SCALE_PERSIST", "") == "1"
+    if not forced and splits * max(dup, 1) < target:
+        return df
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cache.append(out)
+    return out
+
+
 def widen_small_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Fan a small scan out to the session's parallelism before CPU-heavy
     per-row work (regex tokenization, shingling, n-gram building).

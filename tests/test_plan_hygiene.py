@@ -147,6 +147,37 @@ def test_no_forbidden_plan_nodes(name, spark):
         )
 
 
+# Every batch query with a Python decode stage, each with EXACTLY ONE
+# mapInPandas call. The optimizer cannot push filters below an opaque
+# MapInPandas node and none of these relations is multiply referenced,
+# so a second MapInPandas node in any plan means something started
+# duplicating the codec stage (the guide-§4.4 failure mode for UDF
+# expressions, which this engine avoids by having no UDF expressions at
+# all - this test keeps that invariant observable).
+_SINGLE_CODEC_QUERIES = (
+    "multimodal_digest_features",
+    "multimodal_frame_sample",
+    "multimodal_ppm_decode_stats",
+    "multimodal_wav_decode_stats",
+    "multimodal_y4m_decode_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_jpeg_decode_stats",
+    "multimodal_resize_stats",
+)
+
+
+@pytest.mark.parametrize("name", _SINGLE_CODEC_QUERIES)
+def test_python_codec_stage_is_never_duplicated(name, spark):
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    plan = plans.executed_plan(df)
+    n = plan.count("MapInPandas")
+    assert n == 1, (
+        f"{name}: expected exactly one MapInPandas codec stage, found "
+        f"{n} - a duplicated Python decode runs the codec per copy\n"
+        f"{plan[:2000]}"
+    )
+
+
 def test_cohort_retention_has_no_forced_broadcast(spark):
     """cohort_daily_retention must not HINT a broadcast of the per-user
     cohort aggregate: that relation is one row per user and grows with the

@@ -389,6 +389,135 @@ def test_widen_small_scan_noops_on_wide_input(spark):
     assert widened.count() == docs.count()
 
 
+def test_persist_when_scaled_gate_semantics(spark, monkeypatch):
+    """The scale-gated persist (r17) must be a NO-OP at fixture scale
+    (r16 measured unconditional persists of cheap duplicated subtrees as
+    consistent losses there) and engage exactly when dup x input-splits
+    reaches the session parallelism - plus unconditionally under the
+    forced-gate env hook used by the oracle-parity forced run."""
+    from data_engineering_spotify_etl_airflow_aws_spark.tables import (
+        load_table,
+        persist_when_scaled,
+        scan_splits,
+    )
+
+    from .conftest import SF_CORRECT
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_CORRECT, "documents").select("lang", "source")
+    splits = scan_splits(spark, SF_CORRECT, "documents")
+    # the memoized split count must agree with Spark's own scan split
+    # count (the fixture is a single row group -> one split)
+    assert splits == docs.rdd.getNumPartitions()
+    assert splits * 4 < target or target <= 4
+
+    # fixture regime: gate off - passthrough, nothing persisted/cached
+    cache: list = []
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", raising=False)
+    out = persist_when_scaled(docs, cache, splits, dup=4)
+    assert out is docs and cache == []
+    assert not out.storageLevel.useMemory and not out.storageLevel.useDisk
+
+    # scale regime (modelled via the parts override): gate on - the
+    # relation is persisted, registered, and value-identical (persist()
+    # returns the same DataFrame object in PySpark, so the observable
+    # is the storage level + cache registration, not object identity)
+    baseline = sorted(map(tuple, docs.collect()))
+    engaged = persist_when_scaled(docs, cache, splits, dup=4, parts=2)
+    assert cache == [engaged]
+    assert engaged.storageLevel.useMemory and engaged.storageLevel.useDisk
+    assert sorted(map(tuple, engaged.collect())) == baseline
+    while cache:
+        cache.pop().unpersist()
+
+    # forced-gate hook engages regardless of input splits
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", "1")
+    forced = persist_when_scaled(docs, cache, splits, dup=1)
+    assert cache == [forced]
+    assert forced.storageLevel.useMemory
+    while cache:
+        cache.pop().unpersist()
+
+
+# The call sites that gained the r17 scale-gated persist: the r16
+# reverted cheap-subtree class + item_item_recs' support table, plus
+# the x3/x4 scan-census tail swept in the same round.
+_GATED_PERSIST_QUERIES = (
+    "pmi_lang_source",
+    "chi_square_lang_source",
+    "kmv_user_overlap",
+    "bloom_filter_semi_join",
+    "bm25_doc_ranking",
+    "logodds_distinctive_terms",
+    "heaps_law_curve",
+    "bigram_pmi_collocations",
+    "kl_divergence_source_lang",
+    "embedding_centroid_drift",
+    "dq_constraint_violations",
+    "table_profile_orders",
+    "item_item_recs",
+    # census tail (r17 sweep)
+    "attribution_window_sweep",
+    "binseg_changepoints",
+    "ewma_control_chart",
+    "growth_accounting_daily",
+    "hash_sample_bias_audit",
+    "stl_daily_decomposition",
+    "weekly_active_users",
+    "cohort_ltv_matrix",
+    "fd_violation_profile",
+    "cdc_changelog_compaction",
+    "price_volume_mix_bridge",
+    "rank_movers_wow",
+    "topk_stability_audit",
+    "column_entropy_profile",
+    "curriculum_stage_assignment",
+    "lang_temperature_resample",
+    "unigram_logprob_filter",
+    "tfidf_top_terms",
+)
+
+
+def test_gated_persist_values_identical_when_engaged(spark, monkeypatch):
+    """Every gated-persist query must return bit-identical rows whether
+    the gate engages (forced, the 100 TB regime) or stays off (the
+    fixture regime the bench measures) - a persist may never change
+    what a query computes."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_engineering_spotify_etl_airflow_aws_spark import caches
+    from data_engineering_spotify_etl_airflow_aws_spark.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    for name in _GATED_PERSIST_QUERIES:
+        monkeypatch.delenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", raising=False)
+        plain = sorted(
+            str(tuple(r)) for r in QUERIES[name](spark, SF_SMOKE).collect()
+        )
+        caches.release_all()
+        monkeypatch.setenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", "1")
+        forced = sorted(
+            str(tuple(r)) for r in QUERIES[name](spark, SF_SMOKE).collect()
+        )
+        caches.release_all()
+        assert forced == plain, name
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", raising=False)
+
+    # and the forced gate really engages: the plan gains a cache scan
+    buf_plain, buf_forced = io.StringIO(), io.StringIO()
+    with redirect_stdout(buf_plain):
+        QUERIES["pmi_lang_source"](spark, SF_SMOKE).explain("formatted")
+    caches.release_all()
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_SCALE_PERSIST", "1")
+    with redirect_stdout(buf_forced):
+        QUERIES["pmi_lang_source"](spark, SF_SMOKE).explain("formatted")
+    caches.release_all()
+    assert "InMemoryTableScan" not in buf_plain.getvalue()
+    assert "InMemoryTableScan" in buf_forced.getvalue()
+
+
 def test_bucketed_colocated_join_is_exchange_free_into_the_join(spark):
     """The bucketed join's whole point: both scans bucket-aligned, the
     sort-merge join fed by ZERO exchanges, and exactly one shuffle in the
